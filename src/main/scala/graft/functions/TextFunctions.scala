@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, token counting,
+  * fingerprinting. All are pure `Column` expression programs — they stay
+  * inside whole-stage codegen (no UDFs), so they cost one scan at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (the `documents.text` fixture is
+    * space-separated lowercase words).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(distinctTokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — a cheap, deterministic proxy for an LLM
+    * tokenizer's token count.
+    */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeishTokenCount(text: Column): Column = regexp_count(lower(text), lit(bpeishPattern))
+
+  /** Ratio of non-alphanumeric/space characters — punctuation density. */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(lower(text), "[a-z0-9 ]", "")
+    length(stripped).cast("double") / length(text)
+  }
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+  }
+
+  /** Composite quality score in [0,1]-ish: long enough, low punctuation,
+    * sane stopword density. Weights are heuristic; the value is the
+    * deterministic pipeline, not the constants.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    lenScore * 0.4 + (lit(1.0) - punct) * 0.3 + least(stop * 5.0, lit(1.0)) * 0.3
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Classification = argmax of distinct-token hits, ties broken
+    * by list order (en, es, fr, de).
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val words = langStopwords.toMap.apply(lang)
+    size(array_intersect(distinctTokens(text), array(words.map(lit): _*)))
+  }
+
+  /** Heuristic language ID: argmax language score, 'und' when no list hits. */
+  def langId(text: Column): Column = {
+    val scores = langStopwords.map { case (lang, _) => lang -> langScore(text, lang) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lang)
+    }.otherwise("und")
+  }
+
+  /** Content fingerprint for exact-duplicate detection at scale: md5 is
+    * portable (identical in DuckDB), xxhash64 is the cheap engine-native one.
+    */
+  def fingerprintMd5(text: Column): Column = md5(text)
+  def fingerprintXx(text: Column): Column = xxhash64(text)
+
+  /** Rolling polynomial hash over tokens (order-sensitive, unlike the set
+    * fingerprints): h = fold(h * P + xxhash64(token)). Expression-only.
+    */
+  def rollingTokenHash(text: Column, prime: Long = 1000003L): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc * prime + xxhash64(t))
+
+  /** Word n-gram shingles (n >= 1) as an array column; the substrate for
+    * MinHash / Jaccard dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+}

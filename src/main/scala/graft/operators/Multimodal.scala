@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column pattern: opaque `binary` payloads plus a typed metadata
+  * struct, with decode / feature-extraction as distributed per-partition
+  * transforms.
+  *
+  * The container has no image/audio codecs, so the *decode kernel* is a
+  * clearly-marked deterministic STUB (`stubDecodeImage`) — the Spark-side
+  * plumbing (schema, batching, partition-parallel execution, metadata
+  * propagation) is real and tested, and swapping the stub for a JNI/codec
+  * call changes nothing structurally.
+  */
+object Multimodal {
+
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType),
+    StructField("fingerprint", StringType),
+    StructField("mime", StringType)))
+
+  /** Attach a binary payload column + metadata struct. In production the
+    * payload comes from `spark.read.format("binaryFile")` or an upstream
+    * extract; here it is derived from a string column so the pattern is
+    * testable on the driver tables.
+    */
+  def withBinaryPayload(df: DataFrame, srcCol: String, mime: String = "application/octet-stream"): DataFrame =
+    df.withColumn("payload", col(srcCol).cast("binary"))
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"),
+        lit(mime).as("mime")))
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** STUB decode kernel — deterministic fake standing in for a real image
+    * decoder (no codecs in this container). Derives plausible dimensions
+    * from the payload bytes so tests are reproducible. Replace the body
+    * with an actual decoder to productionize; the signature (bytes in,
+    * fixed-schema struct out) is the contract.
+    */
+  def stubDecodeImage(bytes: Array[Byte]): Row = {
+    val h = java.util.Arrays.hashCode(bytes)
+    Row(64 + math.abs(h % 512), 64 + math.abs((h >> 9) % 512), 3)
+  }
+
+  /** Distributed decode: mapPartitions over the payload column, emitting the
+    * original row plus the decoded struct. Per-partition (not per-row driver
+    * logic), so it parallelizes like any scan.
+    */
+  def decodeImages(spark: SparkSession, df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("decoded", decodedSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ stubDecodeImage(bytes))
+      }
+    }(enc)
+  }
+
+  /** STUB feature extraction: fixed-length deterministic pseudo-embedding
+    * from payload bytes (stands in for a model forward pass). Pure column
+    * expression — scales as a scan.
+    */
+  def stubFeatures(payload: org.apache.spark.sql.Column, dim: Int = 8): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (xxhash64(payload, i) % 1000L).cast("double") / 1000.0)
+}

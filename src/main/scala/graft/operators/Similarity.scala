@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set,
+  *    score every row, per-query top-k via window. O(n·q·dim) but one scan,
+  *    no shuffle of the big side except the final top-k; the correctness
+  *    baseline at any scale where q is small.
+  *  - [[lshCosineTopK]] — sign-random-projection LSH: bucket vectors by the
+  *    signs of dot products with deterministic pseudo-random hyperplanes,
+  *    then score only same-bucket candidates. The 100 TB path: candidates
+  *    per query ∝ bucket size, not n.
+  *
+  * Dot products fold left-to-right in double precision via `aggregate`
+  * (codegen'd higher-order function, no UDF).
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float/double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param vectors  corpus (idCol, vecCol)
+    * @param queries  query rows, same schema — must be small enough to
+    *                 broadcast (it is hinted)
+    */
+  def cosineTopK(vectors: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in {-1,+1}:
+    * parity of xxhash64(plane, component). Constant-folded per (i,j).
+    */
+  private def pm1(plane: Int, component: Int): Column =
+    when(xxhash64(lit(plane), lit(component)).bitwiseAND(1L) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-random-projection bucket id: numPlanes sign bits packed into a long. */
+  def srpBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+        // v · h_p where h_p components are ±1 — computed positionally
+        val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") * when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** One (table, bucket) struct per LSH table. Multi-table is the standard
+    * recall lever: a neighbor is a candidate if it shares the bucket in ANY
+    * table — P(candidate) = 1-(1-(1-θ/π)^planes)^tables, vs a single table's
+    * (1-θ/π)^planes which decays fast.
+    */
+  private def srpTables(vec: Column, numTables: Int, planesPerTable: Int, dim: Int): Column =
+    array((0 until numTables).map(t =>
+      struct(lit(t).as("tbl"),
+        srpBucketOffset(vec, t * planesPerTable, planesPerTable, dim).as("bkt"))): _*)
+
+  private def srpBucketOffset(vec: Column, planeOffset: Int, numPlanes: Int, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(planeOffset), lit(planeOffset + numPlanes - 1)), p => {
+        val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, j) => x.cast("double") * when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, call_function("shiftleft", lit(1L), (p - planeOffset).cast("int"))).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Approximate top-k cosine via multi-table SRP-LSH: candidates = union of
+    * same-bucket rows over `numTables` independent sign-projection tables,
+    * then exact scoring of candidates only. Recall vs [[cosineTopK]] is
+    * asserted in the test suite.
+    */
+  def lshCosineTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, numTables: Int = 8,
+                    planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+      .select(col("nid"), col("nv"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+      .select(col("qid"), col("qv"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
+    val candidates = v.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bkt") === col("qbkt") && col("qid") =!= col("nid"))
+      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .dropDuplicates("qid", "nid")
+    val scored = candidates.withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
+    * multi-table LSH-bucketed so the pair join is per-bucket, not n². High
+    * tau means tiny angle, so per-table collision probability is high and
+    * recall is near-1 with a handful of tables.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, numTables: Int = 8, planesPerTable: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+      .select(col("id"), col("v"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+    v.as("a")
+      .join(v.select(col("id").as("id2"), col("v").as("v2"),
+        col("tbl").as("tbl2"), col("bkt").as("bkt2")).as("b"),
+        col("tbl") === col("tbl2") && col("bkt") === col("bkt2") && col("a.id") < col("id2"))
+      .select(col("a.id").as("d1"), col("id2").as("d2"), col("v"), col("v2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("cos", cosine(col("v"), col("v2")))
+      .filter(col("cos") >= tau)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+}

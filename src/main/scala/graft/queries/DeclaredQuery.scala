@@ -27,4 +27,10 @@ private[queries] object QHelpers {
   def dsum(c: Column): Column = round(sum(money(c)).cast("double"), 4)
 
   def r4(c: Column): Column = round(c, 4)
+
+  /** floor-to-4-decimals: unlike round(), floor of the same double is
+    * identical in every engine (no tie-breaking semantics). Use for derived
+    * ratios/scores that can land exactly on a x.xxxx5 boundary.
+    */
+  def f4(c: Column): Column = floor(c * 10000) / 10000
 }

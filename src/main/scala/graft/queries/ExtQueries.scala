@@ -1,0 +1,215 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/** North-star extension operators (SURVEY.md §2.3 EXT block): text analysis,
+  * dedup (exact Jaccard / MinHash+LSH / SimHash), embedding similarity
+  * search, multimodal binary columns, event windows/sessionization.
+  *
+  * Oracle notes:
+  *  - MinHash pairs are exactly verified post-LSH, so the oracle is the
+  *    plain exact-Jaccard SQL; at threshold 0.8 with 16×2 banding the LSH
+  *    miss probability is < 1e-7 per true pair.
+  *  - SimHash and SRP-LSH top-k depend on xxhash64 (not reproducible in
+  *    DuckDB SQL) → rows-only checks; their quality is asserted against the
+  *    exact variants in the ScalaTest suite instead.
+  */
+object ExtQueries {
+
+  private val stop = TextFunctions.defaultStopwords
+  private def stopList = stop.map(w => s"'$w'").mkString("[", ",", "]")
+  private def stopIn = stop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB exact word-3-gram-shingle Jaccard pairs at a threshold. */
+  private def jaccardSql(tau: Double): String =
+    "WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok FROM words), " +
+      "sz AS (SELECT doc_id, count(*) sz FROM tok GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM tok a JOIN tok b " +
+      "ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2) " +
+      "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
+      "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
+      s"WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= $tau ORDER BY 1,2"
+
+  val all: Seq[DeclaredQuery] = Seq(
+    // ---- text analysis ----
+    DeclaredQuery(
+      "q_ext_txt1",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tok"),
+            TextFunctions.uniqueTokenCount(col("text")).as("n_uniq"),
+            TextFunctions.charCount(col("text")).as("n_chars"),
+            TextFunctions.bpeishTokenCount(col("text")).as("n_bpeish"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tok, " +
+          "CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq, " +
+          "CAST(length(text) AS INTEGER) AS n_chars, " +
+          "CAST(len(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish " +
+          "FROM documents ORDER BY doc_id")),
+
+    DeclaredQuery(
+      "q_ext_txt2",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .filter(!col("tok").isin(stop: _*))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(20),
+      Some(
+        "SELECT tok, count(*) AS n FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents) " +
+          s"WHERE tok NOT IN $stopIn GROUP BY 1 ORDER BY n DESC, tok LIMIT 20")),
+
+    DeclaredQuery(
+      "q_ext_txt3",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.charCount(col("text")).as("len"),
+            f4(TextFunctions.punctRatio(col("text"))).as("punct_ratio"),
+            f4(TextFunctions.stopwordRatio(col("text"))).as("stop_ratio"),
+            f4(TextFunctions.qualityScore(col("text"))).as("quality"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(length(text) AS INTEGER) AS len, " +
+          "floor(CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text)*10000)/10000 AS punct_ratio, " +
+          s"floor(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*10000)/10000 AS stop_ratio, " +
+          "floor((least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4 " +
+          "+ (1.0 - CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text))*0.3 " +
+          s"+ least(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*5.0, 1.0)*0.3)*10000)/10000 AS quality " +
+          "FROM documents ORDER BY doc_id")),
+
+    DeclaredQuery(
+      "q_ext_lang1",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some {
+        def lst(lang: String) =
+          TextFunctions.langStopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ",", "]")
+        val g = "greatest(s_en,s_es,s_fr,s_de)"
+        "WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents), " +
+          s"sc AS (SELECT doc_id, lang, len(list_intersect(toks, ${lst("en")})) s_en, " +
+          s"len(list_intersect(toks, ${lst("es")})) s_es, len(list_intersect(toks, ${lst("fr")})) s_fr, " +
+          s"len(list_intersect(toks, ${lst("de")})) s_de FROM w) " +
+          s"SELECT doc_id, lang, CASE WHEN $g <= 0 THEN 'und' WHEN s_en = $g THEN 'en' " +
+          s"WHEN s_es = $g THEN 'es' WHEN s_fr = $g THEN 'fr' WHEN s_de = $g THEN 'de' " +
+          "ELSE 'und' END AS lang_pred FROM sc ORDER BY doc_id"
+      }),
+
+    DeclaredQuery(
+      "q_ext_fp1",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .groupBy(TextFunctions.fingerprintMd5(col("text")).as("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+          .orderBy("fp"),
+      Some(
+        "SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id " +
+          "FROM documents GROUP BY 1 ORDER BY 1")),
+
+    // ---- dedup ----
+    DeclaredQuery(
+      "q_ext_dedup2",
+      (s, d) =>
+        Dedup.jaccardPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+            threshold = 0.6, shingleN = 3)
+          .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
+          .orderBy("d1", "d2"),
+      Some(jaccardSql(0.6))),
+
+    DeclaredQuery(
+      "q_ext_dedup3",
+      (s, d) =>
+        Dedup.minHashPairs(Tables.load(s, d, "documents"), "doc_id", "text",
+            threshold = 0.8, numBands = 16, rowsPerBand = 2, shingleN = 3)
+          .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
+          .orderBy("d1", "d2"),
+      Some(jaccardSql(0.8))),
+
+    // SimHash (xxhash64-based — not expressible in DuckDB; rows-only check,
+    // quality asserted vs exact Jaccard in the test suite)
+    DeclaredQuery(
+      "q_ext_dedup4",
+      (s, d) =>
+        Dedup.simHashPairs(Tables.load(s, d, "documents"), "doc_id", "text", maxDist = 3)
+          .orderBy("d1", "d2"),
+      None),
+
+    // ---- similarity search ----
+    DeclaredQuery(
+      "q_ext_sim1",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      Some(
+        "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5), " +
+          "s AS (SELECT q.qid, e.vec_id nid, " +
+          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) dot, " +
+          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) nq, " +
+          "(SELECT sum(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) ne " +
+          "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+          "t AS (SELECT qid, nid, dot/(sqrt(nq)*sqrt(ne)) cos, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(nq)*sqrt(ne)) DESC, nid) rn FROM s) " +
+          "SELECT qid, CAST(rn AS INTEGER) AS rn, nid, round(cos,4) AS cos FROM t WHERE rn <= 10 ORDER BY qid, rn")),
+
+    // SRP-LSH approximate variant (rows-only; recall vs exact tested in suite)
+    DeclaredQuery(
+      "q_ext_sim2",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, numTables = 8, planesPerTable = 4)
+          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    // ---- multimodal binary columns ----
+    DeclaredQuery(
+      "q_ext_mm1",
+      (s, d) =>
+        Multimodal.withBinaryPayload(Tables.load(s, d, "documents"), "text", "text/plain")
+          .select(col("doc_id"),
+            col("meta.n_bytes").as("n_bytes"),
+            col("meta.fingerprint").as("fp"),
+            substring(base64(col("payload")), 1, 16).as("b64_prefix"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS fp, " +
+          "substr(base64(CAST(text AS BLOB)),1,16) AS b64_prefix FROM documents ORDER BY doc_id")),
+
+    // ---- event windows ----
+    DeclaredQuery(
+      "q_ext_evt1",
+      (s, d) =>
+        EventOps.tumblingHourly(Tables.load(s, d, "events"))
+          .orderBy("user_id", "hour_bucket"),
+      Some(
+        "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket, " +
+          "count(*) AS n, round(sum(value),4) AS total " +
+          "FROM events GROUP BY 1,2 ORDER BY 1,2")),
+
+    DeclaredQuery(
+      "q_ext_evt2",
+      (s, d) =>
+        EventOps.sessionStats(Tables.load(s, d, "events"), "30 minutes")
+          .orderBy("user_id"),
+      Some(
+        "WITH o AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+          "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events) " +
+          "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")))
+}
