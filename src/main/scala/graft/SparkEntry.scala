@@ -14,7 +14,8 @@ object SparkEntry {
   /** Full declared-query registry, grouped by SURVEY.md §2.3 section. */
   def registry: Seq[DeclaredQuery] =
     ScanQueries.all ++ JoinQueries.all ++ AggQueries.all ++
-      WindowQueries.all ++ SetQueries.all ++ NestedQueries.all ++ ExtQueries.all
+      WindowQueries.all ++ SetQueries.all ++ NestedQueries.all ++ ExtQueries.all ++
+      IngestQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

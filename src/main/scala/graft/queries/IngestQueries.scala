@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import graft.schema.CrystalSchema
+import graft.sources.ParquetDatabase
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ingest / storage parity queries (SURVEY.md §2.3 Q-ING1, Q-ING2, Q-NORM1).
+  *
+  * These run the real pipeline — fixture JSON → conformToSchema(canonical) →
+  * ParquetDatabase.create → re-read — and emit a deterministic summary, so
+  * the oracle is a constant VALUES table: the hash matches iff the pipeline
+  * produced exactly the expected nested data.
+  */
+object IngestQueries {
+
+  /** Canonical crystal record fixture (FIXTURES.md §1, mirroring the
+    * reference's tests/test_db.py:69-100) + a second record.
+    */
+  private val lattice =
+    """{"matrix": [[1.0,0.0,0.0],[0.0,1.0,0.0],[0.0,0.0,1.0]],
+       "a": 1.0, "b": 1.0, "c": 1.0, "alpha": 90.0, "beta": 90.0, "gamma": 90.0,
+       "pbc": [true, true, true], "volume": 1.0}"""
+
+  private def record(id: String, bandGap: Double): String =
+    s"""{
+      "source_database": "mp", "source_dataset": "1d", "source_id": "$id",
+      "species": ["A", "B"],
+      "frac_coords": [[0.0,0.0,0.0],[0.5,0.5,0.5]],
+      "cart_coords": [[0.0,0.0,0.0],[0.5,0.5,0.5]],
+      "lattice": $lattice,
+      "structure": {
+        "@module": "pymatgen.core.structure", "@class": "Structure", "charge": 0.0,
+        "lattice": $lattice,
+        "sites": [
+          {"species": [{"element": "A", "occu": 1}], "abc": [0.0,0.0,0.0], "xyz": [0.0,0.0,0.0],
+           "properties": {"magmom": 0.0, "charge": 0.0, "forces": [0.0,0.0,0.0]}, "label": "A"},
+          {"species": [{"element": "B", "occu": 1}], "abc": [0.5,0.5,0.5], "xyz": [0.5,0.5,0.5],
+           "properties": {"magmom": 0.0, "charge": 0.0, "forces": [0.0,0.0,0.0]}, "label": "B"}
+        ]},
+      "data": {"band_gap": $bandGap, "energy_total": 1.1, "magnetic_ordering": "FM", "is_stable": true},
+      "symmetry": {"crystal_system": "cubic", "symbol": "Pm-3m", "number": 221,
+                   "point_group": "m3m", "symprec": 0.01, "angle_tolerance": 5.0, "version": "2.0.0"},
+      "has_props": {"materials": true, "thermo": true}
+    }"""
+
+  /** Alexandria-shaped record: no symmetry / has_props (FIXTURES.md §2). */
+  private def alexRecord(id: String): String =
+    s"""{
+      "source_database": "alexandria", "source_dataset": "3d", "source_id": "$id",
+      "species": ["C"],
+      "frac_coords": [[0.1,0.1,0.1]], "cart_coords": [[0.1,0.1,0.1]],
+      "lattice": $lattice,
+      "data": {"band_gap_ind": 0.5, "energy_total": -2.5}
+    }"""
+
+  private def jsonDf(spark: SparkSession, docs: Seq[String]) = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(docs))
+  }
+
+  private def freshDb(spark: SparkSession, name: String): ParquetDatabase = {
+    val dir = s"target/tmp/ingest/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    new ParquetDatabase(spark, dir)
+  }
+
+  val all: Seq[DeclaredQuery] = Seq(
+    // JSON ingest -> conform -> write parquet -> re-read -> projected checksum
+    DeclaredQuery(
+      "q_ing1",
+      (s, _) => {
+        val db = freshDb(s, "q_ing1")
+        db.create(jsonDf(s, Seq(record("mp-1", 1.1), record("mp-2", 2.2))),
+          target = Some(CrystalSchema.schema))
+        db.read()
+          .select(col("source_id"),
+            size(col("species")).as("n_species"),
+            col("data.band_gap").as("band_gap"),
+            size(col("structure.sites")).as("n_sites"),
+            col("lattice.volume").as("volume"),
+            col("structure.sites")(0).getField("label").as("first_label"),
+            col("symmetry.number").as("sg"))
+          .orderBy("source_id")
+      },
+      Some(
+        "SELECT * FROM (VALUES " +
+          "('mp-1', 2, CAST(1.1 AS DOUBLE), 2, CAST(1.0 AS DOUBLE), 'A', 221), " +
+          "('mp-2', 2, CAST(2.2 AS DOUBLE), 2, CAST(1.0 AS DOUBLE), 'A', 221)) " +
+          "t(source_id, n_species, band_gap, n_sites, volume, first_label, sg) ORDER BY source_id")),
+
+    // schema evolution: append a batch missing symmetry/has_props/structure,
+    // read the unified schema back with nulls in the right places
+    DeclaredQuery(
+      "q_ing2",
+      (s, _) => {
+        val db = freshDb(s, "q_ing2")
+        db.create(jsonDf(s, Seq(record("mp-1", 1.1))), target = Some(CrystalSchema.schema))
+        db.create(jsonDf(s, Seq(alexRecord("alex-1"))), target = Some(CrystalSchema.schema))
+        db.read()
+          .select(col("source_id"),
+            col("symmetry").isNull.as("sym_null"),
+            col("structure").isNull.as("struct_null"),
+            col("data.band_gap_ind").as("bgi"),
+            col("data.energy_total").as("etot"),
+            size(col("species")).as("n_species"))
+          .orderBy("source_id")
+      },
+      Some(
+        "SELECT * FROM (VALUES " +
+          "('alex-1', true, true, CAST(0.5 AS DOUBLE), CAST(-2.5 AS DOUBLE), 1), " +
+          "('mp-1', false, false, CAST(NULL AS DOUBLE), CAST(1.1 AS DOUBLE), 2)) " +
+          "t(source_id, sym_null, struct_null, bgi, etot, n_species) ORDER BY source_id")),
+
+    // normalize: rewrite into bounded files, verify row preservation + layout
+    DeclaredQuery(
+      "q_norm1",
+      (s, d) => {
+        import s.implicits._
+        val db = freshDb(s, "q_norm1")
+        db.create(Tables.load(s, d, "lineitem"))
+        db.normalize(maxRowsPerFile = 8192)
+        val stats = db.fileStats
+        val rows = stats.map(_.numRows).sum
+        val maxPerFile = stats.map(_.numRows).max
+        Seq((rows, stats.size, maxPerFile <= 8192L))
+          .toDF("n_rows", "n_files", "files_bounded")
+          .select(col("n_rows"), col("n_files"), col("files_bounded"))
+      },
+      Some(
+        "SELECT count(*) AS n_rows, CAST(ceil(count(*)/8192.0) AS INTEGER) AS n_files, " +
+          "true AS files_bounded FROM lineitem")))
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.schema.SchemaOps
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Directory-rooted parquet table facade — the ParquetDB API surface the
+  * reference delegates to (SURVEY.md §2.2 P1–P8; `ParquetDB(dir)`,
+  * `create`, `read`, `normalize`, stats).
+  *
+  * Everything stays lazy/distributed: `create` is a conform+append write,
+  * `read` is a pruned scan (Catalyst pushes column projection and filters to
+  * the parquet footers), `normalize` is a repartition rewrite — never a
+  * driver-side materialization (the reference needs ~64 GB RAM to build its
+  * combined DB, README.md:120; this needs an executor's worth).
+  */
+class ParquetDatabase(val spark: SparkSession, val dir: String) {
+
+  private def fs = new Path(dir).getFileSystem(new Configuration())
+
+  def exists: Boolean = fs.exists(new Path(dir))
+
+  /** Append a batch (ParquetDB `create`, base.py:180-182).
+    *
+    * @param target  optional canonical schema to conform to (permissive
+    *                unify + cast, SURVEY.md §1.4.1)
+    * @param assignId add a deterministic content-derived id (xxhash64 over
+    *                all columns) — reproducible across runs, unlike the
+    *                reference's positional auto-increment (§1.4.5)
+    */
+  def create(df: DataFrame, target: Option[StructType] = None, assignId: Boolean = false): Unit = {
+    val conformed = target.map(t => SchemaOps.conformToSchema(df, t)).getOrElse(df)
+    val withId =
+      if (assignId) conformed.withColumn("id", xxhash64(conformed.columns.map(c => col(s"`$c`")): _*))
+      else conformed
+    withId.write.mode("append").parquet(dir)
+  }
+
+  /** Projected / filtered read (ParquetDB `read`, base.py:188-193).
+    * `mergeSchema` reproduces the permissive union across appended batches
+    * with evolved schemas; nested structs need no rebuild (parquet native).
+    */
+  def read(columns: Seq[String] = Nil, filter: Option[Column] = None): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+    val filtered = filter.map(base.filter).getOrElse(base)
+    if (columns.isEmpty) filtered else filtered.select(columns.map(c => col(s"`$c`")): _*)
+  }
+
+  def schema: StructType = read().schema
+  def nRows: Long = read().count()
+  def nColumns: Int = schema.fields.length
+
+  /** Rewrite the table into evenly-sized files (ParquetDB `normalize`,
+    * base.py:184-186; the notebook's "6 GB file → ≤2 GB" goal). Atomic-ish:
+    * writes to a sibling temp dir, then swaps.
+    */
+  def normalize(maxRowsPerFile: Long): Unit = {
+    val df = read()
+    val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
+    val tmp = s"${dir}__normalize_tmp"
+    df.repartition(n)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .parquet(tmp)
+    fs.delete(new Path(dir), true)
+    fs.rename(new Path(tmp), new Path(dir))
+  }
+
+  /** Physical layout stats (ParquetDB P7 introspection). */
+  def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir)
+}

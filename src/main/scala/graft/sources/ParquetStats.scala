@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import scala.jdk.CollectionConverters._
+
+/** Parquet physical-layout introspection — the ParquetDB stats surface
+  * (`get_number_of_row_groups_per_file`, `get_file_sizes`,
+  * `get_n_rows_per_row_group_per_file`, `get_row_group_sizes_per_file`;
+  * reference call sites: examples/Creating-CrystPQDB.ipynb cell 23).
+  *
+  * Footer-only reads — no data pages touched, so this is metadata-cheap even
+  * on a directory of thousands of files.
+  */
+object ParquetStats {
+
+  final case class FileStats(
+      path: String,
+      fileBytes: Long,
+      numRowGroups: Int,
+      rowsPerGroup: Seq[Long],
+      bytesPerGroup: Seq[Long]) {
+    def numRows: Long = rowsPerGroup.sum
+  }
+
+  def listParquetFiles(dir: String): Seq[Path] = {
+    val conf = new Configuration()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p).toIndexedSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+  }
+
+  def fileStats(dir: String): Seq[FileStats] = {
+    val conf = new Configuration()
+    listParquetFiles(dir).map { p =>
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val groups = reader.getFooter.getBlocks.asScala.toIndexedSeq
+        FileStats(p.toString, len, groups.size,
+          groups.map(_.getRowCount), groups.map(_.getCompressedSize))
+      } finally reader.close()
+    }
+  }
+
+  def totalRows(dir: String): Long = fileStats(dir).map(_.numRows).sum
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight today"),   // near-dup of 1
+    (3L, "completely different words about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight again")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps deterministic min id per group") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(out.count() === 3)
+    val dupGroup = out.filter(col("n_dups") === 2).head()
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("jaccardPairs finds near and exact dups above threshold, not unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6, shingleN = 3)
+      .orderBy("d1", "d2").collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L)))            // exact dup, jac = 1.0
+    assert(keys.contains((1L, 2L)))            // near dup
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get
+    assert(exact.getAs[Double]("jac") === 1.0)
+  }
+
+  test("minHashPairs matches exact jaccardPairs at high threshold") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 0.6, numBands = 16, rowsPerBand = 2, shingleN = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simHash is identical for identical docs and differs across unrelated docs") {
+    val sig = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(4L))
+    assert(sig(1L) !== sig(3L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}
