@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-provided test tables (TESTDATA.md).
   *
@@ -13,16 +15,30 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default.
+    * Supplying an explicit schema with ts:LongType reads the raw nanos
+    * without touching the session-global
+    * `spark.sql.legacy.parquet.nanosAsLong` conf (a leaked conf would change
+    * how every later nanos parquet in the session is read).
+    *
+    * The DIV-1000 conversion to a microsecond TimestampType deliberately
+    * truncates sub-microsecond components (the sf0.01+ data has them):
+    * truncation-toward-zero is exactly what DuckDB (and any
+    * microsecond-native engine) does when reading TIMESTAMP(NANOS), so both
+    * sides of the oracle compare see identical values.
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects. Read it as nanos-since-epoch (legacy conf) and convert to a
-      // microsecond TimestampType. The test data has no sub-microsecond
-      // components, so the conversion is lossless (verified).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

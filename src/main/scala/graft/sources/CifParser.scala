@@ -25,21 +25,36 @@ object CifParser {
   /** "1.234(5)" → 1.234 (strip standard-uncertainty parentheses). */
   private def num(s: String): Double = s.takeWhile(ch => ch != '(').toDouble
 
-  /** Standard crystallographic cell→matrix construction: a along x,
-    * b in the xy plane, c from the angles.
+  /** Cell parameters → lattice matrix, using the c-along-z convention of
+    * pymatgen's `Lattice.from_parameters` (the construction the reference's
+    * MC3D path goes through, `crystpqdb/loaders/mc3d.py:98-123`):
+    *
+    *   a = [a·sinβ, 0, a·cosβ]
+    *   b = [-b·sinα·cosγ*, b·sinα·sinγ*, b·cosα]   with
+    *       cosγ* = (cosα·cosβ − cosγ) / (sinα·sinβ)
+    *   c = [0, 0, c]
+    *
+    * Any valid convention gives the same frac coords / volume / cell params,
+    * but value-level parity of `lattice.matrix` and `cart_coords` with
+    * reference-produced data requires this orientation.
     */
   def latticeMatrix(a: Double, b: Double, c: Double,
                     alphaDeg: Double, betaDeg: Double, gammaDeg: Double): Seq[Seq[Double]] = {
     val alpha = math.toRadians(alphaDeg)
     val beta = math.toRadians(betaDeg)
     val gamma = math.toRadians(gammaDeg)
-    val cx = c * math.cos(beta)
-    val cy = c * (math.cos(alpha) - math.cos(beta) * math.cos(gamma)) / math.sin(gamma)
-    val cz = math.sqrt(math.max(0.0, c * c - cx * cx - cy * cy))
+    val cosGammaStar = {
+      val v = (math.cos(alpha) * math.cos(beta) - math.cos(gamma)) /
+        (math.sin(alpha) * math.sin(beta))
+      math.max(-1.0, math.min(1.0, v))
+    }
+    val sinGammaStar = math.sqrt(1.0 - cosGammaStar * cosGammaStar)
     Seq(
-      Seq(a, 0.0, 0.0),
-      Seq(b * math.cos(gamma), b * math.sin(gamma), 0.0),
-      Seq(cx, cy, cz))
+      Seq(a * math.sin(beta), 0.0, a * math.cos(beta)),
+      Seq(-b * math.sin(alpha) * cosGammaStar,
+        b * math.sin(alpha) * sinGammaStar,
+        b * math.cos(alpha)),
+      Seq(0.0, 0.0, c))
   }
 
   private def det3(m: Seq[Seq[Double]]): Double =

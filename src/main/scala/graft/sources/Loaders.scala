@@ -205,12 +205,31 @@ final case class Mc3dLoader(spark: SparkSession, config: LoaderConfig,
       val stem = path.split('/').last.stripSuffix(".cif")
       CifParser.parse(stem, text)
     }
+    // structure mirrors pymatgen Structure.as_dict() (what the reference
+    // stores, mc3d.py:113-123): sites rebuilt from species/abc/xyz with
+    // occu=1 (CIF subset has no partial occupancy or site properties).
+    val sites = org.apache.spark.sql.functions.transform(
+      sequence(lit(0), size(col("species")) - 1), i =>
+      struct(
+        array(struct(element_at(col("species"), i + 1).as("element"),
+          lit(1L).as("occu"))).as("species"),
+        element_at(col("frac_coords"), i + 1).as("abc"),
+        element_at(col("cart_coords"), i + 1).as("xyz"),
+        lit(null).cast("struct<magmom:double,charge:double,forces:array<double>>")
+          .as("properties"),
+        element_at(col("species"), i + 1).as("label")))
     parsed.toDF()
       .select(
         lit(sourceDatabase).as("source_database"),
         lit(sourceDataset).as("source_dataset"),
         col("source_id"), col("species"), col("frac_coords"), col("cart_coords"),
-        col("lattice"))
+        col("lattice"),
+        struct(
+          lit("pymatgen.core.structure").as("@module"),
+          lit("Structure").as("@class"),
+          col("lattice").as("lattice"),
+          sites.as("sites"),
+          lit(0.0).as("charge")).as("structure"))
   }
 
   /** The reference's mc3d transform only drops the auto `id` (mc3d.py:125). */

@@ -54,19 +54,27 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   def nColumns: Int = schema.fields.length
 
   /** Rewrite the table into evenly-sized files (ParquetDB `normalize`,
-    * base.py:184-186; the notebook's "6 GB file → ≤2 GB" goal). Atomic-ish:
-    * writes to a sibling temp dir, then swaps.
+    * base.py:184-186; the notebook's "6 GB file → ≤2 GB" goal).
+    *
+    * Swap order matters for crash safety: the live dir is renamed aside
+    * before the rewritten dir takes its place, so there is no window where
+    * the data exists only in a temp dir — a crash at any point leaves the
+    * table recoverable by a single rename (of either `__old` or
+    * `__normalize_tmp`), never deleted.
     */
   def normalize(maxRowsPerFile: Long): Unit = {
     val df = read()
     val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
     val tmp = s"${dir}__normalize_tmp"
+    val old = s"${dir}__old"
     df.repartition(n)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .parquet(tmp)
-    fs.delete(new Path(dir), true)
+    fs.delete(new Path(old), true)
+    fs.rename(new Path(dir), new Path(old))
     fs.rename(new Path(tmp), new Path(dir))
+    fs.delete(new Path(old), true)
   }
 
   /** Physical layout stats (ParquetDB P7 introspection). */

@@ -21,11 +21,16 @@ class CifParserSpec extends AnyFunSuite {
       |Cl 0.5 0.5 0.5
       |""".stripMargin
 
+  private def assertMatrix(actual: Seq[Seq[Double]], expected: Seq[Seq[Double]], tol: Double = 1e-7): Unit =
+    actual.zip(expected).foreach { case (ra, re) =>
+      ra.zip(re).foreach { case (a, e) => assert(math.abs(a - e) < tol, s"$actual vs $expected") }
+    }
+
   test("cubic cell: matrix diagonal, volume a^3, cart = frac * a") {
     val r = CifParser.parse("cubic1", cubic)
     assert(r.source_id === "cubic1")
     assert(r.species === Seq("Na", "Cl"))
-    assert(r.lattice.matrix(0) === Seq(2.0, 0.0, 0.0))
+    assertMatrix(r.lattice.matrix, Seq(Seq(2.0, 0.0, 0.0), Seq(0.0, 2.0, 0.0), Seq(0.0, 0.0, 2.0)))
     assert(math.abs(r.lattice.volume - 8.0) < 1e-9)
     assert(r.cart_coords(1).zip(Seq(1.0, 1.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
@@ -55,6 +60,12 @@ class CifParserSpec extends AnyFunSuite {
     val (ca, cb, cg) = (math.cos(math.toRadians(80)), math.cos(math.toRadians(95)), math.cos(math.toRadians(100)))
     val expected = 3.1 * 4.2 * 5.3 * math.sqrt(1 - ca * ca - cb * cb - cg * cg + 2 * ca * cb * cg)
     assert(math.abs(r.lattice.volume - expected) < 1e-6)
+    // value-level parity with pymatgen Lattice.from_parameters(3.1,4.2,5.3,80,95,100)
+    // (matrix generated with numpy using pymatgen's construction)
+    assertMatrix(r.lattice.matrix, Seq(
+      Seq(3.08820356, 0.0, -0.2701828),
+      Seq(-0.6683008, 4.08184553, 0.72932235),
+      Seq(0.0, 0.0, 5.3)))
   }
 
   test("missing cell parameter raises with file id") {
