@@ -93,11 +93,17 @@ object TextFunctions {
 
   /** Word n-gram shingles (n >= 1) as an array column; the substrate for
     * MinHash / Jaccard dedup.
+    *
+    * The token array is bound as a lambda variable (via a 1-element array
+    * wrapper) so `split` runs ONCE per row. Referencing `tokens(text)`
+    * directly inside the inner lambda would inline the split expression into
+    * every `element_at` call — O(shingles × n) full re-splits per document,
+    * and the same expression blowup would be copied into optimizer-inferred
+    * not-null filters.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
-  }
+  def shingles(text: Column, n: Int): Column =
+    flatten(transform(array(tokens(text)), toks =>
+      when(size(toks) < n, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))))
 }

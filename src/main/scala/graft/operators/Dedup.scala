@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Round-robin repartition to the cluster's parallelism before per-row
+    * heavy compute (shingling, hashing). A small table often arrives as a
+    * single parquet row group = a single task; without this every signature
+    * below computes on one core. The shuffle moves only (id, text) — cheap
+    * relative to the compute it parallelizes. On a real cluster
+    * defaultParallelism = total executor cores, so this is right-sized
+    * there too.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup with a deterministic keeper: one row per key group with the
     * minimal id (dropDuplicates keeps an arbitrary row — not reproducible).
     */
@@ -22,12 +33,17 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** doc_id -> distinct shingle set, exploded (one row per (id, shingle)). */
-  private def tokenSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int) = {
+  /** doc_id -> distinct shingle set as an array column. */
+  private def tokenArrays(docs: DataFrame, idCol: String, textCol: String, shingleN: Int) = {
     val sh = if (shingleN <= 1) TextFunctions.distinctTokens(col(textCol))
     else array_distinct(TextFunctions.shingles(col(textCol), shingleN))
-    docs.select(col(idCol).as("id"), explode(sh).as("tok"))
+    spread(docs).select(col(idCol).as("id"), sh.as("toks"))
   }
+
+  /** doc_id -> distinct shingle set, exploded (one row per (id, shingle)). */
+  private def tokenSets(docs: DataFrame, idCol: String, textCol: String, shingleN: Int) =
+    tokenArrays(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("toks")).as("tok"))
 
   /** All pairs with exact Jaccard similarity >= threshold over word
     * (shingleN=1) or n-gram shingle sets. Pair generation joins on shared
@@ -36,10 +52,16 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 1): DataFrame = {
-    val toks = tokenSets(docs, idCol, textCol, shingleN)
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
+    // self-join on the 64-bit shingle hash, not the shingle string: the
+    // shuffle moves 8-byte keys instead of ~20-char strings and the join
+    // compares longs. A cross-doc 64-bit collision (P ≈ n²/2⁶⁴) would be
+    // needed to change a count — negligible against the 4-decimal compare.
+    val toks = arrays.select(col("id"), explode(col("toks")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    val sizes = arrays.select(col("id"), size(col("toks")).as("sz"))
     val inter = toks.as("a")
-      .join(toks.withColumnRenamed("id", "id2").as("b"), col("a.tok") === col("b.tok") && col("a.id") < col("id2"))
+      .join(toks.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th") && col("a.id") < col("id2"))
       .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
       .agg(count(lit(1)).as("c"))
     inter
@@ -51,21 +73,34 @@ object Dedup {
   }
 
   /** Deterministic MinHash signature: sig[i] = min over shingles of
-    * xxhash64(i, shingle). Seeded by the literal hash index — reproducible
-    * across runs/clusters, no RNG.
+    * xxhash64(i, xxhash64(shingle)).
+    *
+    * Each shingle is string-hashed ONCE; the i-th permutation re-mixes the
+    * resulting 8-byte value (fixed-width, far cheaper than re-hashing the
+    * string per permutation, and overflow-free under ANSI mode — a
+    * multiply-shift family would throw on long overflow). Seeded by the
+    * literal index — reproducible across runs/clusters, no RNG.
     */
   def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleN: Int): DataFrame = {
     val toks = tokenSets(docs, idCol, textCol, shingleN)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    toks.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    // permuted hashes as a PROJECTION, not inside the aggregate: codegen
+    // splits wide projections into JIT-sized sub-methods, while a
+    // HashAggregate update with N inlined hashes is one huge method that
+    // HotSpot refuses to JIT (~10× slower). The aggregate then does N
+    // trivial min() updates.
+    val permuted = toks.select(
+      col("id") +: (0 until numHashes).map(i => xxhash64(lit(i), col("th")).as(s"p$i")): _*)
+    val mins = (0 until numHashes).map(i => min(col(s"p$i")).as(s"h$i"))
+    permuted.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
     *
     * bands × rowsPerBand hashes; candidate pairs share at least one band
-    * hash; candidates are then exactly verified (join back to shingle sets)
-    * so the output has no false positives — only the (tiny, tunable)
+    * hash; candidates are then exactly verified (against the full shingle
+    * sets) so the output has no false positives — only the (tiny, tunable)
     * LSH miss probability (1-s^r)^b at similarity s.
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
@@ -85,34 +120,41 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && col("x.id") < col("id2"))
       .select(col("x.id").as("d1"), col("id2").as("d2"))
       .distinct()
-    // exact verification of candidates only
-    val toks = tokenSets(docs, idCol, textCol, shingleN)
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    // exact verification of candidates only: join the (few) candidate pairs
+    // back to the shingle arrays and intersect per pair — no re-explode, no
+    // per-token shuffle of the corpus.
+    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
     candidates
-      .join(toks.select(col("id").as("d1"), col("tok")), "d1")
-      .join(toks.select(col("id").as("rid"), col("tok").as("tok2")),
-        col("d2") === col("rid") && col("tok") === col("tok2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jac", col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
+      .join(arrays.select(col("id").as("d1"), col("toks").as("t1")), "d1")
+      .join(arrays.select(col("id").as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") / (size(col("t1")) + size(col("t2")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
   }
 
   /** 64-bit SimHash over the token set: bit b is the sign of the vote
-    * sum over tokens of ±1 by bit b of xxhash64(token). Expression-only.
+    * sum over tokens of ±1 by bit b of xxhash64(token).
+    *
+    * Shape: explode tokens → one hash per token → 64 codegen'd sum
+    * aggregates (one per bit) → pack bits. A higher-order-function
+    * formulation is more compact but `aggregate`/`transform` are
+    * CodegenFallback (interpreted) — the exploded form stays inside
+    * whole-stage codegen and is ~an order of magnitude faster.
+    *
+    * Docs whose token set is empty have no exploded rows and thus no
+    * signature (they can't be near-duplicates of anything by this measure).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.distinctTokens(col(textCol))
-    val sig = aggregate(
-      transform(sequence(lit(0), lit(63)), b => {
-        val vote = aggregate(toks, lit(0L),
-          (acc, t) => acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        when(vote >= 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    docs.select(col(idCol).as("id"), sig.as("simhash"))
+    val toks = spread(docs).select(col(idCol).as("id"),
+      explode(TextFunctions.distinctTokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$b"))
+    val packed = (0 until 64).map(b =>
+      when(col(s"v$b") >= 0, shiftleft(lit(1L), b)).otherwise(0L)).reduce(_ bitwiseOR _)
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxDist. The pair join is

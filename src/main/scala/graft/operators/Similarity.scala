@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Round-robin repartition to cluster parallelism before per-row heavy
+    * compute (projections/cosines are interpreted HOF expressions): a small
+    * corpus arriving as one parquet row group would otherwise score on a
+    * single core. See Dedup.spread for the scale rationale.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Left-to-right double-precision dot product of two float/double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -39,7 +47,7 @@ object Similarity {
   def cosineTopK(vectors: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
@@ -95,7 +103,7 @@ object Similarity {
   def lshCosineTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, numTables: Int = 8,
                     planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
         explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
       .select(col("nid"), col("nv"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -120,7 +128,7 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          tau: Double, numTables: Int = 8, planesPerTable: Int = 8,
                          dim: Int = 64): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val v = spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
       .select(col("id"), col("v"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     v.as("a")
