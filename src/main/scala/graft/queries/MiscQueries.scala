@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import QHelpers._
+
+/** Reshaping, order statistics, selector/boolean aggregates, extended
+  * string/array function surface, analytic-window ratios, and deterministic
+  * sampling — rounding out SURVEY.md §2.3 with the operator classes a
+  * warehouse user expects beyond the round-1 inventory.
+  */
+object MiscQueries {
+
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  val all: Seq[DeclaredQuery] = Seq(
+    // pivot: revenue by order-year × market segment (explicit value list so
+    // the output schema is static — no extra value-discovery scan)
+    DeclaredQuery(
+      "q_piv1",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .pivot("c_mktsegment", segments)
+          .agg(dsum(col("o_totalprice")))
+          .toDF("y" +: segments.map("seg_" + _.toLowerCase): _*)
+          .orderBy("y")
+      },
+      Some(
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS y, " + segments.map(seg =>
+          s"round(CAST(sum(CASE WHEN c_mktsegment = '$seg' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE),4) AS seg_${seg.toLowerCase}")
+          .mkString(", ") +
+          " FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1")),
+
+    // unpivot/melt: two measures into (key, value) rows
+    DeclaredQuery(
+      "q_unpiv1",
+      (s, d) =>
+        Tables.load(s, d, "part")
+          .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")), "k", "v")
+          .select(col("p_partkey"), col("k"), r4(col("v")).as("v"))
+          .orderBy("p_partkey", "k"),
+      Some(
+        "SELECT p_partkey, k, round(v,4) AS v FROM (" +
+          "SELECT p_partkey, 'size' AS k, CAST(p_size AS DOUBLE) AS v FROM part " +
+          "UNION ALL SELECT p_partkey, 'retailprice' AS k, p_retailprice AS v FROM part) " +
+          "ORDER BY p_partkey, k")),
+
+    // order statistics: exact interpolated percentiles (median / p90)
+    DeclaredQuery(
+      "q_agg8",
+      (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(r4(percentile(col("l_quantity"), lit(0.5))).as("med_qty"),
+            r4(percentile(col("l_extendedprice"), lit(0.9))).as("p90_price"),
+            r4(percentile(col("l_discount"), lit(0.25))).as("p25_disc"))
+          .orderBy("flag"),
+      Some(
+        "SELECT l_returnflag AS flag, round(quantile_cont(l_quantity, 0.5),4) AS med_qty, " +
+          "round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price, " +
+          "round(quantile_cont(l_discount, 0.25),4) AS p25_disc " +
+          "FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // selector aggregates: per customer, the orderkey of the priciest /
+    // cheapest order. Tie-free ordering key: exact cents × 10^10 + orderkey.
+    DeclaredQuery(
+      "q_agg9",
+      (s, d) => {
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val key = cents * 10000000000L + col("o_orderkey")
+        Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(max_by(col("o_orderkey"), key).as("best_order"),
+            min_by(col("o_orderkey"), key).as("worst_order"),
+            count(lit(1)).as("n"))
+          .orderBy("cust")
+      },
+      Some(
+        "SELECT o_custkey AS cust, " +
+          "arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS best_order, " +
+          "arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS worst_order, " +
+          "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1")),
+
+    // boolean aggregates
+    DeclaredQuery(
+      "q_agg10",
+      (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(bool_and(col("l_quantity") < 50).as("all_small"),
+            bool_or(col("l_discount") > 0.09).as("any_deep_disc"),
+            count(lit(1)).as("n"))
+          .orderBy("flag"),
+      Some(
+        "SELECT l_returnflag AS flag, bool_and(l_quantity < 50) AS all_small, " +
+          "bool_or(l_discount > 0.09) AS any_deep_disc, count(*) AS n " +
+          "FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // extended string functions
+    DeclaredQuery(
+      "q_str3",
+      (s, d) =>
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"),
+            lpad(col("c_name"), 25, "*").as("padded"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+            expr("left(c_name, 8)").as("l8"),
+            expr("right(c_name, 4)").as("r4"),
+            reverse(col("c_mktsegment")).as("rev"),
+            repeat(lit("ab"), 3).as("rep"),
+            instr(col("c_name"), "1").as("pos1"))
+          .orderBy("c_custkey"),
+      Some(
+        "SELECT c_custkey, lpad(c_name, 25, '*') AS padded, rpad(c_mktsegment, 12, '.') AS seg_pad, " +
+          "left(c_name, 8) AS l8, right(c_name, 4) AS r4, reverse(c_mktsegment) AS rev, " +
+          "repeat('ab', 3) AS rep, CAST(instr(c_name, '1') AS INTEGER) AS pos1 " +
+          "FROM customer ORDER BY c_custkey")),
+
+    // extended array functions over tokenized text
+    DeclaredQuery(
+      "q_arr2",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            slice(split(col("text"), " "), 1, 5).as("first5"),
+            sort_array(array_distinct(slice(split(col("text"), " "), 1, 5))).as("first5_sorted"),
+            array_contains(split(col("text"), " "), "the").as("has_the"),
+            size(array_distinct(split(col("text"), " "))).as("n_uniq"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, string_split(text,' ')[1:5] AS first5, " +
+          "list_sort(list_distinct(string_split(text,' ')[1:5])) AS first5_sorted, " +
+          "list_contains(string_split(text,' '), 'the') AS has_the, " +
+          "CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq " +
+          "FROM documents ORDER BY doc_id")),
+
+    // analytic ratio windows
+    DeclaredQuery(
+      "q_win5",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            r4(percent_rank().over(w)).as("pr"),
+            r4(cume_dist().over(w)).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, c_mktsegment AS seg, " +
+          "round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),4) AS pr, " +
+          "round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),4) AS cd " +
+          "FROM customer ORDER BY c_custkey")),
+
+    // deterministic hash-bucket sampling (reproducible across engines,
+    // unlike TABLESAMPLE): Knuth multiplicative hash of the key, mod 100
+    DeclaredQuery(
+      "q_samp1",
+      (s, d) =>
+        Tables.load(s, d, "orders")
+          .filter((col("o_orderkey") * 2654435761L) % 100 < 10)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, o_custkey FROM orders " +
+          "WHERE (o_orderkey * 2654435761) % 100 < 10 ORDER BY o_orderkey")))
+}
