@@ -120,6 +120,46 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
+  /** IVF-style ANN: partition the corpus into `numCentroids` Voronoi cells,
+    * probe the `nprobe` cells nearest each query, score only those cells.
+    *
+    * Centroid selection here is the deterministic baseline (the first
+    * `numCentroids` vectors by id); a production index would k-means them —
+    * the assignment/probe/scoring dataflow is identical. Candidates per
+    * query ≈ n·nprobe/numCentroids, the scale lever at 100 TB: centroids are
+    * broadcast, the corpus is scanned once for assignment (a write-time,
+    * amortizable step) and the query join touches only probed cells.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 16,
+              nprobe: Int = 4): DataFrame = {
+    val cent = vectors.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // nearest centroid per corpus vector (ties broken by lowest cid)
+    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("nv"), col("cv")))
+      .groupBy("nid")
+      .agg(max_by(struct(col("nv"), col("cid")), struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("nid"), col("best.nv").as("nv"), col("best.cid").as("cell"))
+    // nprobe nearest centroids per query
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("pcos", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    // exact scoring within probed cells only
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
     * multi-table LSH-bucketed so the pair join is per-bucket, not n². High
     * tau means tiny angle, so per-table collision probability is high and

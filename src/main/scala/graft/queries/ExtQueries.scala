@@ -3,7 +3,9 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import QHelpers._
 
 /** North-star extension operators (SURVEY.md §2.3 EXT block): text analysis,
@@ -192,6 +194,49 @@ object ExtQueries {
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS fp, " +
           "substr(base64(CAST(text AS BLOB)),1,16) AS b64_prefix FROM documents ORDER BY doc_id")),
 
+    // embedding-cosine near-dup pairs (LSH-bucketed, exactly verified; the
+    // synthetic embeddings have no pairs at τ=0.95 — the oracle confirms the
+    // operator emits no false positives; recall on planted near-dups is
+    // asserted in SimilaritySpec)
+    DeclaredQuery(
+      "q_ext_dedup5",
+      (s, d) =>
+        Similarity.cosineNearDupPairs(Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+            tau = 0.95)
+          .select(col("d1"), col("d2"), r4(col("cos")).as("cos"))
+          .orderBy("d1", "d2"),
+      Some(
+        "SELECT a.vec_id AS d1, b.vec_id AS d2, " +
+          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS cos " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
+          "ORDER BY 1, 2")),
+
+    // IVF ANN (centroid probe; recall vs exact asserted in SimilaritySpec)
+    DeclaredQuery(
+      "q_ext_sim3",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+            k = 10, numCentroids = 16, nprobe = 4)
+          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      None),
+
+    // multimodal decode: mapPartitions over binary payloads with the
+    // clearly-stubbed decode kernel (rows-only — the stub is JVM-hash based)
+    DeclaredQuery(
+      "q_ext_mm2",
+      (s, d) =>
+        Multimodal.decodeImages(s,
+            Multimodal.withBinaryPayload(Tables.load(s, d, "documents"), "text", "text/plain"))
+          .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+            col("decoded.width").as("width"), col("decoded.height").as("height"),
+            col("decoded.channels").as("channels"))
+          .orderBy("doc_id"),
+      None),
+
     // ---- event windows ----
     DeclaredQuery(
       "q_ext_evt1",
@@ -207,6 +252,30 @@ object ExtQueries {
       "q_ext_evt2",
       (s, d) =>
         EventOps.sessionStats(Tables.load(s, d, "events"), "30 minutes")
+          .orderBy("user_id"),
+      Some(
+        "WITH o AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+          "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events) " +
+          "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")),
+
+    // ---- structured streaming (bounded AvailableNow replay, memory sink;
+    // the streaming pipeline must reproduce the batch oracle exactly) ----
+    DeclaredQuery(
+      "q_ext_stream1",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, EventStreams.tumblingHourly,
+            OutputMode.Complete, "stream_tumbling")
+          .orderBy("user_id", "hour_bucket"),
+      Some(
+        "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket, " +
+          "count(*) AS n, round(sum(value),4) AS total " +
+          "FROM events GROUP BY 1,2 ORDER BY 1,2")),
+
+    DeclaredQuery(
+      "q_ext_stream2",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, df => EventStreams.sessionStatsStateful(df, 30),
+            OutputMode.Update, "stream_sessions")
           .orderBy("user_id"),
       Some(
         "WITH o AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Per-user session-fold state for EventStreams.sessionStatsStateful.
+  * Top-level (not nested private) — Spark's encoder codegen needs public
+  * accessors on the state/output classes.
+  */
+final case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Structured Streaming variants of the event operators (SURVEY.md §7 M5):
+  * `readStream` over the parquet dir → watermark + windowed aggregation /
+  * custom state → sink. The declared-query harness drives them with
+  * `Trigger.AvailableNow` into a memory sink so the batch oracle can check
+  * the streaming path's results; a production deployment swaps the trigger
+  * (continuous micro-batches) and the sink (kafka/parquet/delta) without
+  * touching the transform.
+  */
+object EventStreams {
+
+  /** Raw schema of the events table — streaming sources require an explicit
+    * schema (no inference at scale). ts arrives as TIMESTAMP(NANOS) → read
+    * as long, converted to µs exactly like the batch path (Tables.load).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsRawSchema)
+      // the file-stream source needs a directory or glob (a literal file
+      // path is rejected); at scale this is a directory of files anyway
+      .parquet(s"$dir/events*.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling hourly aggregate, streaming form of EventOps.tumblingHourly.
+    * Complete output mode: every window is (re-)emitted, so a bounded replay
+    * produces exactly the batch result. The watermark bounds state for the
+    * unbounded/append deployment.
+    */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("hour_bucket"),
+        col("n"), col("total"))
+
+  /** Sessionization with custom state (flatMapGroupsWithState): per user,
+    * count sessions separated by >= `gapMinutes` of inactivity, emitting the
+    * running totals each micro-batch. Events within a batch are sorted by
+    * (ts, event_id) before folding, so results are deterministic; with a
+    * bounded AvailableNow replay of one file (= one micro-batch) the output
+    * equals the batch sessionization exactly.
+    */
+  def sessionStatsStateful(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime * 1000 + r._2.getNanos / 1000 % 1000, r._3))
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val folded = sorted.foldLeft(init) { case (st, (_, ts, _)) =>
+            val tsMicros = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+            val newSession = st.lastTsMicros == Long.MinValue || tsMicros - st.lastTsMicros >= gapMicros
+            SessionState(tsMicros, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(folded)
+          Iterator.single(UserSessions(userId, folded.nSessions, folded.nEvents))
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Run a streaming transform of the events table to completion with
+    * Trigger.AvailableNow into an in-memory table, and return the final
+    * result. This is the harness entry point — it proves the streaming
+    * pipeline computes the same answer the batch oracle does on a bounded
+    * replay. (The memory sink is test-scale only; production uses a durable
+    * sink.)
+    */
+  def runToMemory(spark: SparkSession, dir: String,
+                  transform: DataFrame => DataFrame,
+                  mode: OutputMode, name: String): DataFrame = {
+    spark.streams.active.filter(_.name == name).foreach(_.stop())
+    val q = transform(readEventsStream(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
