@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Dev tool: print a one-line physical-plan health summary per declared
+  * query — flags CartesianProduct / BroadcastNestedLoopJoin, counts
+  * exchanges, and reports whether parquet scans carry pushed filters.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.registry.sortBy(_.name).foreach { q =>
+      try {
+        // skip side-effecting/streaming queries (they execute on build)
+        if (q.name.startsWith("q_ing") || q.name.startsWith("q_norm") || q.name.startsWith("q_ext_stream")) {
+          println(f"${q.name}%-16s SKIP (side-effecting/streaming)")
+        } else {
+          val df = q.run(spark, sfDir)
+          val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+          // physical Window prints `Window [fns], [partCols], [orderCols]` —
+          // an empty second bracket list = global single-partition window
+          val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined
+          val flags = Seq(
+            "CartesianProduct" -> plan.contains("CartesianProduct"),
+            "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
+            "globalWindow" -> globalWindow
+          ).collect { case (n, true) => n }
+          val nEx = "Exchange".r.findAllIn(plan).length
+          val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+          val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+          println(f"${q.name}%-16s exchanges=$nEx%-3d bhj=$nBhj smj=$nSmj ${if (flags.nonEmpty) "FLAGS: " + flags.mkString(",") else ""}")
+        }
+      } catch { case e: Throwable => println(f"${q.name}%-16s ERROR ${e.getMessage.take(80)}") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,109 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.schema.CrystalSchema
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** End-to-end Loader.run() pipeline tests: fixture raw files → staged
+  * parquet → canonical-schema parquet, mirroring the reference's
+  * download→ingest→transform template (base.py:224-243) on local files.
+  */
+class LoadersSpec extends SparkSpec {
+
+  private def freshDataDir(name: String): String = {
+    val dir = s"target/tmp/loaders/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    dir
+  }
+
+  private val alexEntry =
+    """{"entries": [
+      |  {"structure": {
+      |     "@module": "pymatgen.core.structure", "@class": "Structure", "charge": 0.0,
+      |     "lattice": {"matrix": [[2.0,0.0,0.0],[0.0,2.0,0.0],[0.0,0.0,2.0]],
+      |                 "a": 2.0, "b": 2.0, "c": 2.0, "alpha": 90.0, "beta": 90.0,
+      |                 "gamma": 90.0, "pbc": [true,true,true], "volume": 8.0},
+      |     "sites": [
+      |       {"species": [{"element": "Na", "occu": 1}], "abc": [0.0,0.0,0.0],
+      |        "xyz": [0.0,0.0,0.0], "label": "Na",
+      |        "properties": {"magmom": 0.0, "charge": 0.0, "forces": [0.0,0.0,0.0]}},
+      |       {"species": [{"element": "Cl", "occu": 1}], "abc": [0.5,0.5,0.5],
+      |        "xyz": [1.0,1.0,1.0], "label": "Cl",
+      |        "properties": {"magmom": 0.0, "charge": 0.0, "forces": [0.0,0.0,0.0]}}
+      |     ]},
+      |   "data": {"mat_id": "agm-1", "energy_total": -3.5, "energy_corrected": -3.4,
+      |            "e_form": -1.2, "e_above_hull": 0.0, "e_phase_separation": 0.1,
+      |            "band_gap_ind": 2.2, "band_gap_dir": 2.4, "dos_ef": 0.3,
+      |            "total_mag": 0.0}}
+      |]}""".stripMargin
+
+  test("AlexandriaLoader.run(): JSON entries -> canonical schema with null-filled symmetry") {
+    val dataDir = freshDataDir("alex")
+    val loader = AlexandriaLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    Files.writeString(Paths.get(s"${loader.rawDir}/alexandria_000.json"), alexEntry)
+
+    val out = loader.run()
+    assert(out.schema === CrystalSchema.schema)
+    val row = out.orderBy("source_id").head()
+    assert(row.getAs[String]("source_id") === "agm-1")
+    assert(out.select(col("species")).head().getSeq[String](0) === Seq("Na", "Cl"))
+    assert(out.select(col("data.energy_formation")).head().getDouble(0) === -1.2)
+    // duplicate-source projection (R17): energy_total feeds energy_uncorrected
+    assert(out.select(col("data.energy_uncorrected")).head().getDouble(0) === -3.5)
+    // alexandria emits no symmetry/has_props -> permissive conform null-fills
+    assert(out.select(col("symmetry")).head().isNullAt(0))
+    // staged dirs written (incl. the transformed stage the reference drops)
+    assert(Files.exists(Paths.get(loader.pqdbDir)))
+    assert(Files.exists(Paths.get(loader.transformedDir)))
+  }
+
+  private val cif =
+    """data_mc3d
+      |_cell_length_a 2.0
+      |_cell_length_b 2.0
+      |_cell_length_c 2.0
+      |_cell_angle_alpha 90.0
+      |_cell_angle_beta 90.0
+      |_cell_angle_gamma 90.0
+      |loop_
+      |_atom_site_type_symbol
+      |_atom_site_fract_x
+      |_atom_site_fract_y
+      |_atom_site_fract_z
+      |Na 0.0 0.0 0.0
+      |Cl 0.5 0.5 0.5
+      |""".stripMargin
+
+  test("Mc3dLoader.run(): CIF -> canonical schema with populated structure struct") {
+    val dataDir = freshDataDir("mc3d")
+    val loader = Mc3dLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    Files.writeString(Paths.get(s"${loader.rawDir}/mc3d-1.cif"), cif)
+
+    val out = loader.run()
+    assert(out.schema === CrystalSchema.schema)
+    assert(out.count() === 1)
+    val r = out.head()
+    assert(r.getAs[String]("source_id") === "mc3d-1")
+    // structure is populated (ADVICE round 1), pymatgen-as_dict shaped
+    assert(out.select(col("structure.`@class`")).head().getString(0) === "Structure")
+    assert(out.select(size(col("structure.sites"))).head().getInt(0) === 2)
+    assert(out.select(col("structure.sites")(0).getField("label")).head().getString(0) === "Na")
+    assert(out.select(col("structure.sites")(1).getField("species")(0).getField("element"))
+      .head().getString(0) === "Cl")
+    assert(out.select(col("structure.lattice.volume")).head().getDouble(0) === 8.0)
+    // cart = frac · matrix under the pymatgen lattice convention
+    val xyz = out.select(col("structure.sites")(1).getField("xyz")).head().getSeq[Double](0)
+    assert(xyz.zip(Seq(1.0, 1.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("LoaderRegistry rejects unknown loaders with the available listing") {
+    val e = intercept[IllegalArgumentException](
+      LoaderRegistry.getLoader("jarvis", "dft_3d", spark, LoaderConfig("target/tmp/x")))
+    assert(e.getMessage.contains("Available"))
+    assert(e.getMessage.contains("alexandria"))
+  }
+}
