@@ -157,6 +157,41 @@ object Dedup {
       .select(col("id"), packed.as("simhash"))
   }
 
+  /** Connected components over near-duplicate pairs — the "keep one document
+    * per duplicate cluster" step after any pair generator above.
+    *
+    * Min-label propagation: every vertex starts labelled with itself; each
+    * round every vertex takes the min label among itself and its neighbors,
+    * until fixpoint. Rounds needed = component diameter — near-dup clusters
+    * are shallow (dups of dups), so this converges in a handful of rounds;
+    * each round is one join + one aggregate, all shuffles keyed on vertex id.
+    * Returns (id, rep) where rep = min id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per vertex: min over (own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
+        .select(col("src").as("id"), col("nrep").as("rep"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .localCheckpoint() // truncate the growing iteration lineage
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .filter(col("rep") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxDist. The pair join is
     * banded on the 4 16-bit chunks of the signature (a pair within distance
     * <= 3 must agree on at least one chunk), so it scales like LSH rather

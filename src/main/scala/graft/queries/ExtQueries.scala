@@ -26,14 +26,21 @@ object ExtQueries {
   private def stopList = stop.map(w => s"'$w'").mkString("[", ",", "]")
   private def stopIn = stop.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** DuckDB exact word-3-gram-shingle Jaccard pairs at a threshold. */
-  private def jaccardSql(tau: Double): String =
-    "WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+  /** Shared DuckDB CTE text: word-3-gram shingle sets → intersection counts.
+    * (`recursivePrefix` lets callers prepend WITH RECURSIVE for CTEs that
+    * extend the chain with a recursive member.)
+    */
+  private def jaccardCtes: String =
+    "words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
       "tok AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok FROM words), " +
       "sz AS (SELECT doc_id, count(*) sz FROM tok GROUP BY 1), " +
       "inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM tok a JOIN tok b " +
-      "ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2) " +
+      "ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2)"
+
+  /** DuckDB exact word-3-gram-shingle Jaccard pairs at a threshold. */
+  private def jaccardSql(tau: Double): String =
+    s"WITH $jaccardCtes " +
       "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
       "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
       s"WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= $tau ORDER BY 1,2"
@@ -193,6 +200,34 @@ object ExtQueries {
       Some(
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes, md5(text) AS fp, " +
           "substr(base64(CAST(text AS BLOB)),1,16) AS b64_prefix FROM documents ORDER BY doc_id")),
+
+    // near-dup clustering: connected components over exact Jaccard pairs,
+    // keep-one-per-cluster (min doc id is the representative). Oracle is a
+    // recursive-CTE transitive closure over the same pairs.
+    DeclaredQuery(
+      "q_ext_dedup6",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6, shingleN = 3)
+        val comps = Dedup.connectedComponents(pairs)
+        docs.select(col("doc_id"))
+          .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("rep"), col("doc_id")).as("rep_id"),
+            (col("doc_id") === coalesce(col("rep"), col("doc_id"))).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"WITH RECURSIVE $jaccardCtes, " +
+          "pairs AS (SELECT i.d1, i.d2 FROM inter i JOIN sz sa ON sa.doc_id=i.d1 " +
+          "JOIN sz sb ON sb.doc_id=i.d2 WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6), " +
+          "edges AS (SELECT d1 u, d2 v FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+          "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+          "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+          "rep AS (SELECT u AS doc_id, least(min(v), u) AS rep FROM reach GROUP BY u) " +
+          "SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep_id, " +
+          "d.doc_id = coalesce(r.rep, d.doc_id) AS is_keeper " +
+          "FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id ORDER BY d.doc_id")),
 
     // embedding-cosine near-dup pairs (LSH-bucketed, exactly verified; the
     // synthetic embeddings have no pairs at τ=0.95 — the oracle confirms the

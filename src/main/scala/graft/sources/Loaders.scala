@@ -149,6 +149,12 @@ final case class MpLoader(spark: SparkSession, config: LoaderConfig,
 
   def transform(df: DataFrame): DataFrame = {
     import CrystalTransforms._
+    // permissive source-field access: MP API docs carry null for absent
+    // properties, and a staged batch may omit whole fields — both become
+    // null here (the reference gets the same effect from promote_options=
+    // "permissive", base.py:210-216)
+    def col(name: String): org.apache.spark.sql.Column =
+      if (df.columns.contains(name.takeWhile(_ != '.'))) df.col(name) else lit(null)
     df.select(
       lit(sourceDatabase).as("source_database"),
       lit(sourceDataset).as("source_dataset"),

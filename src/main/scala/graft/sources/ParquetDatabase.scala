@@ -77,6 +77,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     fs.delete(new Path(old), true)
   }
 
+  /** Normalize to a target FILE SIZE (the reference's actual goal — the
+    * notebook's "6 GB file → ≤2 GB"): estimate bytes/row from the current
+    * footers (compressed, i.e. as-stored) and convert to a row bound. The
+    * estimate is conservative by `safety` so post-rewrite compression-ratio
+    * drift doesn't overshoot the target.
+    */
+  def normalizeToBytes(targetBytesPerFile: Long, safety: Double = 0.9): Unit = {
+    val stats = fileStats
+    val totalBytes = stats.map(_.fileBytes).sum
+    val totalRows = stats.map(_.numRows).sum
+    require(totalRows > 0, s"normalizeToBytes on empty table $dir")
+    val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
+    val maxRows = math.max(1L, (targetBytesPerFile * safety / bytesPerRow).toLong)
+    normalize(maxRows)
+  }
+
   /** Physical layout stats (ParquetDB P7 introspection). */
   def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir)
 }

@@ -39,6 +39,15 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("connectedComponents labels every vertex with the min id of its component") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L), (4L, 3L))
+      .toDF("d1", "d2")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L,
+      3L -> 3L, 9L -> 3L, 4L -> 3L))
+  }
+
   test("simHash is identical for identical docs and differs across unrelated docs") {
     val sig = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -60,6 +60,46 @@ class LoadersSpec extends SparkSpec {
     assert(Files.exists(Paths.get(loader.transformedDir)))
   }
 
+  private val mpDoc =
+    """[{"material_id": "mp-42", "band_gap": 1.5, "total_energy": -7.0,
+      |  "uncorrected_energy": -6.9, "formation_energy_per_atom": -0.5,
+      |  "e_above_hull": 0.0, "total_magnetization": 2.0,
+      |  "magnetic_ordering": "FM", "is_stable": true,
+      |  "structure": {
+      |     "@module": "pymatgen.core.structure", "@class": "Structure", "charge": 0.0,
+      |     "lattice": {"matrix": [[3.0,0.0,0.0],[0.0,3.0,0.0],[0.0,0.0,3.0]],
+      |                 "a": 3.0, "b": 3.0, "c": 3.0, "alpha": 90.0, "beta": 90.0,
+      |                 "gamma": 90.0, "pbc": [true,true,true], "volume": 27.0},
+      |     "sites": [
+      |       {"species": [{"element": "Fe", "occu": 1}], "abc": [0.0,0.0,0.0],
+      |        "xyz": [0.0,0.0,0.0], "label": "Fe",
+      |        "properties": {"magmom": 2.0, "charge": 0.0, "forces": [0.0,0.0,0.0]}}
+      |     ]},
+      |  "symmetry": {"crystal_system": "cubic", "symbol": "Im-3m", "number": 229,
+      |               "point_group": "m3m", "symprec": 0.01, "angle_tolerance": 5.0,
+      |               "version": "2.0"},
+      |  "has_props": {"materials": true, "thermo": true}}]""".stripMargin
+
+  test("MpLoader.run(): flat JSON docs -> canonical schema; absent source fields null-fill") {
+    val dataDir = freshDataDir("mp")
+    val loader = MpLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    // fixture deliberately omits the elasticity/dielectric fields
+    // (piezoelectric_modulus, g_vrh, …) — they must come back as nulls
+    Files.writeString(Paths.get(s"${loader.rawDir}/summary_000.json"), mpDoc)
+
+    val out = loader.run()
+    assert(out.schema === CrystalSchema.schema)
+    val r = out.head()
+    assert(r.getAs[String]("source_id") === "mp-42")
+    assert(out.select(col("data.band_gap")).head().getDouble(0) === 1.5)
+    // duplicate-source projection (R17): total_energy feeds energy_corrected
+    assert(out.select(col("data.energy_corrected")).head().getDouble(0) === -7.0)
+    assert(out.select(col("data.g_vrh")).head().isNullAt(0))
+    assert(out.select(col("symmetry.number")).head().getInt(0) === 229)
+    assert(out.select(col("has_props.thermo")).head().getBoolean(0) === true)
+  }
+
   private val cif =
     """data_mc3d
       |_cell_length_a 2.0

@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParquetDatabaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDb(name: String): ParquetDatabase = {
+    val dir = s"target/tmp/pqdb/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    new ParquetDatabase(spark, dir)
+  }
+
+  test("create + read round-trips with schema evolution across batches") {
+    val db = freshDb("evolve")
+    db.create(Seq((1L, "a")).toDF("id", "x"))
+    db.create(Seq((2L, 3.5)).toDF("id", "y"))
+    val out = db.read().orderBy("id").collect()
+    assert(db.nColumns === 3)
+    assert(out(0).getAs[String]("x") === "a" && out(0).isNullAt(out(0).fieldIndex("y")))
+    assert(out(1).isNullAt(out(1).fieldIndex("x")) && out(1).getAs[Double]("y") === 3.5)
+  }
+
+  test("normalize bounds rows per file and preserves data; old dir cleaned up") {
+    val db = freshDb("norm")
+    db.create(spark.range(10000).select(col("id"), (col("id") % 7).as("g")))
+    db.normalize(maxRowsPerFile = 1000)
+    val stats = db.fileStats
+    assert(stats.map(_.numRows).sum === 10000L)
+    assert(stats.forall(_.numRows <= 1000L))
+    assert(stats.size >= 10)
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__normalize_tmp")))
+  }
+
+  test("normalizeToBytes converts a byte target into a row bound from footer stats") {
+    val db = freshDb("normbytes")
+    db.create(spark.range(20000).select(col("id"),
+      concat(lit("payload-"), col("id")).as("s")))
+    val before = db.fileStats
+    val totalBytes = before.map(_.fileBytes).sum
+    // target ≈ a quarter of the table → expect ≥ 4 files, all under target
+    val target = math.max(1L, totalBytes / 4)
+    db.normalizeToBytes(target)
+    val after = db.fileStats
+    assert(after.map(_.numRows).sum === 20000L)
+    assert(after.size >= 4)
+    assert(after.forall(_.fileBytes <= target * 2), // footer+dict overhead headroom
+      s"files ${after.map(_.fileBytes)} vs target $target")
+  }
+}
