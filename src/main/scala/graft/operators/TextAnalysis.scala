@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DataFrame-level text-analysis operators (the Column-level building blocks
+  * live in graft.functions.TextFunctions).
+  */
+object TextAnalysis {
+
+  /** Top-k terms per document by TF-IDF.
+    *
+    * Uses an integer-scaled idf — `(N * 10000) DIV df` — instead of
+    * `ln(N/df)`: same ranking behavior (monotone in N/df), but exact integer
+    * arithmetic, so results are bit-identical across engines and runs (libm
+    * `log` differs in the last ulp between implementations, which flips
+    * ranks on near-ties). Score = tf · idf_scaled, ties broken by term.
+    *
+    * Dataflow: one shuffle for per-(doc,term) tf, one for per-term df, a
+    * broadcast of the (small) df side? No — df join is keyed on term with
+    * bounded fan-in, then a per-doc window top-k. All codegen.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // N as a broadcast 1-row aggregate, not a driver-side count() — the
+    // operator stays fully lazy (no job at construction time)
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf") * expr("(n * 10000) DIV df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id"), col("rn"), col("tok"), col("score"))
+  }
+}

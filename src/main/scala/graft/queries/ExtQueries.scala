@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -115,6 +115,26 @@ object ExtQueries {
           s"WHEN s_es = $g THEN 'es' WHEN s_fr = $g THEN 'fr' WHEN s_de = $g THEN 'de' " +
           "ELSE 'und' END AS lang_pred FROM sc ORDER BY doc_id"
       }),
+
+    // TF-IDF top terms per doc (integer-scaled idf: exact cross-engine
+    // arithmetic — libm ln() differs in the last ulp between engines and
+    // flips ranks on near-ties)
+    DeclaredQuery(
+      "q_ext_txt4",
+      (s, d) =>
+        TextAnalysis.tfIdfTopTerms(Tables.load(s, d, "documents"), "doc_id", "text", k = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id", "rn"),
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents), " +
+          "tf AS (SELECT doc_id, tok, count(*) tf FROM tok GROUP BY 1,2), " +
+          "dfreq AS (SELECT tok, count(*) df FROM tf GROUP BY 1), " +
+          "n AS (SELECT count(*) n FROM documents), " +
+          "scored AS (SELECT doc_id, tok, tf * ((n.n * 10000) // dfreq.df) AS score " +
+          "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
+          "ranked AS (SELECT doc_id, tok, score, " +
+          "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) rn FROM scored) " +
+          "SELECT doc_id, rn, tok, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn")),
 
     DeclaredQuery(
       "q_ext_fp1",

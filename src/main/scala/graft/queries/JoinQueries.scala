@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.SkewOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QHelpers._
@@ -138,6 +139,26 @@ object JoinQueries {
       Some(
         "SELECT count(*) AS n_pairs, min(r_name) AS min_r, max(n_name) AS max_n " +
           "FROM region CROSS JOIN nation")),
+
+    // salted equi-join (skew mitigation pattern): identical results to the
+    // plain join — the oracle IS the plain join
+    DeclaredQuery(
+      "q_join8",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        SkewOps.saltedJoin(li, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey", saltFactor = 8)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            r4(col("l_quantity")).as("qty"), r4(col("o_totalprice")).as("price"))
+          .orderBy("l_orderkey", "l_linenumber", "qty", "price")
+      },
+      Some(
+        "SELECT l_orderkey, l_linenumber, round(l_quantity,4) AS qty, round(o_totalprice,4) AS price " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "ORDER BY 1,2,3,4")),
 
     DeclaredQuery(
       "q_asof1",
