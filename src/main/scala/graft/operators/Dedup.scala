@@ -168,9 +168,12 @@ object Dedup {
     * Returns (id, rep) where rep = min id in the component.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — materialized once
+    // (localCheckpoint): the upstream pair generator may be an expensive
+    // pipeline, and every propagation round re-reads the edges
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
     var converged = false
