@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.util.chaining._
 
 /** Canonical session factory for the engine — one place that encodes the
   * scale-relevant configuration so every entry point (Verify, Bench, user
@@ -25,6 +26,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+      .tap(graft.functions.GraftFunctions.register)
 
   /** Local session sized from SPARK_GRAFT_CPUS (driver harness contract). */
   def local(): SparkSession = {

@@ -26,17 +26,23 @@ object Similarity {
     * corpus arriving as one parquet row group would otherwise score on a
     * single core. See Dedup.spread for the scale rationale.
     */
-  private def spread(df: DataFrame): DataFrame =
+  private def spread(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  }
 
-  /** Left-to-right double-precision dot product of two float/double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Double-precision dot product via the native codegen'd
+    * [[graft.functions.VectorDot]] expression (the HOF formulation
+    * `aggregate(zip_with(...))` is CodegenFallback — interpreted per
+    * element). Requires `GraftFunctions.register` on the session; every
+    * DataFrame-level operator here does so defensively.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
 
   /** Exact top-k cosine neighbors for each query row.
     *
