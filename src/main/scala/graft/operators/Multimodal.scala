@@ -73,4 +73,50 @@ object Multimodal {
   def stubFeatures(payload: org.apache.spark.sql.Column, dim: Int = 8): org.apache.spark.sql.Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (xxhash64(payload, i) % 1000L).cast("double") / 1000.0)
+
+  /** STUB resize kernel: deterministic byte-level downsample standing in for
+    * an image resize (no codecs in this container) — keeps every k-th byte
+    * so output size is ⌈n/k⌉, preserving the real kernel's contract
+    * (bytes in, smaller bytes out, metadata updated).
+    */
+  def stubResize(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Distributed resize over the payload column (mapPartitions, like
+    * decodeImages): replaces payload with the downsampled bytes and
+    * refreshes meta.n_bytes.
+    */
+  def resizePayloads(df: DataFrame, factor: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(df.schema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = stubResize(r.getAs[Array[Byte]](payloadIdx), factor)
+        Row.fromSeq(r.toSeq.updated(payloadIdx, resized))
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"),
+        col("meta.mime").as("mime")))
+  }
+
+  /** Frame sampling for video/audio-shaped payloads: cut the binary into
+    * fixed-size frames and keep every `everyK`-th, as (frame_idx, frame)
+    * structs. Expression-only (binary substring), so it scales as a scan;
+    * a real demuxer swaps in at the same schema.
+    */
+  def sampleFrames(payload: org.apache.spark.sql.Column, frameBytes: Int, everyK: Int): org.apache.spark.sql.Column = {
+    val nFrames = ceil(length(payload).cast("double") / frameBytes).cast("int")
+    filter(
+      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => struct(i.as("frame_idx"),
+          // substring is 1-based and works on BinaryType
+          substring(payload, i * frameBytes + 1, lit(frameBytes)).as("frame"))),
+      f => f.getField("frame_idx") % everyK === 0 && length(f.getField("frame")) > 0)
+  }
 }

@@ -106,7 +106,10 @@ final case class AlexandriaLoader(spark: SparkSession, config: LoaderConfig,
   val sourceDatabase = "alexandria"
 
   def load(): DataFrame =
-    spark.read.option("multiLine", "true").json(s"$rawDir/*.json")
+    // *.json* also matches the source's .json.bz2 downloads — Spark/Hadoop
+    // decompress by extension, so the reference's explicit bz2-decompress
+    // stage (alexandria.py:55-62) disappears entirely
+    spark.read.option("multiLine", "true").json(s"$rawDir/*.json*")
       .select(explode(col("entries")).as("e"))
       .select(col("e.*"))
 

@@ -60,6 +60,21 @@ class LoadersSpec extends SparkSpec {
     assert(Files.exists(Paths.get(loader.transformedDir)))
   }
 
+  test("AlexandriaLoader reads .json.bz2 natively (no decompress stage)") {
+    val dataDir = freshDataDir("alexbz2")
+    val loader = AlexandriaLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(
+      Files.newOutputStream(Paths.get(s"${loader.rawDir}/alexandria_000.json.bz2")))
+    out.write(alexEntry.getBytes("UTF-8")); out.close()
+
+    val result = loader.run()
+    assert(result.count() === 1)
+    assert(result.select(col("source_id")).head().getString(0) === "agm-1")
+  }
+
   private val mpDoc =
     """[{"material_id": "mp-42", "band_gap": 1.5, "total_energy": -7.0,
       |  "uncorrected_energy": -6.9, "formation_energy_per_atom": -0.5,
