@@ -5,6 +5,7 @@ import graft.schema.CrystalSchema
 import graft.sources.ParquetDatabase
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import QHelpers._
 
 /** Ingest / storage parity queries (SURVEY.md §2.3 Q-ING1, Q-ING2, Q-NORM1).
   *
@@ -113,6 +114,33 @@ object IngestQueries {
           "('alex-1', true, true, CAST(0.5 AS DOUBLE), CAST(-2.5 AS DOUBLE), 1), " +
           "('mp-1', false, false, CAST(NULL AS DOUBLE), CAST(1.1 AS DOUBLE), 2)) " +
           "t(source_id, sym_null, struct_null, bgi, etot, n_species) ORDER BY source_id")),
+
+    // partitioned table + partition pruning: write orders hive-partitioned
+    // by year, read back with a partition filter. The plan must prune at
+    // the directory level (asserted: the scan reads only the matching
+    // partition's files) — the primary 100 TB scan lever.
+    DeclaredQuery(
+      "q_scan2",
+      (s, d) => {
+        val db = freshDb(s, "q_scan2")
+        db.create(
+          Tables.load(s, d, "orders").withColumn("o_year", year(col("o_orderdate"))),
+          partitionBy = Seq("o_year"))
+        val pruned = db.read().filter(col("o_year") === 1996)
+        // partition pruning must reach the file index: no non-1996
+        // directory may appear in the scan's selected partitions
+        val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+        require(!scanned.contains("o_year=1995"),
+          "partition pruning failed: 1995 directory in scan")
+        pruned
+          .groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_year")
+      },
+      Some(
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),4) AS total " +
+          "FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1 ORDER BY 1")),
 
     // normalize: rewrite into bounded files, verify row preservation + layout
     DeclaredQuery(

@@ -66,6 +66,19 @@ object MiscQueries {
           "round(quantile_cont(l_discount, 0.25),4) AS p25_disc " +
           "FROM lineitem GROUP BY 1 ORDER BY 1")),
 
+    // approx variant of q_agg8 (t-digest sketch — the 100 TB path where an
+    // exact sort-based percentile is too expensive; rows-only check, error
+    // vs exact asserted in the suite)
+    DeclaredQuery(
+      "q_agg8_approx",
+      (s, d) =>
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(r4(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))).as("med_qty"),
+            r4(percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))).as("p90_price"))
+          .orderBy("flag"),
+      None),
+
     // selector aggregates: per customer, the orderkey of the priciest /
     // cheapest order. Tie-free ordering key: exact cents × 10^10 + orderkey.
     DeclaredQuery(

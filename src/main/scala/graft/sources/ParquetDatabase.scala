@@ -31,12 +31,20 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *                all columns) — reproducible across runs, unlike the
     *                reference's positional auto-increment (§1.4.5)
     */
-  def create(df: DataFrame, target: Option[StructType] = None, assignId: Boolean = false): Unit = {
+  /** @param partitionBy optional hive-style partition columns. At 100 TB
+    *  this is the primary scan lever: a filter on a partition column prunes
+    *  whole directories before any footer is read. Choose low-cardinality
+    *  columns (the canonical layout partitions by source_database /
+    *  source_dataset).
+    */
+  def create(df: DataFrame, target: Option[StructType] = None, assignId: Boolean = false,
+             partitionBy: Seq[String] = Nil): Unit = {
     val conformed = target.map(t => SchemaOps.conformToSchema(df, t)).getOrElse(df)
     val withId =
       if (assignId) conformed.withColumn("id", xxhash64(conformed.columns.map(c => col(s"`$c`")): _*))
       else conformed
-    withId.write.mode("append").parquet(dir)
+    val writer = withId.write.mode("append")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(dir)
   }
 
   /** Projected / filtered read (ParquetDB `read`, base.py:188-193).

@@ -1,0 +1,84 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests: ScalaCheck generators produce the corpus, one
+  * Spark pass evaluates the expressions, properties are asserted per row
+  * (forAll-per-row would launch a job per sample).
+  */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word: Gen[String] = for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+  } yield cs.mkString
+
+  private val sentence: Gen[List[String]] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, word)
+  } yield ws
+
+  private def samples[A](g: Gen[List[String]], n: Int): Seq[List[String]] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("shingles(k): count = max(0, n-k+1); every shingle has k tokens") {
+    val rows = samples(sentence, 60).map(ws => (ws.size, ws.mkString(" ")))
+    val df = rows.toDF("n", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val out = df.select(col("n"), TextFunctions.shingles(col("text"), k).as("sh")).collect()
+      out.foreach { r =>
+        val n = r.getInt(0)
+        val sh = r.getSeq[String](1)
+        // "" splits to [""] — a zero-word sentence still tokenizes to 1 token
+        val effN = math.max(n, 1)
+        assert(sh.size === math.max(0, effN - k + 1), s"n=$n k=$k got ${sh.size}")
+        sh.foreach(s => assert(s.split(" ", -1).length === k, s"shingle '$s' not $k tokens"))
+      }
+    }
+  }
+
+  test("qualityScore stays within [0, 1]; ratios within [0, 1]") {
+    val rows = samples(sentence, 60).map(_.mkString(" ")).filter(_.nonEmpty)
+    val out = rows.toDF("text").select(
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.punctRatio(col("text")).as("p"),
+      TextFunctions.stopwordRatio(col("text")).as("s")).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("langId always returns a known code") {
+    val rows = samples(sentence, 60).map(_.mkString(" ")).filter(_.nonEmpty)
+    val out = rows.toDF("text")
+      .select(TextFunctions.langId(col("text"))).collect().map(_.getString(0))
+    val valid = Set("en", "es", "fr", "de", "und")
+    out.foreach(l => assert(valid.contains(l), s"langId produced '$l'"))
+  }
+
+  test("minHash signatures are deterministic across plan re-executions") {
+    val rows = samples(sentence, 30).zipWithIndex
+      .collect { case (ws, i) if ws.size >= 3 => (i.toLong, ws.mkString(" ")) }
+    val df = rows.toDF("doc_id", "text")
+    val a = graft.operators.Dedup.minHashSignature(df, "doc_id", "text", 8, 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = graft.operators.Dedup.minHashSignature(df, "doc_id", "text", 8, 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("approx percentile tracks exact within sketch tolerance on lineitem") {
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val both = li.agg(
+      expr("percentile(l_extendedprice, 0.9)").as("exact"),
+      expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("approx")).head()
+    val (e, a) = (both.getDouble(0), both.getDouble(1))
+    assert(math.abs(e - a) / e < 0.01, s"exact=$e approx=$a")
+  }
+}
