@@ -27,7 +27,7 @@ object Tables {
     * microsecond-native engine) does when reading TIMESTAMP(NANOS), so both
     * sides of the oracle compare see identical values.
     */
-  private val eventsRawSchema = StructType(Seq(
+  val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),

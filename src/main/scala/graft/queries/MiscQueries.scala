@@ -171,6 +171,55 @@ object MiscQueries {
           "round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),4) AS cd " +
           "FROM customer ORDER BY c_custkey")),
 
+    // explicit GROUPING SETS (rollup/cube live in q_agg4/q_agg4c; this is
+    // the free-form variant) — same SQL text on both engines
+    DeclaredQuery(
+      "q_agg11",
+      (s, d) => {
+        Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(
+          "SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+            "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+            "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n")
+      },
+      Some(
+        "SELECT o_orderstatus, o_orderpriority, count(*) AS n " +
+          "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) " +
+          "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n")),
+
+    // date arithmetic: day diffs, interval shift, month boundary
+    DeclaredQuery(
+      "q_date2",
+      (s, d) =>
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"),
+            datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).as("days_to_2002"),
+            (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("date").as("due"),
+            last_day(col("o_orderdate")).as("eom"))
+          .orderBy("o_orderkey"),
+      Some(
+        "SELECT o_orderkey, CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INTEGER) AS days_to_2002, " +
+          "CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due, last_day(o_orderdate) AS eom " +
+          "FROM orders ORDER BY o_orderkey")),
+
+    // RANGE window frame: per segment, count of customers within ±100.0
+    // acctbal of the current row (value-range frame, not row-count frame)
+    DeclaredQuery(
+      "q_win6",
+      (s, d) =>
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            // SQL form: the Scala rangeBetween API takes long boundaries
+            // only, but the frame must be typed like the double order key
+            expr("count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal " +
+              "RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)").as("peers_within_100"))
+          .orderBy("c_custkey"),
+      Some(
+        "SELECT c_custkey, c_mktsegment AS seg, " +
+          "count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal " +
+          "RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS peers_within_100 " +
+          "FROM customer ORDER BY c_custkey")),
+
     // deterministic hash-bucket sampling (reproducible across engines,
     // unlike TABLESAMPLE): Knuth multiplicative hash of the key, mod 100
     DeclaredQuery(

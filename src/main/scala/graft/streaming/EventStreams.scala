@@ -24,15 +24,10 @@ object EventStreams {
 
   /** Raw schema of the events table — streaming sources require an explicit
     * schema (no inference at scale). ts arrives as TIMESTAMP(NANOS) → read
-    * as long, converted to µs exactly like the batch path (Tables.load).
+    * as long, converted to µs exactly like the batch path (one shared
+    * definition in Tables so batch and stream can never drift).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  val eventsRawSchema: StructType = graft.Tables.eventsRawSchema
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsRawSchema)
@@ -83,6 +78,27 @@ object EventStreams {
           Iterator.single(UserSessions(userId, folded.nSessions, folded.nEvents))
       }
       .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Durable-sink variant: run a (stateless or append-safe) streaming
+    * transform to completion into a parquet directory with a checkpoint —
+    * the production shape (exactly-once via checkpoint + file-sink manifest;
+    * a restart resumes from the checkpoint instead of reprocessing).
+    * Returns a batch DataFrame over the written output.
+    */
+  def runToParquet(spark: SparkSession, dir: String,
+                   transform: DataFrame => DataFrame,
+                   outDir: String, checkpointDir: String): DataFrame = {
+    val q = transform(readEventsStream(spark, dir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Run a streaming transform of the events table to completion with

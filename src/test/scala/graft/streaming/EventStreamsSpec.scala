@@ -20,6 +20,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("parquet-sink streaming (checkpointed) writes exactly the batch-filtered rows") {
+    val base = "target/tmp/stream/clicks"
+    val p = new org.apache.hadoop.fs.Path("target/tmp/stream")
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    val streamed = EventStreams.runToParquet(spark, sfDir,
+        df => df.filter(org.apache.spark.sql.functions.col("event_type") === "click"),
+        outDir = base, checkpointDir = s"$base-ckpt")
+      .orderBy("event_id").collect()
+    val batch = Tables.load(spark, sfDir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .orderBy("event_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful streaming sessionization equals batch session stats") {
     val streamed = EventStreams.runToMemory(spark, sfDir,
         df => EventStreams.sessionStatsStateful(df, 30),
