@@ -19,6 +19,25 @@ object EventOps {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("hour_bucket"),
         col("n"), col("total"))
 
+  /** Hourly gap filling (time-series resampling): one row per (user, hour)
+    * over each user's [min hour, max hour] span, zero-filled where no events
+    * occurred. The dense hour axis is generated per user with `sequence`
+    * (no driver-side range, no cross join against a global calendar — each
+    * user only materializes its own span).
+    */
+  def hourlyGapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val spans = hourly.groupBy("user_id")
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val axis = spans.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    axis.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), unix_timestamp(col("hour")).as("hour_bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Sessionization with a fixed inactivity gap: session count + event count
     * per user. Built on `session_window` (merging windows per key).
     */

@@ -313,6 +313,21 @@ object ExtQueries {
           "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events) " +
           "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")),
 
+    // time-series gap filling: dense per-user hourly axis, zero-filled
+    DeclaredQuery(
+      "q_ext_evt3",
+      (s, d) =>
+        EventOps.hourlyGapFill(Tables.load(s, d, "events"))
+          .orderBy("user_id", "hour_bucket"),
+      Some(
+        "WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n " +
+          "FROM events GROUP BY 1, 2), " +
+          "spans AS (SELECT user_id, min(hour) lo, max(hour) hi FROM hourly GROUP BY 1), " +
+          "axis AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM spans) " +
+          "SELECT a.user_id, CAST(epoch(a.hour) AS BIGINT) AS hour_bucket, " +
+          "coalesce(h.n, 0) AS n FROM axis a LEFT JOIN hourly h " +
+          "ON a.user_id = h.user_id AND a.hour = h.hour ORDER BY 1, 2")),
+
     // ---- structured streaming (bounded AvailableNow replay, memory sink;
     // the streaming pipeline must reproduce the batch oracle exactly) ----
     DeclaredQuery(

@@ -220,6 +220,21 @@ object MiscQueries {
           "RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS peers_within_100 " +
           "FROM customer ORDER BY c_custkey")),
 
+    // stratified sampling: per-segment fractions with a fixed seed
+    // (deterministic within Spark; not expressible in DuckDB → rows-only,
+    // stratum proportions asserted in the suite)
+    DeclaredQuery(
+      "q_samp2",
+      (s, d) =>
+        Tables.load(s, d, "customer")
+          .stat.sampleBy("c_mktsegment",
+            Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.2, "FURNITURE" -> 0.1,
+              "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.0),
+            seed = 42L)
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      None),
+
     // deterministic hash-bucket sampling (reproducible across engines,
     // unlike TABLESAMPLE): Knuth multiplicative hash of the key, mod 100
     DeclaredQuery(

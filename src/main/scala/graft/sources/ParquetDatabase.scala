@@ -70,12 +70,23 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * table recoverable by a single rename (of either `__old` or
     * `__normalize_tmp`), never deleted.
     */
-  def normalize(maxRowsPerFile: Long): Unit = {
+  /** @param sortBy optional layout key: range-partition + sort the rewrite
+    *  by these columns, so parquet row-group min/max stats become tight,
+    *  disjoint ranges — filters on the sort key then skip whole files/row
+    *  groups at scan time (data skipping, the complement to hive
+    *  partitioning for high-cardinality keys).
+    */
+  def normalize(maxRowsPerFile: Long, sortBy: Seq[String] = Nil): Unit = {
     val df = read()
     val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
     val tmp = s"${dir}__normalize_tmp"
     val old = s"${dir}__old"
-    df.repartition(n)
+    val laidOut =
+      if (sortBy.nonEmpty)
+        df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
+          .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+      else df.repartition(n)
+    laidOut
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .parquet(tmp)

@@ -37,6 +37,26 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__normalize_tmp")))
   }
 
+  test("normalize(sortBy) lays out disjoint key ranges per file (data skipping)") {
+    val db = freshDb("normsort")
+    // write shuffled ids so the sort actually has to move data
+    db.create(spark.range(10000)
+      .select((col("id") * 2654435761L % 10000).as("id")))
+    db.normalize(maxRowsPerFile = 2500, sortBy = Seq("id"))
+    val files = ParquetStats.listParquetFiles(db.dir).map(_.toString)
+    assert(files.size >= 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping ranges $ranges")
+      case _ =>
+    }
+  }
+
   test("normalizeToBytes converts a byte target into a row bound from footer stats") {
     val db = freshDb("normbytes")
     db.create(spark.range(20000).select(col("id"),
