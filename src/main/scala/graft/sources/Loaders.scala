@@ -64,6 +64,7 @@ trait Loader {
     * DataFrame (also persisted at `transformedDir`).
     */
   def run(): DataFrame = {
+    if (config.downloadFromScratch) rm(rawDir) // base.py:225-226 parity
     download()
     if (config.ingestFromScratch) rm(pqdbDir)
     if (!exists(pqdbDir)) load().write.mode("overwrite").parquet(pqdbDir)

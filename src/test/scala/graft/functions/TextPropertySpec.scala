@@ -73,6 +73,15 @@ class TextPropertySpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("approx_count_distinct tracks exact within the default 5% rsd") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).head()
+    val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(e - a) / e < 0.05, s"exact=$e approx=$a")
+  }
+
   test("approx percentile tracks exact within sketch tolerance on lineitem") {
     val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
     val both = li.agg(
