@@ -152,6 +152,37 @@ object MiscQueries {
           "CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq " +
           "FROM documents ORDER BY doc_id")),
 
+    // typed JSON parse (from_json with an explicit schema, vs q_json1's
+    // path extraction)
+    DeclaredQuery(
+      "q_json2",
+      (s, d) =>
+        Tables.load(s, d, "events")
+          .select(col("event_id"),
+            from_json(col("props"), lit("k INT")).getField("k").as("k"),
+            (from_json(col("props"), lit("k INT")).getField("k") % 10).as("k_mod"))
+          .orderBy("event_id"),
+      Some(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k, " +
+          "CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod " +
+          "FROM events ORDER BY event_id")),
+
+    // higher-order array functions end to end: filter + transform + slice
+    DeclaredQuery(
+      "q_arr3",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            slice(transform(filter(split(col("text"), " "), t => length(t) > 3),
+              t => upper(t)), 1, 5).as("long_tokens"),
+            size(filter(split(col("text"), " "), t => length(t) > 3)).as("n_long"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, list_transform(list_filter(string_split(text,' '), t -> length(t) > 3), " +
+          "t -> upper(t))[1:5] AS long_tokens, " +
+          "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 3)) AS INTEGER) AS n_long " +
+          "FROM documents ORDER BY doc_id")),
+
     // analytic ratio windows
     DeclaredQuery(
       "q_win5",
