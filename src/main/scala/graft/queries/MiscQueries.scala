@@ -152,6 +152,30 @@ object MiscQueries {
           "CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq " +
           "FROM documents ORDER BY doc_id")),
 
+    // top-k per group via the bounded-buffer Aggregator (scale-optimized
+    // alternative to q_topk1's window row_number: partial agg ships ≤ k
+    // rows per group per partition instead of everything). Tie-free
+    // composite key: cents·10^10 + inverted orderkey.
+    DeclaredQuery(
+      "q_topk2",
+      (s, d) => {
+        val topk = udaf(new graft.functions.Aggregators.TopKAgg(3))
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val key = cents * 10000000000L + (lit(9999999999L) - col("o_orderkey"))
+        Tables.load(s, d, "orders")
+          .groupBy(col("o_custkey").as("cust"))
+          .agg(topk(key, col("o_orderkey")).as("top"))
+          .select(col("cust"), posexplode(col("top")))
+          .select(col("cust"), (col("pos") + 1).cast("int").as("rn"),
+            col("col._2").as("o_orderkey"))
+          .orderBy("cust", "rn")
+      },
+      Some(
+        "WITH r AS (SELECT o_custkey cust, o_orderkey, row_number() OVER (" +
+          "PARTITION BY o_custkey ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) rn " +
+          "FROM orders) SELECT cust, CAST(rn AS INTEGER) AS rn, o_orderkey " +
+          "FROM r WHERE rn <= 3 ORDER BY cust, rn")),
+
     // typed JSON parse (from_json with an explicit schema, vs q_json1's
     // path extraction)
     DeclaredQuery(
