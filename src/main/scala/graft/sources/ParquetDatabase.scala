@@ -112,6 +112,17 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     normalize(maxRows)
   }
 
+  /** Replication surface (reference R11: HuggingFace snapshot up/download,
+    * `crystpqdb/download.py` — modeled as a parquet-dir copy, SURVEY §1.1):
+    * export this table's files to another directory / open a table from a
+    * replica. Distributed copy via a read+write (not a driver file loop),
+    * so it scales with the cluster like any other job.
+    */
+  def exportTo(destDir: String): ParquetDatabase = {
+    read().write.mode("overwrite").parquet(destDir)
+    new ParquetDatabase(spark, destDir)
+  }
+
   /** Physical layout stats (ParquetDB P7 introspection). */
   def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir)
 }

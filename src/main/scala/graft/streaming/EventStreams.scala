@@ -101,6 +101,27 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks within the preceding `windowMinutes`. Both sides carry
+    * watermarks so the join state is bounded (clicks older than the window
+    * past the watermark are evicted) — the canonical unbounded-join shape.
+    * On a bounded AvailableNow replay the output equals the batch
+    * equi+range join exactly (EventStreamsSpec).
+    */
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"))
+  }
+
   /** Run a streaming transform of the events table to completion with
     * Trigger.AvailableNow into an in-memory table, and return the final
     * result. This is the harness entry point — it proves the streaming

@@ -57,6 +57,15 @@ class ParquetDatabaseSpec extends SparkSpec {
     }
   }
 
+  test("exportTo replicates the table; replica reads identically") {
+    val db = freshDb("exp")
+    db.create(Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    val replica = db.exportTo("target/tmp/pqdb/exp_replica")
+    assert(replica.read().orderBy("id").collect().toSeq ===
+      db.read().orderBy("id").collect().toSeq)
+    assert(replica.nRows === 2L)
+  }
+
   test("normalizeToBytes converts a byte target into a row bound from footer stats") {
     val db = freshDb("normbytes")
     db.create(spark.range(20000).select(col("id"),

@@ -34,6 +34,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stream-stream interval join equals the batch equi+range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.purchaseClickJoin(df, 60),
+        OutputMode.Append, "spec_ssjoin")
+      .orderBy("p_id", "c_id").collect()
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("p_uid") === col("c_uid") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"))
+      .orderBy("p_id", "c_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("stateful streaming sessionization equals batch session stats") {
     val streamed = EventStreams.runToMemory(spark, sfDir,
         df => EventStreams.sessionStatsStateful(df, 30),
