@@ -22,6 +22,49 @@ object SetQueries {
         "SELECT c_custkey, nullif(c_mktsegment,'BUILDING') AS seg, round(c_acctbal,4) AS bal " +
           "FROM customer ORDER BY seg ASC NULLS FIRST, bal DESC, c_custkey ASC LIMIT 100")),
 
+    // union by NAME with missing columns null-filled (schema-evolution-
+    // friendly union; positional union would silently mis-align)
+    DeclaredQuery(
+      "q_set5",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val a = c.filter(col("c_custkey") <= 100).select(col("c_custkey"), col("c_acctbal").as("bal"))
+        val b = c.filter(col("c_custkey") > 1400).select(col("c_custkey"), col("c_mktsegment").as("seg"))
+        a.unionByName(b, allowMissingColumns = true)
+          .select(col("c_custkey"), r4(col("bal")).as("bal"), col("seg"))
+          .orderBy("c_custkey")
+      },
+      Some(
+        "SELECT c_custkey, round(bal,4) AS bal, seg FROM (" +
+          "SELECT c_custkey, c_acctbal AS bal FROM customer WHERE c_custkey <= 100 " +
+          "UNION ALL BY NAME " +
+          "SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey > 1400) " +
+          "ORDER BY c_custkey")),
+
+    // multiset semantics: EXCEPT ALL / INTERSECT ALL preserve duplicates
+    DeclaredQuery(
+      "q_set6",
+      (s, d) => {
+        // multiplicities differ: `all` has one row per lineitem, `first`
+        // one per order — EXCEPT ALL keeps (cnt-1) copies, INTERSECT ALL 1
+        val li = Tables.load(s, d, "lineitem")
+        val all = li.select(col("l_orderkey"))
+        val first = li.filter(col("l_linenumber") === 1).select(col("l_orderkey"))
+        all.exceptAll(first).groupBy("l_orderkey").agg(count(lit(1)).as("n_exc"))
+          .join(
+            all.intersectAll(first).groupBy("l_orderkey").agg(count(lit(1)).as("n_int")),
+            Seq("l_orderkey"), "left")
+          .select(col("l_orderkey"), col("n_exc"), coalesce(col("n_int"), lit(0L)).as("n_int"))
+          .orderBy("l_orderkey")
+      },
+      Some(
+        "WITH alll AS (SELECT l_orderkey FROM lineitem), " +
+          "firstl AS (SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1), " +
+          "exc AS (SELECT l_orderkey, count(*) n_exc FROM (SELECT * FROM alll EXCEPT ALL SELECT * FROM firstl) GROUP BY 1), " +
+          "inte AS (SELECT l_orderkey, count(*) n_int FROM (SELECT * FROM alll INTERSECT ALL SELECT * FROM firstl) GROUP BY 1) " +
+          "SELECT e.l_orderkey, e.n_exc, coalesce(i.n_int, 0) AS n_int " +
+          "FROM exc e LEFT JOIN inte i ON e.l_orderkey = i.l_orderkey ORDER BY 1")),
+
     DeclaredQuery(
       "q_set1",
       (s, d) => {
