@@ -30,8 +30,10 @@ object ExtQueries {
     * (`recursivePrefix` lets callers prepend WITH RECURSIVE for CTEs that
     * extend the chain with a recursive member.)
     */
-  private def jaccardCtes: String =
-    "words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+  private def jaccardCtes: String = jaccardCtesOver("documents")
+
+  private def jaccardCtesOver(src: String): String =
+    s"words AS (SELECT doc_id, string_split(text,' ') w FROM $src), " +
       "tok AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
       "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok FROM words), " +
       "sz AS (SELECT doc_id, count(*) sz FROM tok GROUP BY 1), " +
@@ -327,6 +329,52 @@ object ExtQueries {
           "SELECT a.user_id, CAST(epoch(a.hour) AS BIGINT) AS hour_bucket, " +
           "coalesce(h.n, 0) AS n FROM axis a LEFT JOIN hourly h " +
           "ON a.user_id = h.user_id AND a.hour = h.hour ORDER BY 1, 2")),
+
+    // capstone: the full training-data curation pipeline in one plan —
+    // quality filter → exact dedup (md5 keeper) → near-dup clustering →
+    // keep one doc per cluster. Every stage is the operator declared above;
+    // the oracle chains the same logic (incl. a recursive-CTE closure).
+    DeclaredQuery(
+      "q_ext_pipe1",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val quality = docs
+          .withColumn("quality", TextFunctions.qualityScore(col("text")))
+          .filter(col("quality") >= 0.6)
+        val fpKept = quality
+          .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
+          .withColumn("keep_id", min(col("doc_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+          .filter(col("doc_id") === col("keep_id"))
+          .select(col("doc_id"), col("text"), col("quality"))
+        val pairs = Dedup.jaccardPairs(fpKept, "doc_id", "text", threshold = 0.6, shingleN = 3)
+        val comps = Dedup.connectedComponents(pairs)
+        fpKept
+          .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .filter(col("rep").isNull || col("rep") === col("doc_id"))
+          .select(col("doc_id"), f4(col("quality")).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val qualityExpr =
+          "(least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4 " +
+            "+ (1.0 - CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text))*0.3 " +
+            s"+ least(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*5.0, 1.0)*0.3)"
+        "WITH RECURSIVE q AS (SELECT doc_id, text, " + qualityExpr + " AS quality " +
+          "FROM documents WHERE " + qualityExpr + " >= 0.6), " +
+          "fp AS (SELECT doc_id, text, quality, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q), " +
+          "kept AS (SELECT doc_id, text, quality FROM fp WHERE doc_id = keep_id), " +
+          jaccardCtesOver("kept") + ", " +
+          "pairs AS (SELECT i.d1, i.d2 FROM inter i JOIN sz sa ON sa.doc_id=i.d1 " +
+          "JOIN sz sb ON sb.doc_id=i.d2 WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6), " +
+          "edges AS (SELECT d1 u, d2 v FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+          "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+          "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+          "rep AS (SELECT u AS doc_id, least(min(v), u) AS rep FROM reach GROUP BY u) " +
+          "SELECT k.doc_id, floor(k.quality*10000)/10000 AS quality FROM kept k " +
+          "LEFT JOIN rep r ON k.doc_id = r.doc_id " +
+          "WHERE r.rep IS NULL OR r.rep = k.doc_id ORDER BY k.doc_id"
+      }),
 
     // ---- structured streaming (bounded AvailableNow replay, memory sink;
     // the streaming pipeline must reproduce the batch oracle exactly) ----
