@@ -28,10 +28,17 @@ object Bench {
       if (ok) sec else -sec
     }
     // best-of-2: single runs carry ±20%+ scheduler/GC noise on individual
-    // queries in a 90+-query session; the min is the real per-query cost
+    // queries in a 90+-query session; the min is the real per-query cost.
+    // A failure on EITHER run keeps the negative marker — abs() of a failed
+    // second run would smuggle its (short) elapsed in as a success.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = once(name, fn)
-      val best = if (first < 0) first else math.min(first, math.abs(once(name, fn)))
+      val best =
+        if (first < 0) first
+        else {
+          val second = once(name, fn)
+          if (second < 0) second else math.min(first, second)
+        }
       name -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -178,6 +178,7 @@ object Dedup {
       .select(col("id"), col("id").as("rep"))
     var converged = false
     var iter = 0
+    val superseded = scala.collection.mutable.ListBuffer[DataFrame]()
     while (!converged && iter < maxIter) {
       // candidate label per vertex: min over (own label, neighbors' labels)
       val viaNeighbors = edges
@@ -189,9 +190,21 @@ object Dedup {
       val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .filter(col("rep") =!= col("old")).limit(1).count()
       converged = changed == 0
+      if (iter > 0) superseded += labels // iter 0's labels is un-checkpointed
       labels = next
       iter += 1
     }
+    // silent truncation would return WRONG labels (far ends of a chain not
+    // yet relabelled) — a component with diameter > maxIter must fail loudly
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          s"a component's diameter exceeds maxIter; raise maxIter")
+    // release superseded per-round checkpoints (the session would otherwise
+    // hold every round's blocks until it ends); the returned labels and the
+    // edges stay cached only until callers are done — edges freed here
+    superseded.foreach(df => df.rdd.unpersist(false))
+    edges.rdd.unpersist(false)
     labels
   }
 

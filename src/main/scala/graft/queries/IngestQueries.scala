@@ -127,11 +127,16 @@ object IngestQueries {
           Tables.load(s, d, "orders").withColumn("o_year", year(col("o_orderdate"))),
           partitionBy = Seq("o_year"))
         val pruned = db.read().filter(col("o_year") === 1996)
-        // partition pruning must reach the file index: no non-1996
-        // directory may appear in the scan's selected partitions
-        val scanned = pruned.queryExecution.executedPlan.collectLeaves().head.toString
-        require(!scanned.contains("o_year=1995"),
-          "partition pruning failed: 1995 directory in scan")
+        // partition pruning must reach the file source: the scan node must
+        // carry the o_year partition filter (checking for absence of a
+        // directory name would be vacuous — plans never print partition
+        // dir names)
+        val scan = pruned.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.headOption.getOrElse(throw new IllegalStateException("no FileSourceScan in q_scan2 plan"))
+        require(scan.partitionFilters.exists(_.references.exists(_.name == "o_year")),
+          s"partition pruning failed: no o_year partition filter on the scan " +
+            s"(partitionFilters=${scan.partitionFilters})")
         pruned
           .groupBy(col("o_year"))
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))

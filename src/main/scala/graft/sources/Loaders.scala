@@ -159,14 +159,27 @@ final case class MpLoader(spark: SparkSession, config: LoaderConfig,
     // "permissive", base.py:210-216)
     def col(name: String): org.apache.spark.sql.Column =
       if (df.columns.contains(name.takeWhile(_ != '.'))) df.col(name) else lit(null)
+    // the structure-DERIVED projections (species/coords/lattice) must also
+    // null-fill when structure (or the needed subfield) is absent — the
+    // helpers below reference structure.sites unshadowed and would fail
+    // analysis otherwise
+    def nestedExists(path: String): Boolean = {
+      import org.apache.spark.sql.types.StructType
+      path.split('.').foldLeft(Option(df.schema: org.apache.spark.sql.types.DataType)) {
+        case (Some(st: StructType), seg) => st.fields.find(_.name == seg).map(_.dataType)
+        case _ => None
+      }.isDefined
+    }
+    def derived(path: String)(c: => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (nestedExists(path)) c else lit(null)
     df.select(
       lit(sourceDatabase).as("source_database"),
       lit(sourceDataset).as("source_dataset"),
       col("material_id").as("source_id"),
-      speciesElements.as("species"),
-      siteCoords("xyz").as("cart_coords"),
-      siteCoords("abc").as("frac_coords"),
-      col("structure.lattice").as("lattice"),
+      derived("structure.sites")(speciesElements).as("species"),
+      derived("structure.sites")(siteCoords("xyz")).as("cart_coords"),
+      derived("structure.sites")(siteCoords("abc")).as("frac_coords"),
+      derived("structure.lattice")(df.col("structure.lattice")).as("lattice"),
       col("structure").as("structure"),
       struct(
         col("band_gap").as("band_gap"),

@@ -90,9 +90,15 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRowsPerFile)
       .parquet(tmp)
+    // Hadoop rename signals failure by returning false — a failed swap must
+    // abort loudly BEFORE any delete, or the "crash leaves the table
+    // recoverable by a single rename" contract above is broken.
     fs.delete(new Path(old), true)
-    fs.rename(new Path(dir), new Path(old))
-    fs.rename(new Path(tmp), new Path(dir))
+    if (!fs.rename(new Path(dir), new Path(old)))
+      throw new java.io.IOException(s"normalize: failed to move $dir aside to $old; table untouched")
+    if (!fs.rename(new Path(tmp), new Path(dir)))
+      throw new java.io.IOException(
+        s"normalize: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
     fs.delete(new Path(old), true)
   }
 

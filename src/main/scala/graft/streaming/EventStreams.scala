@@ -42,12 +42,9 @@ object EventStreams {
     * unbounded/append deployment.
     */
   def tumblingHourly(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("user_id"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
-      .select(col("user_id"), unix_timestamp(col("w.start")).as("hour_bucket"),
-        col("n"), col("total"))
+    // one definition of the aggregation (EventOps) — the streaming variant
+    // is exactly batch + watermark, so batch/stream parity can't drift
+    graft.operators.EventOps.tumblingHourly(events.withWatermark("ts", "1 hour"))
 
   /** Sessionization with custom state (flatMapGroupsWithState): per user,
     * count sessions separated by >= `gapMinutes` of inactivity, emitting the
@@ -109,12 +106,16 @@ object EventStreams {
     * equi+range join exactly (EventStreamsSpec).
     */
   def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    // watermarks must cover the join window, or state for clicks older than
+    // the watermark is evicted while the condition still wants them —
+    // derive from windowMinutes rather than hardcoding
+    val wm = s"$windowMinutes minutes"
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", wm)
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("c_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", wm)
     purchases.join(clicks,
       col("p_uid") === col("c_uid") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
@@ -141,6 +142,15 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Update-mode memory sinks APPEND each micro-batch's emissions: with
+    // more than one batch the table would hold stale rows alongside final
+    // ones. The single-batch assumption must fail loudly, not silently.
+    if (mode == OutputMode.Update) {
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches <= 1,
+        s"runToMemory($name): Update-mode replay spanned $batches micro-batches — " +
+          "memory sink would contain stale per-batch rows; use a keyed sink or single-batch input")
+    }
     spark.table(name)
   }
 }

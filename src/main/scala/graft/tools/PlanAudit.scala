@@ -17,9 +17,12 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.registry.sortBy(_.name).foreach { q =>
       try {
-        // skip side-effecting/streaming queries (they execute on build)
-        if (q.name.startsWith("q_ing") || q.name.startsWith("q_norm") || q.name.startsWith("q_ext_stream")) {
-          println(f"${q.name}%-16s SKIP (side-effecting/streaming)")
+        // skip side-effecting/streaming/iterative queries (they execute
+        // real jobs while the plan is being built)
+        val sideEffecting = Set("q_scan2", "q_ext_dedup6", "q_ext_pipe1")
+        if (q.name.startsWith("q_ing") || q.name.startsWith("q_norm") ||
+            q.name.startsWith("q_ext_stream") || sideEffecting(q.name)) {
+          println(f"${q.name}%-16s SKIP (side-effecting/streaming/iterative)")
         } else {
           val df = q.run(spark, sfDir)
           val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))

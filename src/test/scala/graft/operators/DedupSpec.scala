@@ -48,6 +48,17 @@ class DedupSpec extends SparkSpec {
       3L -> 3L, 9L -> 3L, 4L -> 3L))
   }
 
+  test("connectedComponents fails loudly when a chain outruns maxIter") {
+    // path graph 1-2-3-4-5-6: min label needs 5 hops to reach the far end
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2).collect())
+    // and converges fine with enough rounds
+    val ok = Dedup.connectedComponents(chain, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("simHash is identical for identical docs and differs across unrelated docs") {
     val sig = Dedup.simHash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -115,6 +115,22 @@ class LoadersSpec extends SparkSpec {
     assert(out.select(col("has_props.thermo")).head().getBoolean(0) === true)
   }
 
+  test("MpLoader null-fills even when the whole structure field is absent") {
+    val dataDir = freshDataDir("mp_nostruct")
+    val loader = MpLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    Files.writeString(Paths.get(s"${loader.rawDir}/summary_000.json"),
+      """[{"material_id": "mp-77", "band_gap": 0.1, "total_energy": -1.0}]""")
+    val out = loader.run()
+    assert(out.schema === CrystalSchema.schema)
+    val r = out.head()
+    assert(r.getAs[String]("source_id") === "mp-77")
+    assert(out.select(col("structure")).head().isNullAt(0))
+    assert(out.select(col("species")).head().isNullAt(0))
+    assert(out.select(col("lattice")).head().isNullAt(0))
+    assert(out.select(col("data.band_gap")).head().getDouble(0) === 0.1)
+  }
+
   private val cif =
     """data_mc3d
       |_cell_length_a 2.0
