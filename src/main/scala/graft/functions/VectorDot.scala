@@ -82,13 +82,104 @@ case class VectorDot(left: Expression, right: Expression)
   override def prettyName: String = "vector_dot"
 }
 
+/** Sign-random-projection bucket id with whole-stage codegen: bit p of the
+  * result is the sign of the vector's projection onto pseudo-random ±1
+  * hyperplane `planeOffset + p`, component signs derived from the parity of
+  * xxhash64(plane, componentIdx) — bit-for-bit identical to the
+  * higher-order-function formulation it replaces (asserted in
+  * VectorDotSpec), but the HOF form pays interpreted lambda dispatch per
+  * (plane × component) in the LSH bucketing inner loop.
+  */
+case class VectorSrpBucket(vec: Expression, planeOffset: Int, numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = vec
+
+  override def checkInputDataTypes(): TypeCheckResult = vec.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_srp_bucket requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private def isFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bits = 0L
+    var p = 0
+    while (p < numPlanes) {
+      // reproduce xxhash64(plane, j): seed 42, fold ints left-to-right
+      // (XXH64 static methods are the public surface of Spark's xxhash64)
+      val seed = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashInt(planeOffset + p, 42L)
+      var proj = 0.0
+      var j = 0
+      while (j < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, seed)
+        val v = if (isFloat) x.getFloat(j).toDouble else x.getDouble(j)
+        proj += (if ((h & 1L) == 1L) v else -v)
+        j += 1
+      }
+      if (proj >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val proj = ctx.freshName("proj")
+      val seed = ctx.freshName("seed")
+      val n = ctx.freshName("n")
+      val hashFn = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      s"""
+         |long $bits = 0L;
+         |int $n = $a.numElements();
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  long $seed = $hashFn.hashInt($planeOffset + $p, 42L);
+         |  double $proj = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long h = $hashFn.hashInt($j, $seed);
+         |    double v = (double)$a.$get($j);
+         |    $proj += ((h & 1L) == 1L) ? v : -v;
+         |  }
+         |  if ($proj >= 0) $bits |= (1L << $p);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
+
+  override def prettyName: String = "vector_srp_bucket"
+}
+
 /** Registration of graft-native functions into a session's function
-  * registry, callable via `call_function("vector_dot", a, b)` / SQL
-  * `vector_dot(a, b)`. Idempotent — operators call it defensively because
-  * the harness may hand them a session built outside GraftSession.
+  * registry, callable via `call_function(...)` / SQL. Idempotent —
+  * operators call it defensively because the harness may hand them a
+  * session built outside GraftSession.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_srp_bucket", exprs => VectorSrpBucket(exprs(0),
+        intLit(exprs(1), "planeOffset"), intLit(exprs(2), "numPlanes")), "built-in")
+  }
 }

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *    then score only same-bucket candidates. The 100 TB path: candidates
   *    per query ∝ bucket size, not n.
   *
-  * Dot products fold left-to-right in double precision via `aggregate`
-  * (codegen'd higher-order function, no UDF).
+  * Dot products and SRP bucket ids run through the native codegen
+  * expressions `vector_dot` / `vector_srp_bucket`
+  * (graft.functions.VectorDot) — tight primitive loops inside whole-stage
+  * codegen, no UDFs, no interpreted higher-order functions in the inner
+  * loops.
   */
 object Similarity {
 
@@ -63,43 +66,27 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in {-1,+1}:
-    * parity of xxhash64(plane, component). Constant-folded per (i,j).
+  /** Sign-random-projection bucket id: numPlanes sign bits packed into a
+    * long, via the native codegen'd [[graft.functions.VectorSrpBucket]]
+    * (bit-identical to the HOF formulation it replaced — VectorDotSpec —
+    * but without interpreted lambda dispatch per plane × component, and
+    * sized from the actual array instead of a caller-supplied dim).
     */
-  private def pm1(plane: Int, component: Int): Column =
-    when(xxhash64(lit(plane), lit(component)).bitwiseAND(1L) === 1L, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-random-projection bucket id: numPlanes sign bits packed into a long. */
-  def srpBucket(vec: Column, numPlanes: Int, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(numPlanes - 1)), p => {
-        // v · h_p where h_p components are ±1 — computed positionally
-        val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x.cast("double") * when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), p.cast("int"))).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def srpBucket(vec: Column, numPlanes: Int): Column =
+    srpBucketOffset(vec, 0, numPlanes)
 
   /** One (table, bucket) struct per LSH table. Multi-table is the standard
     * recall lever: a neighbor is a candidate if it shares the bucket in ANY
     * table — P(candidate) = 1-(1-(1-θ/π)^planes)^tables, vs a single table's
     * (1-θ/π)^planes which decays fast.
     */
-  private def srpTables(vec: Column, numTables: Int, planesPerTable: Int, dim: Int): Column =
+  private def srpTables(vec: Column, numTables: Int, planesPerTable: Int): Column =
     array((0 until numTables).map(t =>
       struct(lit(t).as("tbl"),
-        srpBucketOffset(vec, t * planesPerTable, planesPerTable, dim).as("bkt"))): _*)
+        srpBucketOffset(vec, t * planesPerTable, planesPerTable).as("bkt"))): _*)
 
-  private def srpBucketOffset(vec: Column, planeOffset: Int, numPlanes: Int, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(planeOffset), lit(planeOffset + numPlanes - 1)), p => {
-        val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, j) => x.cast("double") * when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, call_function("shiftleft", lit(1L), (p - planeOffset).cast("int"))).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  private def srpBucketOffset(vec: Column, planeOffset: Int, numPlanes: Int): Column =
+    call_function("vector_srp_bucket", vec, lit(planeOffset), lit(numPlanes))
 
   /** Approximate top-k cosine via multi-table SRP-LSH: candidates = union of
     * same-bucket rows over `numTables` independent sign-projection tables,
@@ -108,12 +95,12 @@ object Similarity {
     */
   def lshCosineTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, numTables: Int = 8,
-                    planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+                    planesPerTable: Int = 4): DataFrame = {
     val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
-        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+        explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
       .select(col("nid"), col("nv"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+        explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
       .select(col("qid"), col("qv"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
     val candidates = v.join(broadcast(q),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt") && col("qid") =!= col("nid"))
@@ -173,9 +160,9 @@ object Similarity {
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          tau: Double, numTables: Int = 8, planesPerTable: Int = 8,
-                         dim: Int = 64): DataFrame = {
+): DataFrame = {
     val v = spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
-        explode(srpTables(col(vecCol), numTables, planesPerTable, dim)).as("h"))
+        explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
       .select(col("id"), col("v"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     v.as("a")
       .join(v.select(col("id").as("id2"), col("v").as("v2"),

@@ -98,6 +98,17 @@ object EventStreams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming exact dedup with bounded state: first event per
+    * (user_id, event_type) wins, duplicates arriving within the watermark
+    * horizon are dropped, state for keys older than the watermark is
+    * evicted (`dropDuplicatesWithinWatermark`, the unbounded-safe form of
+    * streaming dropDuplicates).
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks within the preceding `windowMinutes`. Both sides carry
     * watermarks so the join state is bounded (clicks older than the window

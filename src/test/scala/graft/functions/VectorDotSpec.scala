@@ -41,6 +41,28 @@ class VectorDotSpec extends SparkSpec {
     intercept[Exception](bad.select(call_function("vector_dot", col("a"), col("b"))).head())
   }
 
+  test("vector_srp_bucket is bit-identical to the HOF sign-projection formulation") {
+    registered()
+    // the HOF form vector_srp_bucket replaces (from Similarity round 1)
+    def hofBucket(vec: org.apache.spark.sql.Column, planeOffset: Int, numPlanes: Int, dim: Int) =
+      aggregate(
+        transform(sequence(lit(planeOffset), lit(planeOffset + numPlanes - 1)), p => {
+          val proj = aggregate(zip_with(vec, sequence(lit(0), lit(dim - 1)),
+            (x, j) => x.cast("double") * when(xxhash64(p, j).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj >= 0, call_function("shiftleft", lit(1L), (p - planeOffset).cast("int"))).otherwise(0L)
+        }),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val rng = new java.util.SplittableRandom(11L)
+    val vecs = (0 until 40).map(i => (i.toLong, Seq.fill(16)((rng.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val out = df.select(
+      call_function("vector_srp_bucket", col("v"), lit(3), lit(8)).as("native"),
+      hofBucket(col("v"), 3, 8, 16).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"native=${r.getLong(0).toBinaryString} hof=${r.getLong(1).toBinaryString}"))
+  }
+
   test("vector_dot participates in whole-stage codegen") {
     registered()
     // derive arrays from range so the projection isn't constant-folded away

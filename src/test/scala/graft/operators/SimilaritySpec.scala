@@ -37,7 +37,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.cosineTopK(df, q, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val approx = Similarity.lshCosineTopK(df, q, "vec_id", "embedding", k = 5,
-        numTables = 8, planesPerTable = 4, dim = 16)
+        numTables = 8, planesPerTable = 4)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall below 0.8")
@@ -64,7 +64,7 @@ class SimilaritySpec extends SparkSpec {
     val df = ((100L, dup1) +: (101L, dup2) +: others.zipWithIndex.map { case (v, i) => (i.toLong, v) })
       .toDF("vec_id", "embedding")
     val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", tau = 0.99,
-        numTables = 8, planesPerTable = 8, dim = 32)
+        numTables = 8, planesPerTable = 8)
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(pairs === Set((100L, 101L)))
   }

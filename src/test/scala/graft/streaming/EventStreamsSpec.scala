@@ -34,6 +34,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming dedup keeps exactly one event per key (counts match batch distinct)") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.dedupStream(df, Seq("user_id", "event_type")),
+        OutputMode.Append, "spec_dedup")
+    // which row survives per key is arrival-order-dependent; the CONTRACT
+    // is one survivor per key — compare key sets, not rows
+    val streamedKeys = streamed.select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val batchKeys = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed.count() === streamedKeys.distinct.size.toLong)
+    assert(streamedKeys === batchKeys)
+  }
+
   test("stream-stream interval join equals the batch equi+range join") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.runToMemory(spark, sfDir,
