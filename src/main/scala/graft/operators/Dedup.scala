@@ -15,16 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Round-robin repartition to the cluster's parallelism before per-row
-    * heavy compute (shingling, hashing). A small table often arrives as a
-    * single parquet row group = a single task; without this every signature
-    * below computes on one core. The shuffle moves only (id, text) — cheap
-    * relative to the compute it parallelizes. On a real cluster
-    * defaultParallelism = total executor cores, so this is right-sized
-    * there too.
-    */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = OpUtils.spread(df)
 
   /** Exact dedup with a deterministic keeper: one row per key group with the
     * minimal id (dropDuplicates keeps an arbitrary row — not reproducible).

@@ -24,14 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Round-robin repartition to cluster parallelism before per-row heavy
-    * compute (projections/cosines are interpreted HOF expressions): a small
-    * corpus arriving as one parquet row group would otherwise score on a
-    * single core. See Dedup.spread for the scale rationale.
+  /** OpUtils.spread plus defensive registration of the native vector
+    * functions every operator below depends on.
     */
   private def spread(df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    OpUtils.spread(df)
   }
 
   /** Double-precision dot product via the native codegen'd

@@ -23,8 +23,15 @@ import QHelpers._
 object ExtQueries {
 
   private val stop = TextFunctions.defaultStopwords
-  private def stopList = stop.map(w => s"'$w'").mkString("[", ",", "]")
   private def stopIn = stop.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB text of TextFunctions.qualityScore — shared by q_ext_txt3 and
+    * the q_ext_pipe1 capstone so the two oracles can't drift.
+    */
+  private def qualitySqlExpr: String =
+    "(least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4 " +
+      "+ (1.0 - CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text))*0.3 " +
+      s"+ least(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*5.0, 1.0)*0.3)"
 
   /** Shared DuckDB CTE text: word-3-gram shingle sets → intersection counts.
     * (`recursivePrefix` lets callers prepend WITH RECURSIVE for CTEs that
@@ -93,9 +100,7 @@ object ExtQueries {
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS len, " +
           "floor(CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text)*10000)/10000 AS punct_ratio, " +
           s"floor(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*10000)/10000 AS stop_ratio, " +
-          "floor((least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4 " +
-          "+ (1.0 - CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text))*0.3 " +
-          s"+ least(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*5.0, 1.0)*0.3)*10000)/10000 AS quality " +
+          s"floor($qualitySqlExpr*10000)/10000 AS quality " +
           "FROM documents ORDER BY doc_id")),
 
     DeclaredQuery(
@@ -356,12 +361,8 @@ object ExtQueries {
           .orderBy("doc_id")
       },
       Some {
-        val qualityExpr =
-          "(least(CAST(length(text) AS DOUBLE)/500.0, 1.0)*0.4 " +
-            "+ (1.0 - CAST(length(regexp_replace(lower(text),'[a-z0-9 ]','','g')) AS DOUBLE)/length(text))*0.3 " +
-            s"+ least(CAST(len(list_filter(string_split(text,' '), t -> t IN $stopIn)) AS DOUBLE)/len(string_split(text,' '))*5.0, 1.0)*0.3)"
-        "WITH RECURSIVE q AS (SELECT doc_id, text, " + qualityExpr + " AS quality " +
-          "FROM documents WHERE " + qualityExpr + " >= 0.6), " +
+        "WITH RECURSIVE q AS (SELECT doc_id, text, " + qualitySqlExpr + " AS quality " +
+          "FROM documents WHERE " + qualitySqlExpr + " >= 0.6), " +
           "fp AS (SELECT doc_id, text, quality, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q), " +
           "kept AS (SELECT doc_id, text, quality FROM fp WHERE doc_id = keep_id), " +
           jaccardCtesOver("kept") + ", " +

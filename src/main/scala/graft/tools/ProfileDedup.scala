@@ -3,7 +3,7 @@ package graft.tools
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.Dedup
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev tool: stage-level timings for the dedup pipeline at a given SF dir.
@@ -12,9 +12,7 @@ import org.apache.spark.sql.functions._
 object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.build("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
 
     def time(name: String)(df: => DataFrame): Unit = {
@@ -53,9 +51,7 @@ object ProfileDedup {
 object ExplainDedup {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.build("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, sfDir, "documents")
     println("=== jaccardPairs plan ===")

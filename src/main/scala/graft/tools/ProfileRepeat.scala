@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.SparkEntry
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run a subset of declared queries repeatedly in one session to
   * distinguish per-query cost from cross-query/session accumulation effects.
@@ -12,9 +11,7 @@ object ProfileRepeat {
     val sfDir = args(0)
     val reps = args(1).toInt
     val names = args.drop(2).toSeq
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.build("local[32]", 32)
     spark.sparkContext.setLogLevel("INFO")
     for (r <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
