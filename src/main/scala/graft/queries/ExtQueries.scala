@@ -299,6 +299,22 @@ object ExtQueries {
           .orderBy("doc_id"),
       None),
 
+    // frame sampling over binary payloads: 16-byte frames, every 2nd kept
+    DeclaredQuery(
+      "q_ext_mm3",
+      (s, d) =>
+        Multimodal.withBinaryPayload(Tables.load(s, d, "documents"), "text", "text/plain")
+          .select(col("doc_id"),
+            Multimodal.sampleFrames(col("payload"), frameBytes = 16, everyK = 2).as("frames"))
+          .select(col("doc_id"), size(col("frames")).as("n_frames"),
+            base64(col("frames")(0).getField("frame")).as("first_frame_b64"))
+          .orderBy("doc_id"),
+      Some(
+        // kept frames = indices 0,2,4,... of ceil(len/16) frames
+        "SELECT doc_id, CAST((CAST(ceil(length(text)/16.0) AS BIGINT) + 1) // 2 AS INTEGER) AS n_frames, " +
+          "base64(CAST(substr(text, 1, 16) AS BLOB)) AS first_frame_b64 " +
+          "FROM documents ORDER BY doc_id")),
+
     // ---- event windows ----
     DeclaredQuery(
       "q_ext_evt1",
