@@ -134,20 +134,23 @@ object MiscQueries {
           "repeat('ab', 3) AS rep, CAST(instr(c_name, '1') AS INTEGER) AS pos1 " +
           "FROM customer ORDER BY c_custkey")),
 
-    // extended array functions over tokenized text
+    // extended array functions over tokenized text. Array-valued results are
+    // serialized with array_join so the driver's scalar hash compare applies
+    // (the HOF pipeline itself — slice/distinct/sort — is still under test).
     DeclaredQuery(
       "q_arr2",
       (s, d) =>
         Tables.load(s, d, "documents")
           .select(col("doc_id"),
-            slice(split(col("text"), " "), 1, 5).as("first5"),
-            sort_array(array_distinct(slice(split(col("text"), " "), 1, 5))).as("first5_sorted"),
+            array_join(slice(split(col("text"), " "), 1, 5), " ").as("first5"),
+            array_join(sort_array(array_distinct(slice(split(col("text"), " "), 1, 5))), " ")
+              .as("first5_sorted"),
             array_contains(split(col("text"), " "), "the").as("has_the"),
             size(array_distinct(split(col("text"), " "))).as("n_uniq"))
           .orderBy("doc_id"),
       Some(
-        "SELECT doc_id, string_split(text,' ')[1:5] AS first5, " +
-          "list_sort(list_distinct(string_split(text,' ')[1:5])) AS first5_sorted, " +
+        "SELECT doc_id, array_to_string(string_split(text,' ')[1:5], ' ') AS first5, " +
+          "array_to_string(list_sort(list_distinct(string_split(text,' ')[1:5])), ' ') AS first5_sorted, " +
           "list_contains(string_split(text,' '), 'the') AS has_the, " +
           "CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_uniq " +
           "FROM documents ORDER BY doc_id")),
@@ -191,19 +194,20 @@ object MiscQueries {
           "CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod " +
           "FROM events ORDER BY event_id")),
 
-    // higher-order array functions end to end: filter + transform + slice
+    // higher-order array functions end to end: filter + transform + slice.
+    // Output serialized via array_join for the driver's scalar hash compare.
     DeclaredQuery(
       "q_arr3",
       (s, d) =>
         Tables.load(s, d, "documents")
           .select(col("doc_id"),
-            slice(transform(filter(split(col("text"), " "), t => length(t) > 3),
-              t => upper(t)), 1, 5).as("long_tokens"),
+            array_join(slice(transform(filter(split(col("text"), " "), t => length(t) > 3),
+              t => upper(t)), 1, 5), " ").as("long_tokens"),
             size(filter(split(col("text"), " "), t => length(t) > 3)).as("n_long"))
           .orderBy("doc_id"),
       Some(
-        "SELECT doc_id, list_transform(list_filter(string_split(text,' '), t -> length(t) > 3), " +
-          "t -> upper(t))[1:5] AS long_tokens, " +
+        "SELECT doc_id, array_to_string(list_transform(list_filter(string_split(text,' '), t -> length(t) > 3), " +
+          "t -> upper(t))[1:5], ' ') AS long_tokens, " +
           "CAST(len(list_filter(string_split(text,' '), t -> length(t) > 3)) AS INTEGER) AS n_long " +
           "FROM documents ORDER BY doc_id")),
 
