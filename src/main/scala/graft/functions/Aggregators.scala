@@ -24,12 +24,29 @@ object Aggregators {
 
     override def zero: Seq[(Long, Long)] = Nil
 
+    // buf is always sorted (desc by key) and bounded at k; per-row work is a
+    // short-circuit compare against the current minimum, then an O(k)
+    // insertion — no per-row sort/alloc of the whole buffer
     override def reduce(buf: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
-      // buf stays sorted + bounded: insertion is O(k), and k is small
-      (a +: buf).sorted(ord).take(k)
+      if (buf.lengthCompare(k) >= 0 && ord.gteq(a, buf.last)) buf
+      else insert(buf, a)
 
-    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
-      (x ++ y).sorted(ord).take(k)
+    private def insert(buf: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
+      val (before, after) = buf.span(ord.lt(_, a))
+      val grown = (before :+ a) ++ after
+      if (grown.lengthCompare(k) > 0) grown.init else grown
+    }
+
+    // merge of two sorted bounded buffers: linear merge, stop at k
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val (ix, iy) = (x.iterator.buffered, y.iterator.buffered)
+      while (out.length < k && (ix.hasNext || iy.hasNext)) {
+        out += (if (!iy.hasNext || (ix.hasNext && ord.lteq(ix.head, iy.head))) ix.next()
+                else iy.next())
+      }
+      out.toSeq
+    }
 
     override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
 

@@ -36,31 +36,65 @@ object Dedup {
     tokenArrays(docs, idCol, textCol, shingleN)
       .select(col("id"), explode(col("toks")).as("tok"))
 
-  /** All pairs with exact Jaccard similarity >= threshold over word
-    * (shingleN=1) or n-gram shingle sets. Pair generation joins on shared
-    * token, so cost is sum over tokens of group² — fine for selective
-    * shingles, the reason `minHashPairs` exists otherwise.
+  /** Exact Jaccard verification of candidate (d1, d2) pairs against the full
+    * shingle arrays: join the (few) pairs back to the arrays and intersect
+    * per pair — no re-explode, no per-token shuffle of the corpus. Shared by
+    * `jaccardPairs` and `minHashPairs` so the exact arithmetic can't drift
+    * between the oracle path and the LSH path.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, shingleN: Int = 1): DataFrame = {
-    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
-    // self-join on the 64-bit shingle hash, not the shingle string: the
-    // shuffle moves 8-byte keys instead of ~20-char strings and the join
-    // compares longs. A cross-doc 64-bit collision (P ≈ n²/2⁶⁴) would be
-    // needed to change a count — negligible against the 4-decimal compare.
-    val toks = arrays.select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("th"))
-    val sizes = arrays.select(col("id"), size(col("toks")).as("sz"))
-    val inter = toks.as("a")
-      .join(toks.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th") && col("a.id") < col("id2"))
-      .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jac", col("c").cast("double") / (col("sz1") + col("sz2") - col("c")))
+  private def verifyPairsExact(candidates: DataFrame, arrays: DataFrame,
+                               threshold: Double): DataFrame =
+    candidates
+      .join(arrays.select(col("id").as("d1"), col("toks").as("t1")), "d1")
+      .join(arrays.select(col("id").as("d2"), col("toks").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") / (size(col("t1")) + size(col("t2")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+
+  /** All pairs with exact Jaccard similarity >= threshold over word
+    * (shingleN=1) or n-gram shingle sets.
+    *
+    * Candidate pairs share at least one shingle with document frequency
+    * <= maxShingleDf; candidates are then exactly verified against the full
+    * shingle sets. The df cap bounds the self-join fan-in — worst-case
+    * candidates per shingle is maxShingleDf², never n² — so one hot shingle
+    * shared by 10⁶ documents generates nothing instead of 10¹² pairs. The
+    * (documented) trade: a pair whose shared shingles are ALL hotter than
+    * the cap is missed; with the default cap that requires a pair of docs
+    * overlapping only in corpus-cliché shingles, which cannot reach a
+    * meaningful threshold anyway. Exactness of emitted jac values is
+    * unaffected (verification uses the full arrays).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, shingleN: Int = 1,
+                   maxShingleDf: Int = 10000): DataFrame =
+    verifyPairsExact(
+      jaccardCandidates(docs, idCol, textCol, shingleN, maxShingleDf),
+      tokenArrays(docs, idCol, textCol, shingleN), threshold)
+
+  /** Candidate (d1, d2) pairs sharing at least one shingle with document
+    * frequency <= maxShingleDf. Public so tests and profiling can measure
+    * the fan-in bound directly.
+    */
+  def jaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, maxShingleDf: Int): DataFrame = {
+    // self-join on the 64-bit shingle hash, not the shingle string: the
+    // shuffle moves 8-byte keys instead of ~20-char strings and the join
+    // compares longs. A cross-doc 64-bit collision (P ≈ n²/2⁶⁴) could only
+    // add a candidate, which exact verification then rejects.
+    val toks = tokenSets(docs, idCol, textCol, shingleN)
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    // document frequency cap as a window over the same key the join
+    // shuffles on — the count and both join sides reuse one exchange
+    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("th")
+    val capped = toks.withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= maxShingleDf).drop("df")
+    capped.as("a")
+      .join(capped.withColumnRenamed("id", "id2").as("b"),
+        col("a.th") === col("b.th") && col("a.id") < col("id2"))
+      .select(col("a.id").as("d1"), col("id2").as("d2"))
+      .distinct()
   }
 
   /** Deterministic MinHash signature: sig[i] = min over shingles of
@@ -111,17 +145,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && col("x.id") < col("id2"))
       .select(col("x.id").as("d1"), col("id2").as("d2"))
       .distinct()
-    // exact verification of candidates only: join the (few) candidate pairs
-    // back to the shingle arrays and intersect per pair — no re-explode, no
-    // per-token shuffle of the corpus.
-    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
-    candidates
-      .join(arrays.select(col("id").as("d1"), col("toks").as("t1")), "d1")
-      .join(arrays.select(col("id").as("d2"), col("toks").as("t2")), "d2")
-      .withColumn("c", size(array_intersect(col("t1"), col("t2"))).cast("long"))
-      .withColumn("jac", col("c").cast("double") / (size(col("t1")) + size(col("t2")) - col("c")))
-      .filter(col("jac") >= threshold)
-      .select(col("d1"), col("d2"), col("jac"))
+    verifyPairsExact(candidates, tokenArrays(docs, idCol, textCol, shingleN), threshold)
   }
 
   /** 64-bit SimHash over the token set: bit b is the sign of the vote

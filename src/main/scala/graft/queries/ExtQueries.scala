@@ -47,6 +47,48 @@ object ExtQueries {
       "inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM tok a JOIN tok b " +
       "ON a.tok=b.tok AND a.doc_id<b.doc_id GROUP BY 1,2)"
 
+  /** Quality filter → md5 exact-dedup keeper → near-dup pairs (from the
+    * given generator) → connected components → keep one doc per cluster.
+    * Shared by the q_ext_pipe1/q_ext_pipe2 capstones so the two variants
+    * differ ONLY in the pair generator.
+    */
+  private def curationPipeline(docs: org.apache.spark.sql.DataFrame,
+      pairGen: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val quality = docs
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .filter(col("quality") >= 0.6)
+    val fpKept = quality
+      .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
+      .withColumn("keep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("quality"))
+    val comps = Dedup.connectedComponents(pairGen(fpKept))
+    fpKept
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .filter(col("rep").isNull || col("rep") === col("doc_id"))
+      .select(col("doc_id"), f4(col("quality")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB text of the curation capstone at a near-dup threshold. */
+  private def curationSql(tau: Double): String =
+    "WITH RECURSIVE q AS (SELECT doc_id, text, " + qualitySqlExpr + " AS quality " +
+      "FROM documents WHERE " + qualitySqlExpr + " >= 0.6), " +
+      "fp AS (SELECT doc_id, text, quality, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q), " +
+      "kept AS (SELECT doc_id, text, quality FROM fp WHERE doc_id = keep_id), " +
+      jaccardCtesOver("kept") + ", " +
+      "pairs AS (SELECT i.d1, i.d2 FROM inter i JOIN sz sa ON sa.doc_id=i.d1 " +
+      s"JOIN sz sb ON sb.doc_id=i.d2 WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= $tau), " +
+      "edges AS (SELECT d1 u, d2 v FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
+      "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+      "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+      "rep AS (SELECT u AS doc_id, least(min(v), u) AS rep FROM reach GROUP BY u) " +
+      "SELECT k.doc_id, floor(k.quality*10000)/10000 AS quality FROM kept k " +
+      "LEFT JOIN rep r ON k.doc_id = r.doc_id " +
+      "WHERE r.rep IS NULL OR r.rep = k.doc_id ORDER BY k.doc_id"
+
   /** DuckDB exact word-3-gram-shingle Jaccard pairs at a threshold. */
   private def jaccardSql(tau: Double): String =
     s"WITH $jaccardCtes " +
@@ -355,43 +397,23 @@ object ExtQueries {
     // quality filter → exact dedup (md5 keeper) → near-dup clustering →
     // keep one doc per cluster. Every stage is the operator declared above;
     // the oracle chains the same logic (incl. a recursive-CTE closure).
+    // pipe1 builds pairs with the exact-Jaccard generator (oracle path);
+    // pipe2 is the 100 TB-shape variant: MinHash+LSH banding + exact verify
+    // at τ=0.8 — same recursive-CTE oracle at the matching threshold (the
+    // LSH miss probability per true pair at s≥0.8 with 16×2 banding is
+    // (1-0.8²)¹⁶ < 1e-7, so the exact-Jaccard SQL remains hash-matchable).
     DeclaredQuery(
       "q_ext_pipe1",
-      (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-        val quality = docs
-          .withColumn("quality", TextFunctions.qualityScore(col("text")))
-          .filter(col("quality") >= 0.6)
-        val fpKept = quality
-          .withColumn("fp", TextFunctions.fingerprintMd5(col("text")))
-          .withColumn("keep_id", min(col("doc_id")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-          .filter(col("doc_id") === col("keep_id"))
-          .select(col("doc_id"), col("text"), col("quality"))
-        val pairs = Dedup.jaccardPairs(fpKept, "doc_id", "text", threshold = 0.6, shingleN = 3)
-        val comps = Dedup.connectedComponents(pairs)
-        fpKept
-          .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-          .filter(col("rep").isNull || col("rep") === col("doc_id"))
-          .select(col("doc_id"), f4(col("quality")).as("quality"))
-          .orderBy("doc_id")
-      },
-      Some {
-        "WITH RECURSIVE q AS (SELECT doc_id, text, " + qualitySqlExpr + " AS quality " +
-          "FROM documents WHERE " + qualitySqlExpr + " >= 0.6), " +
-          "fp AS (SELECT doc_id, text, quality, min(doc_id) OVER (PARTITION BY md5(text)) keep_id FROM q), " +
-          "kept AS (SELECT doc_id, text, quality FROM fp WHERE doc_id = keep_id), " +
-          jaccardCtesOver("kept") + ", " +
-          "pairs AS (SELECT i.d1, i.d2 FROM inter i JOIN sz sa ON sa.doc_id=i.d1 " +
-          "JOIN sz sb ON sb.doc_id=i.d2 WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6), " +
-          "edges AS (SELECT d1 u, d2 v FROM pairs UNION ALL SELECT d2, d1 FROM pairs), " +
-          "reach(u, v) AS (SELECT u, v FROM edges UNION " +
-          "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
-          "rep AS (SELECT u AS doc_id, least(min(v), u) AS rep FROM reach GROUP BY u) " +
-          "SELECT k.doc_id, floor(k.quality*10000)/10000 AS quality FROM kept k " +
-          "LEFT JOIN rep r ON k.doc_id = r.doc_id " +
-          "WHERE r.rep IS NULL OR r.rep = k.doc_id ORDER BY k.doc_id"
-      }),
+      (s, d) => curationPipeline(Tables.load(s, d, "documents"),
+        docs => Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6, shingleN = 3)),
+      Some(curationSql(0.6))),
+
+    DeclaredQuery(
+      "q_ext_pipe2",
+      (s, d) => curationPipeline(Tables.load(s, d, "documents"),
+        docs => Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.8,
+          numBands = 16, rowsPerBand = 2, shingleN = 3)),
+      Some(curationSql(0.8))),
 
     // ---- structured streaming (bounded AvailableNow replay, memory sink;
     // the streaming pipeline must reproduce the batch oracle exactly) ----

@@ -41,20 +41,26 @@ object SetQueries {
           "SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey > 1400) " +
           "ORDER BY c_custkey")),
 
-    // multiset semantics: EXCEPT ALL / INTERSECT ALL preserve duplicates
+    // multiset semantics: EXCEPT ALL / INTERSECT ALL preserve duplicates.
+    // EXCEPT ALL keeps max(cnt_a - cnt_b, 0) copies per key and INTERSECT ALL
+    // min(cnt_a, cnt_b) — both multiplicities fall out of ONE groupBy over
+    // the input (one shuffle), where the literal exceptAll/intersectAll
+    // operators plan two aggregate+generate subtrees plus a join (4+
+    // shuffles over the fact table). Equivalence to the set-op formulation
+    // is asserted in SetOpSpec, which keeps the Dataset API forms exercised.
     DeclaredQuery(
       "q_set6",
       (s, d) => {
         // multiplicities differ: `all` has one row per lineitem, `first`
         // one per order — EXCEPT ALL keeps (cnt-1) copies, INTERSECT ALL 1
-        val li = Tables.load(s, d, "lineitem")
-        val all = li.select(col("l_orderkey"))
-        val first = li.filter(col("l_linenumber") === 1).select(col("l_orderkey"))
-        all.exceptAll(first).groupBy("l_orderkey").agg(count(lit(1)).as("n_exc"))
-          .join(
-            all.intersectAll(first).groupBy("l_orderkey").agg(count(lit(1)).as("n_int")),
-            Seq("l_orderkey"), "left")
-          .select(col("l_orderkey"), col("n_exc"), coalesce(col("n_int"), lit(0L)).as("n_int"))
+        Tables.load(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("cnt_all"),
+            count(when(col("l_linenumber") === 1, 1)).as("cnt_first"))
+          .select(col("l_orderkey"),
+            greatest(col("cnt_all") - col("cnt_first"), lit(0L)).as("n_exc"),
+            least(col("cnt_all"), col("cnt_first")).as("n_int"))
+          .filter(col("n_exc") >= 1)
           .orderBy("l_orderkey")
       },
       Some(

@@ -45,6 +45,17 @@ object ProfileDedup {
         rowsPerBand = 2, shingleN = 3))
     time("full jaccardPairs")(
       Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.6, shingleN = 3))
+
+    // fan-in bound under a planted hot shingle: every doc shares one
+    // sentence prefix, so uncapped candidate generation is n²/2 while the
+    // df cap drops the hot shingles entirely
+    val n = 2000L
+    val planted = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("hot shingle planted everywhere "), col("id").cast("string"),
+        lit(" unique "), col("id").cast("string"), lit(" tail")).as("text"))
+    val unc = Dedup.jaccardCandidates(planted, "doc_id", "text", 3, Int.MaxValue).count()
+    val cap = Dedup.jaccardCandidates(planted, "doc_id", "text", 3, 100).count()
+    println(s"[profile] planted-hot-shingle n=$n candidates: uncapped=$unc capped(100)=$cap")
     spark.stop()
   }
 }

@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(exact.getAs[Double]("jac") === 1.0)
   }
 
+  test("hot-shingle df cap bounds candidate fan-in; rare-shingle near-dups survive the cap") {
+    // 20 docs sharing one hot sentence prefix; each tail is unique, so every
+    // cross-doc shared shingle is hot (df = 20)
+    val hot = (10L to 29L).map(i =>
+      (i, s"common shared shingle text here unique$i tail$i end$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardCandidates(hot, "doc_id", "text", shingleN = 3,
+      maxShingleDf = 10000).count()
+    val capped = Dedup.jaccardCandidates(hot, "doc_id", "text", shingleN = 3,
+      maxShingleDf = 5).count()
+    assert(uncapped === 20L * 19 / 2) // hot shingles pair every doc with every other
+    assert(capped === 0L)             // the cap drops all of it
+    // true near-dups share plenty of rare shingles — unaffected by a tight cap
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3, maxShingleDf = 5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+
   test("minHashPairs matches exact jaccardPairs at high threshold") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
