@@ -27,19 +27,26 @@ object Bench {
       // fast successes in the emitted JSON
       if (ok) sec else -sec
     }
-    // best-of-2: single runs carry ±20%+ scheduler/GC noise on individual
-    // queries in a 90+-query session; the min is the real per-query cost.
-    // A failure on EITHER run keeps the negative marker — abs() of a failed
-    // second run would smuggle its (short) elapsed in as a success.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val first = once(name, fn)
-      val best =
-        if (first < 0) first
-        else {
-          val second = once(name, fn)
-          if (second < 0) second else math.min(first, second)
-        }
-      name -> best
+    // Fixed name order × 3 interleaved rounds, per-query MEDIAN: a single
+    // run carries ±20%+ scheduler/GC noise, and whichever queries run while
+    // the session is still cold (file listing, JIT, codegen) absorb seconds
+    // that aren't theirs. Interleaving whole rounds (not back-to-back
+    // repeats) means cold costs land in round 1 only and the median reflects
+    // the session-steady-state cost; the fixed order makes rounds comparable
+    // across versions. A failure on ANY run keeps the negative marker — a
+    // median over the surviving runs would smuggle a flaky query in as a
+    // success.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rounds = 3
+    val samples = (1 to rounds).map { _ =>
+      ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val runs = samples.map(_(name))
+      val med =
+        if (runs.exists(_ < 0)) runs.min // most-negative = failed marker
+        else runs.sorted.apply(rounds / 2)
+      name -> med
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -47,8 +54,8 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }

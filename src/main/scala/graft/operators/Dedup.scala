@@ -36,42 +36,103 @@ object Dedup {
     tokenArrays(docs, idCol, textCol, shingleN)
       .select(col("id"), explode(col("toks")).as("tok"))
 
-  /** Exact Jaccard verification of candidate (d1, d2) pairs against the full
-    * shingle arrays: join the (few) pairs back to the arrays and intersect
-    * per pair — no re-explode, no per-token shuffle of the corpus. Shared by
-    * `jaccardPairs` and `minHashPairs` so the exact arithmetic can't drift
-    * between the oracle path and the LSH path.
+  /** Exact Jaccard verification of candidate (d1, d2) pairs: re-shingle
+    * ONLY the documents that appear in a candidate pair (semi-join first,
+    * so the shingle pipeline never runs over the rest of the corpus), then
+    * intersect per pair. Candidates are few by construction (LSH banding /
+    * df-capped shingle join), so this touches a vanishing fraction of the
+    * corpus. Shared by `jaccardPairs` and `minHashPairs` so the exact
+    * arithmetic can't drift between the oracle path and the LSH path.
     */
-  private def verifyPairsExact(candidates: DataFrame, arrays: DataFrame,
-                               threshold: Double): DataFrame =
-    candidates
+  private def verifyPairsExact(candidates: DataFrame, docs: DataFrame,
+                               idCol: String, textCol: String, shingleN: Int,
+                               threshold: Double): DataFrame = {
+    // candidates are small by construction (banding/cap bounds them) and
+    // referenced twice below — materialize once so the generator pipeline
+    // (e.g. the full MinHash signature computation) doesn't run per
+    // reference
+    val cand = candidates.localCheckpoint()
+    val needed = cand.select(col("d1").as("needed_id"))
+      .union(cand.select(col("d2")))
+      .distinct()
+    val arrays = tokenArrays(
+      docs.join(needed, col(idCol) === col("needed_id"), "left_semi"),
+      idCol, textCol, shingleN)
+    cand
       .join(arrays.select(col("id").as("d1"), col("toks").as("t1")), "d1")
       .join(arrays.select(col("id").as("d2"), col("toks").as("t2")), "d2")
       .withColumn("c", size(array_intersect(col("t1"), col("t2"))).cast("long"))
       .withColumn("jac", col("c").cast("double") / (size(col("t1")) + size(col("t2")) - col("c")))
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), col("jac"))
+  }
 
   /** All pairs with exact Jaccard similarity >= threshold over word
     * (shingleN=1) or n-gram shingle sets.
     *
-    * Candidate pairs share at least one shingle with document frequency
-    * <= maxShingleDf; candidates are then exactly verified against the full
-    * shingle sets. The df cap bounds the self-join fan-in — worst-case
+    * Pair generation joins only on shingles with document frequency
+    * <= maxShingleDf, which bounds the self-join fan-in — worst-case
     * candidates per shingle is maxShingleDf², never n² — so one hot shingle
     * shared by 10⁶ documents generates nothing instead of 10¹² pairs. The
-    * (documented) trade: a pair whose shared shingles are ALL hotter than
-    * the cap is missed; with the default cap that requires a pair of docs
-    * overlapping only in corpus-cliché shingles, which cannot reach a
-    * meaningful threshold anyway. Exactness of emitted jac values is
-    * unaffected (verification uses the full arrays).
+    * emitted jac values are still EXACT: the shared-hot-shingle count a
+    * capped join misses is added back from per-doc hot-shingle sets (each
+    * at most |hot shingles| long — tiny by construction, since the number
+    * of distinct hot shingles is bounded by corpus_shingle_instances/cap).
+    * The one (documented) trade: a pair whose shared shingles are ALL
+    * hotter than the cap never forms a candidate and is missed; such a pair
+    * overlaps only in corpus-cliché shingles and cannot reach a meaningful
+    * threshold anyway.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 1,
-                   maxShingleDf: Int = 10000): DataFrame =
-    verifyPairsExact(
-      jaccardCandidates(docs, idCol, textCol, shingleN, maxShingleDf),
-      tokenArrays(docs, idCol, textCol, shingleN), threshold)
+                   maxShingleDf: Int = 10000): DataFrame = {
+    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
+    // 64-bit shingle hash, not the shingle string: the shuffle moves 8-byte
+    // keys and the join compares longs. A cross-doc collision (P ≈ n²/2⁶⁴)
+    // could only perturb a count by 1 — negligible at the 4-decimal compare.
+    val toks = arrays.select(col("id"), explode(col("toks")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    val sizes = arrays.select(col("id"), size(col("toks")).as("sz"))
+    def pairCounts(tokSrc: DataFrame): DataFrame = tokSrc.as("a")
+      .join(tokSrc.withColumnRenamed("id", "id2").as("b"),
+        col("a.th") === col("b.th") && col("a.id") < col("id2"))
+      .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    def finish(paired: DataFrame, cExact: org.apache.spark.sql.Column): DataFrame =
+      paired
+        .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("cx", cExact)
+        .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
+        .filter(col("jac") >= threshold)
+        .select(col("d1"), col("d2"), col("jac"))
+    // a shingle's df is bounded by the document count, so the cap is
+    // provably a no-op when n_docs <= cap — skip the df pass entirely (one
+    // cheap plan-time count; parquet answers it from footer metadata)
+    if (docs.count() <= maxShingleDf) {
+      finish(pairCounts(toks), col("c"))
+    } else {
+      // hot shingle hashes, materialized eagerly: the table is tiny
+      // (bounded by shingle_instances/cap) and referenced twice below — an
+      // inline subplan would re-run the corpus tokenization per reference
+      val hotTokens = toks.groupBy("th").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select("th").localCheckpoint()
+      val capped = toks.join(hotTokens, Seq("th"), "left_anti")
+      // per-doc hot-shingle sets — the exact correction term for pairs
+      // whose shared shingles include hot ones
+      val hotDocToks = toks.join(hotTokens, Seq("th"), "left_semi")
+        .groupBy("id").agg(collect_set(col("th")).as("hot_ths"))
+      // exact intersection = shared rare shingles (counted by the join) +
+      // shared hot shingles (intersect of the two per-doc hot sets)
+      val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
+        size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(0L)
+      finish(
+        pairCounts(capped)
+          .join(hotDocToks.select(col("id").as("d1"), col("hot_ths").as("h1")), Seq("d1"), "left")
+          .join(hotDocToks.select(col("id").as("d2"), col("hot_ths").as("h2")), Seq("d2"), "left"),
+        col("c") + cHot)
+    }
+  }
 
   /** Candidate (d1, d2) pairs sharing at least one shingle with document
     * frequency <= maxShingleDf. Public so tests and profiling can measure
@@ -79,17 +140,11 @@ object Dedup {
     */
   def jaccardCandidates(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, maxShingleDf: Int): DataFrame = {
-    // self-join on the 64-bit shingle hash, not the shingle string: the
-    // shuffle moves 8-byte keys instead of ~20-char strings and the join
-    // compares longs. A cross-doc 64-bit collision (P ≈ n²/2⁶⁴) could only
-    // add a candidate, which exact verification then rejects.
     val toks = tokenSets(docs, idCol, textCol, shingleN)
       .select(col("id"), xxhash64(col("tok")).as("th"))
-    // document frequency cap as a window over the same key the join
-    // shuffles on — the count and both join sides reuse one exchange
-    val dfW = org.apache.spark.sql.expressions.Window.partitionBy("th")
-    val capped = toks.withColumn("df", count(lit(1)).over(dfW))
-      .filter(col("df") <= maxShingleDf).drop("df")
+    val hotTokens = toks.groupBy("th").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("th")
+    val capped = toks.join(hotTokens, Seq("th"), "left_anti")
     capped.as("a")
       .join(capped.withColumnRenamed("id", "id2").as("b"),
         col("a.th") === col("b.th") && col("a.id") < col("id2"))
@@ -145,7 +200,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && col("x.id") < col("id2"))
       .select(col("x.id").as("d1"), col("id2").as("d2"))
       .distinct()
-    verifyPairsExact(candidates, tokenArrays(docs, idCol, textCol, shingleN), threshold)
+    verifyPairsExact(candidates, docs, idCol, textCol, shingleN, threshold)
   }
 
   /** 64-bit SimHash over the token set: bit b is the sign of the vote

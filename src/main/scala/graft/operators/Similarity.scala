@@ -111,38 +111,150 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
-  /** IVF-style ANN: partition the corpus into `numCentroids` Voronoi cells,
-    * probe the `nprobe` cells nearest each query, score only those cells.
+  /** Deterministic k-means centroids for the IVF index, computed at
+    * index-build time — the k-means‖ shape:
     *
-    * Centroid selection here is the deterministic baseline (the first
-    * `numCentroids` vectors by id); a production index would k-means them —
-    * the assignment/probe/scoring dataflow is identical. Candidates per
-    * query ≈ n·nprobe/numCentroids, the scale lever at 100 TB: centroids are
-    * broadcast, the corpus is scanned once for assignment (a write-time,
-    * amortizable step) and the query join touches only probed cells.
+    *  1. deterministic oversample: the `8·k` corpus vectors with the
+    *     smallest `xxhash64(id)` — a uniform pseudo-random sample, no RNG
+    *     state, stable across runs and cluster layouts;
+    *  2. k-means++ seeding + Lloyd on that bounded sample, locally (driver
+    *     model fitting over ≤ 8·k rows — the same finishing step MLlib's
+    *     k-means‖ uses; a plain k-of-k init collapses when two seeds land
+    *     in one true cluster);
+    *  3. distributed Lloyd refinement over the full corpus: cosine
+    *     assignment against broadcast centroids, per-cell per-dimension
+    *     mean (posexplode + avg — one shuffle keyed on (cell, dim), never a
+    *     driver-side matrix), empty cells keep their previous centroid so k
+    *     never shrinks. Each round's centroids are k tiny rows,
+    *     localCheckpoint'd to truncate the iteration lineage; k·dim values
+    *     stay broadcast-sized by construction. Means stay double
+    *     (vector_dot accepts mixed float/double sides).
     */
-  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCentroids: Int = 16,
-              nprobe: Int = 4): DataFrame = {
-    val cent = vectors.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // nearest centroid per corpus vector (ties broken by lowest cid)
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      numCentroids: Int, iterations: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
     val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val assigned = v.crossJoin(broadcast(cent))
+    val initOrder = Seq(xxhash64(col("nid")), col("nid"))
+    val sample = v.orderBy(initOrder: _*).limit(8 * numCentroids)
+      .select(col("nv")).collect()
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue).toArray)
+    val seeds = localKMeans(sample, numCentroids)
+    import spark.implicits._
+    var cent = seeds.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toSeq) }.toSeq
+      .toDF("cid", "cv")
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(v.toDF("nid", "nv"), "nid", "nv", cent)
+      val means = assigned
+        .select(col("cell").as("cid"), posexplode(col("nv")))
+        .groupBy("cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      cent = means
+        .unionByName(cent.join(means.select("cid"), Seq("cid"), "left_anti")
+          .select(col("cid"), transform(col("cv"), x => x.cast("double")).as("cv")))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** k-means++ seeding + Lloyd over a bounded in-memory sample (cosine
+    * distance), fixed seed — deterministic. Empty clusters keep their seed.
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+                          iters: Int = 10): Array[Array[Double]] = {
+    require(points.nonEmpty, "kmeansCentroids: empty corpus")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / math.max(math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)), 1e-300)
+    val rng = new java.util.SplittableRandom(42L)
+    val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(points.length)))
+    while (centers.size < math.min(k, points.length)) {
+      // k-means++: next seed drawn proportional to squared cosine distance
+      val d2 = points.map { p => val m = centers.map(c => 1.0 - cos(p, c)).min; m * m }
+      val total = d2.sum
+      if (total <= 0) centers += points(rng.nextInt(points.length))
+      else {
+        var r = rng.nextDouble() * total
+        var idx = 0
+        while (idx < d2.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+        centers += points(idx)
+      }
+    }
+    // degenerate k > |points|: cycle existing seeds so k never shrinks
+    var cycle = 0
+    while (centers.size < k) { centers += centers(cycle % points.length); cycle += 1 }
+    val dim = points.head.length
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestCos = -2.0
+        var c = 0
+        while (c < k) {
+          val s = cos(p, centers(c))
+          if (s > bestCos) { bestCos = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      for (c <- 0 until k if counts(c) > 0)
+        centers(c) = sums(c).map(_ / counts(c))
+    }
+    centers.toArray
+  }
+
+  /** Nearest-centroid cell per corpus vector (ties broken by lowest cid):
+    * one scan against broadcast centroids.
+    */
+  def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame =
+    vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("nv"), col("cv")))
       .groupBy("nid")
       .agg(max_by(struct(col("nv"), col("cid")), struct(col("ccos"), -col("cid"))).as("best"))
       .select(col("nid"), col("best.nv").as("nv"), col("best.cid").as("cell"))
+
+  /** IVF index artifacts: broadcastable centroids `(cid, cv)` and the
+    * corpus with its assigned cell `(nid, nv, cell)`. Built once at write
+    * time; in a real deployment `assigned` is persisted partitioned by
+    * `cell` so probes prune cells at scan time.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+                    numCentroids: Int, kmeansIterations: Int = 3): IvfIndex = {
+    val cent = kmeansCentroids(vectors, idCol, vecCol, numCentroids, kmeansIterations)
+    IvfIndex(cent, assignCells(spread(vectors), idCol, vecCol, cent))
+  }
+
+  /** IVF-style ANN over a prebuilt index: probe the `nprobe` cells nearest
+    * each query, score only those cells. Candidates per query ≈
+    * n·nprobe/numCentroids, the scale lever at 100 TB: centroids are
+    * broadcast, the corpus was scanned once for assignment (a write-time,
+    * amortizable step) and the query join touches only probed cells.
+    */
+  def ivfTopK(index: IvfIndex, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     // nprobe nearest centroids per query
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(cent))
+    val probes = q.crossJoin(broadcast(index.centroids))
       .withColumn("pcos", cosine(col("qv"), col("cv")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid").as("cell"))
     // exact scoring within probed cells only
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
@@ -150,6 +262,13 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
+
+  /** Convenience form: build the k-means index inline, then query it. */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCentroids: Int = 16,
+              nprobe: Int = 4): DataFrame =
+    ivfTopK(buildIvfIndex(vectors, idCol, vecCol, numCentroids),
+      queries, idCol, vecCol, k, nprobe)
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
     * multi-table LSH-bucketed so the pair join is per-bucket, not n². High

@@ -40,10 +40,20 @@ trait Loader {
   def pqdbDir: String = s"${config.dataDir}/interim/pqdb/$sourceDatabase/$sourceDataset"
   def transformedDir: String = s"${config.dataDir}/interim/transformed_pqdb/$sourceDatabase/$sourceDataset"
 
-  /** Network fetch hook — intentionally inert in this build (zero-egress);
-    * structure mirrors `base.py:140-151` (skip when rawDir exists).
+  /** (url → destination) pairs to stage into `rawDir`. Loaders with remote
+    * sources declare their file list here (for index-driven sources, via
+    * `Fetcher.listIndex`); empty in the zero-egress build, where raw files
+    * are placed locally. Exercised against `file://` URLs in LoadersSpec.
     */
-  def download(): Unit = ()
+  def fetchPlan: Seq[(String, String)] = Nil
+
+  /** Network fetch (`base.py:140-151`, `alexandria.py:106-127`): stream the
+    * fetch plan down over a worker pool with skip-if-exists caching. A no-op
+    * when the plan is empty.
+    */
+  def download(): Unit =
+    if (fetchPlan.nonEmpty)
+      Fetcher.downloadAll(fetchPlan, config.numWorkers, config.timeoutSeconds)
 
   /** Read the raw staged files into a source-shaped DataFrame. */
   def load(): DataFrame
@@ -66,6 +76,9 @@ trait Loader {
   def run(): DataFrame = {
     if (config.downloadFromScratch) rm(rawDir) // base.py:225-226 parity
     download()
+    // zipped raw stages (MC3D CIF bundle, JARVIS datasets) extract in place,
+    // archive deleted afterwards (mc3d.py:79-85, jarvis.py:50-59)
+    Fetcher.unzipAll(rawDir)
     if (config.ingestFromScratch) rm(pqdbDir)
     if (!exists(pqdbDir)) load().write.mode("overwrite").parquet(pqdbDir)
     val staged = spark.read.parquet(pqdbDir)
@@ -221,7 +234,13 @@ final case class Mc3dLoader(spark: SparkSession, config: LoaderConfig,
 
   def load(): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(s"$rawDir/*.cif")
+    // recursive lookup: the zipped CIF bundle extracts into a subdirectory
+    // (MC3D-cifs/mc3d/*.cif in the reference, mc3d.py:90-92), so the raw
+    // stage may hold CIFs at any depth under rawDir
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.cif")
+      .option("recursiveFileLookup", "true")
+      .load(rawDir)
       .select(col("path"), col("content").cast("string").as("text"))
       .as[(String, String)]
     val parsed = files.map { case (path, text) =>

@@ -48,6 +48,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("capped jaccardPairs emits exact jac values (hot-shingle correction term)") {
+    // 10 docs share a hot prefix (df=10 > cap=5); docs 100/101 additionally
+    // share a rare tail, so their pair forms via rare shingles but its exact
+    // intersection includes the hot prefix shingles — the correction term
+    val filler = (0L until 8L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta filler$i only$i here$i"))
+    val nearDup = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta shared rare tail content one"),
+      (101L, "alpha beta gamma delta epsilon zeta shared rare tail content two"))
+    val corpus = (filler ++ nearDup).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5, shingleN = 3,
+        maxShingleDf = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.jaccardPairs(corpus, "doc_id", "text", 0.5, shingleN = 3,
+        maxShingleDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped.contains((100L, 101L)))
+    // every pair the capped path emits carries the EXACT jac value
+    capped.foreach { case (k, v) => assert(math.abs(uncapped(k) - v) < 1e-12,
+      s"pair $k capped=$v uncapped=${uncapped(k)}") }
+  }
+
   test("minHashPairs matches exact jaccardPairs at high threshold") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

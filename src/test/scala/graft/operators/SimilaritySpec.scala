@@ -55,6 +55,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall $recall below 0.8")
   }
 
+  /** Block-clustered fixture: ids 0..per-1 are cluster 0, the next block
+    * cluster 1, ... — so "first k ids" centroid selection (the r2 stand-in)
+    * picks every centroid from cluster 0.
+    */
+  private def blockClustered(clusters: Int, per: Int, dim: Int, jitter: Double): Seq[(Long, Seq[Float])] = {
+    val rng = new java.util.SplittableRandom(11L)
+    val bases = Seq.fill(clusters)(Seq.fill(dim)(rng.nextDouble() * 2 - 1))
+    (0 until clusters * per).map { i =>
+      val v = bases(i / per).map(x => (x + (rng.nextDouble() * 2 - 1) * jitter).toFloat)
+      (i.toLong, v)
+    }
+  }
+
+  test("k-means IVF centroids separate clusters and beat the first-k stand-in") {
+    import org.apache.spark.sql.functions._
+    val df = blockClustered(clusters = 4, per = 25, dim = 16, jitter = 0.05)
+      .toDF("vec_id", "embedding")
+    val km = Similarity.buildIvfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    // every cell holds exactly one cluster's 25 members — k-means found the
+    // block structure from a same-cluster-only init sample's perspective
+    val cellSizes = km.assigned.groupBy("cell").count().collect().map(_.getLong(1)).sorted
+    assert(cellSizes.toSeq === Seq(25L, 25L, 25L, 25L),
+      s"k-means cells unbalanced: ${cellSizes.mkString(",")}")
+    // the r2 stand-in (first k ids = all cluster-0 vectors) cannot separate:
+    // one cell swallows the three other clusters
+    val naiveCent = df.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val naive = Similarity.IvfIndex(naiveCent,
+      Similarity.assignCells(df, "vec_id", "embedding", naiveCent))
+    val naiveMax = naive.assigned.groupBy("cell").count().collect().map(_.getLong(1)).max
+    // with all centroids inside cluster 0, some cell must swallow more than
+    // one whole foreign cluster — unbalanced in a way k-means is not
+    assert(naiveMax > 50L, s"fixture not pathological for the stand-in: max cell $naiveMax")
+    // recall at nprobe=1: the balanced index must not be worse
+    val q = df.filter($"vec_id".isin(0L, 30L, 60L, 90L))
+    val exact = Similarity.cosineTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    def recall(ix: Similarity.IvfIndex): Double = {
+      val got = Similarity.ivfTopK(ix, q, "vec_id", "embedding", k = 5, nprobe = 1)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val (rk, rn) = (recall(km), recall(naive))
+    assert(rk >= rn, s"k-means recall $rk below stand-in recall $rn")
+    assert(rk >= 0.95, s"k-means recall $rk below 0.95 at nprobe=1 on separable clusters")
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates and no unrelated pairs") {
     val rng = new java.util.SplittableRandom(7L)
     val base = Seq.fill(32)(rng.nextDouble() * 2 - 1)

@@ -171,6 +171,47 @@ class LoadersSpec extends SparkSpec {
     assert(xyz.zip(Seq(1.0, 1.0, 1.0)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("Mc3dLoader.run(): zipped CIF raw stage extracts in place and parses (R4)") {
+    val dataDir = freshDataDir("mc3dzip")
+    val loader = Mc3dLoader(spark, LoaderConfig(dataDir))
+    Files.createDirectories(Paths.get(loader.rawDir))
+    // zip nests the CIFs the way the reference's bundle does (MC3D-cifs/mc3d/)
+    val zip = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(Paths.get(s"${loader.rawDir}/mc3d_cifs.zip")))
+    zip.putNextEntry(new java.util.zip.ZipEntry("MC3D-cifs/mc3d/mc3d-9.cif"))
+    zip.write(cif.getBytes("UTF-8")); zip.closeEntry(); zip.close()
+
+    val out = loader.run()
+    assert(out.count() === 1)
+    assert(out.select(col("source_id")).head().getString(0) === "mc3d-9")
+    // archive consumed, extracted file staged
+    assert(!Files.exists(Paths.get(s"${loader.rawDir}/mc3d_cifs.zip")))
+    assert(Files.exists(Paths.get(s"${loader.rawDir}/MC3D-cifs/mc3d/mc3d-9.cif")))
+  }
+
+  test("download() drives the Fetcher over the fetch plan (file:// URLs, R1/R5)") {
+    val dataDir = freshDataDir("fetch")
+    val srcDir = Files.createDirectories(Paths.get("target/tmp/loaders/fetch-src"))
+    val src = srcDir.resolve("alexandria_000.json")
+    Files.writeString(src, alexEntry)
+    val cfg = LoaderConfig(dataDir)
+    val delegate = AlexandriaLoader(spark, cfg)
+    val loader: Loader = new Loader {
+      val spark = LoadersSpec.this.spark
+      val config = cfg
+      val sourceDatabase = "alexandria"
+      val sourceDataset = "3d"
+      override def fetchPlan =
+        Seq((src.toUri.toString, s"$rawDir/alexandria_000.json"))
+      def load() = delegate.load()
+      def transform(df: org.apache.spark.sql.DataFrame) = delegate.transform(df)
+    }
+    val out = loader.run()
+    assert(out.count() === 1)
+    assert(out.select(col("source_id")).head().getString(0) === "agm-1")
+    assert(Files.exists(Paths.get(s"${loader.rawDir}/alexandria_000.json")))
+  }
+
   test("LoaderRegistry rejects unknown loaders with the available listing") {
     val e = intercept[IllegalArgumentException](
       LoaderRegistry.getLoader("jarvis", "dft_3d", spark, LoaderConfig("target/tmp/x")))
