@@ -270,6 +270,32 @@ object Similarity {
     ivfTopK(buildIvfIndex(vectors, idCol, vecCol, numCentroids),
       queries, idCol, vecCol, k, nprobe)
 
+  /** Approximate k-NN graph: top-k cosine neighbors for EVERY corpus vector
+    * (the batch form a training pipeline needs for semantic dedup
+    * clustering, diversity sampling, or graph-based curation). Brute force
+    * is n² and broadcast-based `ivfTopK` assumes a small query side; here
+    * BOTH sides are the corpus, so the probe join is a plain shuffle join
+    * keyed on the cell id — candidates per vector ≈ n·nprobe/numCentroids,
+    * co-partitioned by cell, no broadcast of anything but the centroids.
+    */
+  def ivfSelfTopK(index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(index.assigned.sparkSession)
+    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"))
+      .crossJoin(broadcast(index.centroids))
+      .withColumn("pcos", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+    val scored = index.assigned.join(probes, Seq("cell")) // shuffle join on cell
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
     * multi-table LSH-bucketed so the pair join is per-bucket, not n². High
     * tau means tiny angle, so per-table collision probability is high and

@@ -316,7 +316,8 @@ object ExtQueries {
           "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
           "ORDER BY 1, 2")),
 
-    // IVF ANN (centroid probe; recall vs exact asserted in SimilaritySpec)
+    // IVF ANN (k-means centroids built inline; recall vs exact asserted in
+    // SimilaritySpec — a deployment builds the index once at write time)
     DeclaredQuery(
       "q_ext_sim3",
       (s, d) => {
@@ -325,6 +326,24 @@ object ExtQueries {
             k = 10, numCentroids = 16, nprobe = 4)
           .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
           .orderBy("qid", "rn")
+      },
+      None),
+
+    // approximate k-NN graph over the whole corpus (batch ANN: both sides
+    // are the corpus, probe join keyed on IVF cell — no broadcast of data).
+    // Summarized per vector (neighbor count + top-1) to keep the dump
+    // bounded; recall vs exact asserted in SimilaritySpec. Rows-only.
+    DeclaredQuery(
+      "q_ext_sim4",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding", numCentroids = 16)
+        Similarity.ivfSelfTopK(index, k = 5, nprobe = 4)
+          .groupBy(col("qid"))
+          .agg(count(lit(1)).as("n_neighbors"),
+            max(when(col("rn") === 1, col("nid"))).as("top1"),
+            r4(max(when(col("rn") === 1, col("cos")))).as("top1_cos"))
+          .orderBy("qid")
       },
       None),
 

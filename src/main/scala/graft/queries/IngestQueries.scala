@@ -164,5 +164,38 @@ object IngestQueries {
       },
       Some(
         "SELECT count(*) AS n_rows, CAST(ceil(count(*)/8192.0) AS INTEGER) AS n_files, " +
-          "true AS files_bounded FROM lineitem")))
+          "true AS files_bounded FROM lineitem")),
+
+    // byte-targeted normalize with a range-sorted layout: after
+    // normalizeToBytes(sortBy=l_orderkey), the footer min/max ranges on the
+    // sort key must be (near-)disjoint across row groups — the precondition
+    // for row-group data skipping — and a sort-key predicate must reach the
+    // scan as a pushed filter. The plan assertion runs at build time
+    // (q_scan2 pattern); the oracle checks the row counts.
+    DeclaredQuery(
+      "q_norm2",
+      (s, d) => {
+        val db = freshDb(s, "q_norm2")
+        db.create(Tables.load(s, d, "lineitem"))
+        db.normalizeToBytes(targetBytesPerFile = 512 * 1024, sortBy = Seq("l_orderkey"))
+        val ranges = graft.sources.ParquetStats.columnRanges(db.dir, "l_orderkey")
+        require(ranges.nonEmpty, "q_norm2: no l_orderkey footer stats after normalize")
+        // sorted-by-min ranges may touch at a boundary key (maxRecordsPerFile
+        // can split one key across files) but must never interleave
+        val sortedR = ranges.sortBy(_._1)
+        val disjoint = sortedR.zip(sortedR.drop(1)).forall { case ((_, hi), (lo2, _)) => lo2 >= hi }
+        val pruned = db.read().filter(col("l_orderkey") <= 1000)
+        val scan = pruned.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.headOption.getOrElse(throw new IllegalStateException("no FileSourceScan in q_norm2 plan"))
+        require(scan.dataFilters.exists(_.references.exists(_.name == "l_orderkey")),
+          s"q_norm2: l_orderkey filter not pushed to the scan (dataFilters=${scan.dataFilters})")
+        pruned.agg(count(lit(1)).as("n_under"))
+          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir)))
+          .withColumn("ranges_disjoint", lit(disjoint))
+          .select(col("n_total"), col("n_under"), col("ranges_disjoint"))
+      },
+      Some(
+        "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_under, " +
+          "true AS ranges_disjoint FROM lineitem WHERE l_orderkey <= 1000")))
 }

@@ -50,9 +50,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   /** Projected / filtered read (ParquetDB `read`, base.py:188-193).
     * `mergeSchema` reproduces the permissive union across appended batches
     * with evolved schemas; nested structs need no rebuild (parquet native).
+    *
+    * @param options per-read tuning (the reference's per-call `LoadConfig`,
+    *                base.py:224,239 — batch sizing etc.): Spark parquet
+    *                source options, e.g. `vectorized reader batch size` via
+    *                `spark.sql.parquet.columnarReaderBatchSize` is session
+    *                level, but per-read knobs like `mergeSchema`,
+    *                `datetimeRebaseMode`, `int96RebaseMode`,
+    *                `modifiedAfter/Before`, `pathGlobFilter`,
+    *                `recursiveFileLookup` apply here. Caller-supplied keys
+    *                override the defaults (incl. mergeSchema).
     */
-  def read(columns: Seq[String] = Nil, filter: Option[Column] = None): DataFrame = {
-    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+  def read(columns: Seq[String] = Nil, filter: Option[Column] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read
+      .options(Map("mergeSchema" -> "true") ++ options)
+      .parquet(dir)
     val filtered = filter.map(base.filter).getOrElse(base)
     if (columns.isEmpty) filtered else filtered.select(columns.map(c => col(s"`$c`")): _*)
   }
@@ -108,14 +121,15 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * estimate is conservative by `safety` so post-rewrite compression-ratio
     * drift doesn't overshoot the target.
     */
-  def normalizeToBytes(targetBytesPerFile: Long, safety: Double = 0.9): Unit = {
+  def normalizeToBytes(targetBytesPerFile: Long, safety: Double = 0.9,
+                       sortBy: Seq[String] = Nil): Unit = {
     val stats = fileStats
     val totalBytes = stats.map(_.fileBytes).sum
     val totalRows = stats.map(_.numRows).sum
     require(totalRows > 0, s"normalizeToBytes on empty table $dir")
     val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
     val maxRows = math.max(1L, (targetBytesPerFile * safety / bytesPerRow).toLong)
-    normalize(maxRows)
+    normalize(maxRows, sortBy)
   }
 
   /** Replication surface (reference R11: HuggingFace snapshot up/download,

@@ -52,4 +52,26 @@ object ParquetStats {
   }
 
   def totalRows(dir: String): Long = fileStats(dir).map(_.numRows).sum
+
+  /** Per-row-group (min, max) footer statistics of a numeric column across
+    * the table — exactly the stats the parquet reader's row-group skipping
+    * consults. Footer-only; row groups without usable stats are omitted.
+    */
+  def columnRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    val conf = new Configuration()
+    listParquetFiles(dir).flatMap { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getFooter.getBlocks.asScala.toIndexedSeq.flatMap { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>
+          val st = c.getStatistics
+          if (st == null || !st.hasNonNullValue) None
+          else (st.genericGetMin, st.genericGetMax) match {
+            case (mn: java.lang.Number, mx: java.lang.Number) =>
+              Some((mn.longValue, mx.longValue))
+            case _ => None
+          }
+        }
+      } finally reader.close()
+    }
+  }
 }

@@ -102,6 +102,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rk >= 0.95, s"k-means recall $rk below 0.95 at nprobe=1 on separable clusters")
   }
 
+  test("ivfSelfTopK approximates the exact k-NN graph on clustered data") {
+    val df = blockClustered(clusters = 4, per = 20, dim = 16, jitter = 0.05)
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    val graph = Similarity.ivfSelfTopK(index, k = 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val recall = (exact & graph).size.toDouble / exact.size
+    assert(recall >= 0.9, s"k-NN graph recall $recall below 0.9")
+    // every vector gets neighbors
+    assert(graph.map(_._1).size === 80)
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates and no unrelated pairs") {
     val rng = new java.util.SplittableRandom(7L)
     val base = Seq.fill(32)(rng.nextDouble() * 2 - 1)

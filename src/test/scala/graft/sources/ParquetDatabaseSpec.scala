@@ -57,6 +57,17 @@ class ParquetDatabaseSpec extends SparkSpec {
     }
   }
 
+  test("per-read options reach the parquet source (P8 LoadConfig parity)") {
+    val db = freshDb("readopts")
+    db.create(Seq((1L, "a")).toDF("id", "x"))
+    db.create(Seq((2L, 3.5)).toDF("id", "y"))
+    // default read merges schemas across batches; a per-read override turns
+    // it off and reads a single batch's schema
+    assert(db.read().columns.toSet === Set("id", "x", "y"))
+    val unmerged = db.read(options = Map("mergeSchema" -> "false"))
+    assert(unmerged.columns.length < 3, s"mergeSchema override ignored: ${unmerged.columns.toSeq}")
+  }
+
   test("exportTo replicates the table; replica reads identically") {
     val db = freshDb("exp")
     db.create(Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
