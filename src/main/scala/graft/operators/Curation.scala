@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs around the
+  * dedup/similarity/text-analysis families: deterministic splits, sequence
+  * packing, PII-style masking.
+  *
+  * Scale design: everything here is either a pure expression program
+  * (split, masking — whole-stage codegen, no shuffle) or one window per
+  * shard (packing — shuffle keyed on the shard id, shards chosen by the
+  * caller to match write parallelism).
+  */
+object Curation {
+
+  /** Deterministic split bucket in [0, totalWeight): fold the first two hex
+    * chars of md5(key) to an int. Engine-portable (md5 hex + ascii are
+    * identical across Spark and DuckDB) and stable under repartitioning and
+    * re-ingestion — unlike `rand(seed)`, whose draw depends on the physical
+    * partitioning.
+    */
+  def splitBucket(key: Column, totalWeight: Int): Column =
+    (ascii(substring(md5(key.cast("string")), 1, 1)) * 256 +
+      ascii(substring(md5(key.cast("string")), 2, 1))) % totalWeight
+
+  /** Assign each row a named split (e.g. train/val/test at 8/1/1) from the
+    * deterministic bucket of its key.
+    */
+  def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplit: empty split spec")
+    val total = splits.map(_._2).sum
+    val b = splitBucket(col(keyCol), total)
+    var acc = 0
+    var cases: Column = null
+    splits.init.foreach { case (name, w) =>
+      acc += w
+      cases = if (cases == null) when(b < acc, name) else cases.when(b < acc, name)
+    }
+    val split = if (cases == null) lit(splits.head._1) else cases.otherwise(splits.last._1)
+    df.withColumn("split", split)
+  }
+
+  /** Contiguous-fill sequence packing: shard rows by key mod numShards,
+    * then fill fixed-capacity token bins in key order within each shard —
+    * `bin` and `bin_offset` are running-sum window functions, so the whole
+    * assignment is one shuffle keyed on the shard. Deterministic given the
+    * key order. Docs longer than the capacity span bins (the trainer's
+    * chunker handles intra-doc splits).
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokens: Column,
+                    numShards: Int, capacity: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+      .withColumn("n_tok", nTokens)
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", floor(col("start_tok") / lit(capacity.toDouble)))
+      .withColumn("bin_offset", col("start_tok") % capacity)
+  }
+
+  /** Mask all but the last `keep` characters of a column (PII-style
+    * masking before a corpus leaves curation). SQL-expression based so the
+    * identical text runs on the oracle engine.
+    */
+  def maskTail(colName: String, keep: Int): Column =
+    expr(s"repeat('*', greatest(length($colName)-$keep,0)) || right($colName,$keep)")
+}

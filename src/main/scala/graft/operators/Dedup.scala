@@ -134,6 +134,54 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus exact Jaccard pairs: every (left doc, right doc) pair
+    * with similarity >= threshold — the incremental-ingest form of
+    * [[jaccardPairs]] (dedup an incoming batch against an existing corpus;
+    * decontaminate a training set against an eval set). Same df-cap fan-in
+    * bound and exact hot-shingle correction, with document frequency
+    * measured over BOTH corpora combined.
+    */
+  def jaccardPairsBetween(left: DataFrame, right: DataFrame, idCol: String,
+                          textCol: String, threshold: Double, shingleN: Int = 1,
+                          maxShingleDf: Int = 10000): DataFrame = {
+    val la = tokenArrays(left, idCol, textCol, shingleN)
+    val ra = tokenArrays(right, idCol, textCol, shingleN)
+    def hashed(arrays: DataFrame) = arrays
+      .select(col("id"), explode(col("toks")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    val (lt, rt) = (hashed(la), hashed(ra))
+    val lsz = la.select(col("id"), size(col("toks")).as("sz"))
+    val rsz = ra.select(col("id"), size(col("toks")).as("sz"))
+    def pairCounts(a: DataFrame, b: DataFrame): DataFrame = a.as("a")
+      .join(b.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th"))
+      .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    def finish(paired: DataFrame, cExact: org.apache.spark.sql.Column): DataFrame =
+      paired
+        .join(lsz.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(rsz.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("cx", cExact)
+        .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
+        .filter(col("jac") >= threshold)
+        .select(col("d1"), col("d2"), col("jac"))
+    if (left.count() + right.count() <= maxShingleDf) {
+      finish(pairCounts(lt, rt), col("c"))
+    } else {
+      val hotTokens = lt.unionByName(rt).groupBy("th").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf).select("th").localCheckpoint()
+      def capped(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_anti")
+      def hotSets(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_semi")
+        .groupBy("id").agg(collect_set(col("th")).as("hot_ths"))
+      val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
+        size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(0L)
+      finish(
+        pairCounts(capped(lt), capped(rt))
+          .join(hotSets(lt).select(col("id").as("d1"), col("hot_ths").as("h1")), Seq("d1"), "left")
+          .join(hotSets(rt).select(col("id").as("d2"), col("hot_ths").as("h2")), Seq("d2"), "left"),
+        col("c") + cHot)
+    }
+  }
+
   /** Candidate (d1, d2) pairs sharing at least one shingle with document
     * frequency <= maxShingleDf. Public so tests and profiling can measure
     * the fan-in bound directly.

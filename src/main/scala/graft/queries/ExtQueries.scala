@@ -89,6 +89,17 @@ object ExtQueries {
       "LEFT JOIN rep r ON k.doc_id = r.doc_id " +
       "WHERE r.rep IS NULL OR r.rep = k.doc_id ORDER BY k.doc_id"
 
+  /** Cross-set variant of [[jaccardCtes]]: intersections between the
+    * incoming batch (doc_id % 10 == 0) and the rest of the corpus.
+    */
+  private def jaccardCtes2: String =
+    "words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+      "tok AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+      "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok FROM words), " +
+      "sz2 AS (SELECT doc_id, count(*) sz FROM tok GROUP BY 1), " +
+      "inter2 AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c FROM tok a JOIN tok b " +
+      "ON a.tok=b.tok AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1,2)"
+
   /** DuckDB exact word-3-gram-shingle Jaccard pairs at a threshold. */
   private def jaccardSql(tau: Double): String =
     s"WITH $jaccardCtes " +
@@ -214,6 +225,75 @@ object ExtQueries {
           .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
           .orderBy("d1", "d2"),
       Some(jaccardSql(0.8))),
+
+    // cross-corpus dedup: incoming batch (doc_id % 10 == 0) against the
+    // existing corpus — the incremental-ingest / decontamination form.
+    // Oracle is the exact cross-set Jaccard SQL.
+    DeclaredQuery(
+      "q_ext_dedup7",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.jaccardPairsBetween(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text", threshold = 0.6, shingleN = 3)
+          .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        s"WITH $jaccardCtes2 " +
+          "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
+          "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6 ORDER BY 1,2")),
+
+    // deterministic train/val/test split: md5-prefix bucket of the key —
+    // engine-portable and stable under repartitioning/re-ingestion (a
+    // rand(seed) split is neither)
+    DeclaredQuery(
+      "q_ext_split1",
+      (s, d) =>
+        graft.operators.Curation.assignSplit(Tables.load(s, d, "documents"),
+            "doc_id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split " +
+          "FROM (SELECT doc_id, (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1))*256 " +
+          "+ ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 10 AS b FROM documents) " +
+          "ORDER BY doc_id")),
+
+    // sequence packing: shard by key, contiguous-fill fixed-capacity token
+    // bins in key order (the batch-assembly step before training)
+    DeclaredQuery(
+      "q_ext_pack1",
+      (s, d) =>
+        graft.operators.Curation.packSequences(Tables.load(s, d, "documents"),
+            "doc_id", TextFunctions.tokenCount(col("text")).cast("long"),
+            numShards = 8, capacity = 2048)
+          .select(col("doc_id"), col("shard"), col("bin"), col("bin_offset"), col("n_tok"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH t AS (SELECT doc_id, doc_id % 8 AS shard, " +
+          "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents), " +
+          "c AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok FROM t) " +
+          "SELECT doc_id, shard, CAST(floor(start_tok/2048.0) AS BIGINT) AS bin, " +
+          "CAST(start_tok % 2048 AS BIGINT) AS bin_offset, n_tok FROM c ORDER BY doc_id")),
+
+    // PII-style masking + well-formedness flag (curation before a corpus
+    // leaves the pipeline); the mask is the same SQL text on both engines
+    DeclaredQuery(
+      "q_ext_pii1",
+      (s, d) =>
+        Tables.load(s, d, "customer")
+          .select(col("c_custkey"),
+            graft.operators.Curation.maskTail("c_name", 4).as("masked_name"),
+            col("c_name").rlike("^Customer#[0-9]+$").as("well_formed"))
+          .orderBy("c_custkey"),
+      Some(
+        "SELECT c_custkey, repeat('*', greatest(length(c_name)-4,0)) || right(c_name,4) AS masked_name, " +
+          "regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed " +
+          "FROM customer ORDER BY c_custkey")),
 
     // SimHash (xxhash64-based — not expressible in DuckDB; rows-only check,
     // quality asserted vs exact Jaccard in the test suite)

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit is deterministic, covers every row, and lands near the weights") {
+    val df = spark.range(10000).toDF("id")
+    val out = Curation.assignSplit(df, "id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(counts("train") > 7500 && counts("train") < 8500, s"train share off: $counts")
+    assert(counts("val") > 600 && counts("val") < 1400, s"val share off: $counts")
+    // stable across shuffling/repartitioning
+    val again = Curation.assignSplit(df.repartition(13), "id", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === again)
+  }
+
+  test("packSequences fills bins contiguously and respects the capacity boundary") {
+    val docs = Seq((0L, 100L), (8L, 900L), (16L, 1200L), (24L, 50L), (1L, 2000L), (9L, 100L))
+      .toDF("doc_id", "n")
+    val out = Curation.packSequences(docs, "doc_id", col("n"), numShards = 8, capacity = 1024)
+      .select("doc_id", "shard", "bin", "bin_offset").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // shard 0 in id order: 100 → (bin0, off0); 900 → (bin0, off100);
+    // 1200 starts at 1000 → bin0? floor(1000/1024)=0, off 1000; 50 starts at 2200 → bin2? floor(2200/1024)=2
+    assert(out(0L) === (0L, 0L, 0L))
+    assert(out(8L) === (0L, 0L, 100L))
+    assert(out(16L) === (0L, 0L, 1000L))
+    assert(out(24L) === (0L, 2L, 152L))
+    // shard 1: 2000 at 0; next starts at 2000 → bin1
+    assert(out(1L) === (1L, 0L, 0L))
+    assert(out(9L) === (1L, 1L, 976L))
+  }
+
+  test("jaccardPairsBetween matches self-join pairs restricted to the cross cut") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (11L, "the quick brown fox jumps over the lazy dog tonight today"),
+      (20L, "completely different words about spark engines and shuffles"),
+      (21L, "completely different words about spark engines and shuffle планы")
+    ).toDF("doc_id", "text")
+    val left = docs.filter(col("doc_id") < 20)
+    val right = docs.filter(col("doc_id") >= 20)
+    // no near-dups ACROSS the cut in this fixture
+    assert(Dedup.jaccardPairsBetween(left, right, "doc_id", "text", 0.6, shingleN = 3).count() === 0)
+    // a cross near-dup is found with its exact value
+    val left2 = docs.filter(col("doc_id") === 10)
+    val right2 = docs.filter(col("doc_id") =!= 10)
+    val cross = Dedup.jaccardPairsBetween(left2, right2, "doc_id", "text", 0.6, shingleN = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val self = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cross.keySet === Set((10L, 11L)))
+    assert(math.abs(cross((10L, 11L)) - self((10L, 11L))) < 1e-12)
+  }
+
+  test("maskTail hides all but the tail") {
+    val out = Seq(("Customer#000000042", 1L)).toDF("c_name", "k")
+      .select(Curation.maskTail("c_name", 4).as("m")).head().getString(0)
+    assert(out === "**************0042")
+  }
+}
