@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * struct, with decode / feature-extraction as distributed per-partition
   * transforms.
   *
-  * The container has no image/audio codecs, so the *decode kernel* is a
-  * clearly-marked deterministic STUB (`stubDecodeImage`) — the Spark-side
-  * plumbing (schema, batching, partition-parallel execution, metadata
-  * propagation) is real and tested, and swapping the stub for a JNI/codec
-  * call changes nothing structurally.
+  * The decode and resize kernels are REAL as of round 3: `javax.imageio`
+  * ships with the JDK (PNG/BMP/GIF/JPEG readers, headless-safe), so no
+  * external codec is needed. Payloads that are not decodable images yield a
+  * null `decoded` struct — honest semantics for mixed binary columns. Only
+  * feature extraction remains a clearly-marked STUB: it stands in for a
+  * model forward pass, which is genuinely external to the engine.
   */
 object Multimodal {
 
@@ -39,15 +40,60 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
-  /** STUB decode kernel — deterministic fake standing in for a real image
-    * decoder (no codecs in this container). Derives plausible dimensions
-    * from the payload bytes so tests are reproducible. Replace the body
-    * with an actual decoder to productionize; the signature (bytes in,
-    * fixed-schema struct out) is the contract.
+  /** REAL decode kernel: `ImageIO.read` over the payload bytes (JDK-native
+    * PNG/BMP/GIF/JPEG readers). Non-image payloads decode to null — the
+    * fixed-schema contract (bytes in, struct-or-null out) is what a JNI
+    * codec for other formats would also satisfy.
     */
-  def stubDecodeImage(bytes: Array[Byte]): Row = {
-    val h = java.util.Arrays.hashCode(bytes)
-    Row(64 + math.abs(h % 512), 64 + math.abs((h >> 9) % 512), 3)
+  def decodeImage(bytes: Array[Byte]): Row = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null
+    else Row(img.getWidth, img.getHeight, img.getRaster.getNumBands)
+  }
+
+  /** Deterministic PNG encoder: a real `width(id) × height(id)` image with
+    * id-seeded pixels, encoded by the JDK PNG writer. Gives the decode path
+    * genuine image bytes on tables that carry none; the dimension formulas
+    * are trivially oracle-expressible (w = 8 + id % 16,
+    * h = 8 + (id / 16) % 16).
+    */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + y.toLong * width + x) & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Attach a generated PNG payload derived from a long id column
+    * (mapPartitions — encoding runs distributed, like any ingest decode).
+    */
+  def withGeneratedPngPayload(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = encodePng((8 + id % 16).toInt, (8 + (id / 16) % 16).toInt, id)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"),
+        lit("image/png").as("mime")))
   }
 
   /** Distributed decode: mapPartitions over the payload column, emitting the
@@ -61,9 +107,43 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+ stubDecodeImage(bytes))
+        Row.fromSeq(r.toSeq :+ decodeImage(bytes))
       }
     }(enc)
+  }
+
+  /** REAL image resize (JDK Graphics2D, headless-safe): decode → scale →
+    * re-encode PNG. Non-image payloads pass through unchanged. Distributed
+    * via mapPartitions like decodeImages.
+    */
+  def resizeImages(df: DataFrame, scale: Double): DataFrame = {
+    require(scale > 0, "resizeImages: scale must be positive")
+    val enc = RowEncoder.encoderFor(df.schema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) r
+        else {
+          val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+            math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val g = out.createGraphics()
+          try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          Row.fromSeq(r.toSeq.updated(payloadIdx, baos.toByteArray))
+        }
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"),
+        col("meta.mime").as("mime")))
   }
 
   /** STUB feature extraction: fixed-length deterministic pseudo-embedding

@@ -427,18 +427,43 @@ object ExtQueries {
       },
       None),
 
-    // multimodal decode: mapPartitions over binary payloads with the
-    // clearly-stubbed decode kernel (rows-only — the stub is JVM-hash based)
+    // multimodal decode, REAL codec round-trip: generate an id-sized PNG
+    // per row (JDK ImageIO — no external codecs needed), decode it back
+    // distributed, and check the recovered dimensions against the closed
+    //-form oracle. This exercises encode + mapPartitions decode + schema
+    // plumbing end-to-end with genuine image bytes.
     DeclaredQuery(
       "q_ext_mm2",
       (s, d) =>
         Multimodal.decodeImages(s,
-            Multimodal.withBinaryPayload(Tables.load(s, d, "documents"), "text", "text/plain"))
-          .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+            Multimodal.withGeneratedPngPayload(
+              Tables.load(s, d, "documents").select(col("doc_id")), "doc_id"))
+          .select(col("doc_id"),
             col("decoded.width").as("width"), col("decoded.height").as("height"),
             col("decoded.channels").as("channels"))
           .orderBy("doc_id"),
-      None),
+      Some(
+        "SELECT doc_id, CAST(8 + doc_id % 16 AS INTEGER) AS width, " +
+          "CAST(8 + (doc_id // 16) % 16 AS INTEGER) AS height, " +
+          "CAST(3 AS INTEGER) AS channels FROM documents ORDER BY doc_id")),
+
+    // multimodal resize, REAL kernel: PNG → half-size → decode; recovered
+    // dimensions follow the same closed form halved (floor, min 1)
+    DeclaredQuery(
+      "q_ext_mm4",
+      (s, d) =>
+        Multimodal.decodeImages(s,
+            Multimodal.resizeImages(
+              Multimodal.withGeneratedPngPayload(
+                Tables.load(s, d, "documents").select(col("doc_id")), "doc_id"),
+              scale = 0.5))
+          .select(col("doc_id"),
+            col("decoded.width").as("width"), col("decoded.height").as("height"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS width, " +
+          "CAST(greatest((8 + (doc_id // 16) % 16) // 2, 1) AS INTEGER) AS height " +
+          "FROM documents ORDER BY doc_id")),
 
     // frame sampling over binary payloads: 16-byte frames, every 2nd kept
     DeclaredQuery(

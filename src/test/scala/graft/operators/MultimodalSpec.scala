@@ -20,14 +20,29 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[String]("mime") === "text/plain")
   }
 
-  test("decodeImages appends the stub-decoded struct deterministically") {
-    val df = Multimodal.withBinaryPayload(docs, "text")
-    val a = Multimodal.decodeImages(spark, df).select("doc_id", "decoded.width", "decoded.height")
-      .orderBy("doc_id").collect().toSeq
-    val b = Multimodal.decodeImages(spark, df).select("doc_id", "decoded.width", "decoded.height")
-      .orderBy("doc_id").collect().toSeq
-    assert(a === b)
-    assert(a.forall(r => r.getInt(1) >= 64 && r.getInt(2) >= 64))
+  test("decodeImages recovers real PNG dimensions; non-image payloads decode to null") {
+    // real PNG bytes round-trip through the JDK codec
+    val png = Multimodal.encodePng(width = 5, height = 3, seed = 7L)
+    val mixed = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(spark, mixed)
+      .orderBy("doc_id").collect()
+    val dec = out(0).getStruct(out(0).fieldIndex("decoded"))
+    assert((dec.getInt(0), dec.getInt(1), dec.getInt(2)) === ((5, 3, 3)))
+    assert(out(1).isNullAt(out(1).fieldIndex("decoded")))
+  }
+
+  test("withGeneratedPngPayload + resizeImages halve real dimensions") {
+    val ids = Seq(Tuple1(0L), Tuple1(20L), Tuple1(255L)).toDF("doc_id")
+    val decoded = Multimodal.decodeImages(spark,
+        Multimodal.resizeImages(
+          Multimodal.withGeneratedPngPayload(ids, "doc_id"), scale = 0.5))
+      .select($"doc_id", $"decoded.width", $"decoded.height")
+      .orderBy("doc_id").collect()
+    def expect(id: Long) = (math.max((8 + id % 16) / 2, 1).toInt,
+      math.max((8 + (id / 16) % 16) / 2, 1).toInt)
+    assert(decoded.map(r => (r.getInt(1), r.getInt(2))).toSeq ===
+      Seq(expect(0L), expect(20L), expect(255L)))
   }
 
   test("resizePayloads downsamples bytes and refreshes metadata") {
