@@ -4,14 +4,17 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Deduplication operators for training-data pipelines:
-  * exact (hash-groupBy), exact n-gram Jaccard, MinHash+LSH banding, SimHash.
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), exact n-gram Jaccard (self- and cross-corpus),
+  * MinHash+LSH banding, SimHash, connected components.
   *
   * Scale design: every variant is a constant number of shuffles, each keyed
-  * on something with bounded fan-in (token, band hash, signature), never a
-  * full cross-join. The exact-Jaccard pair join is quadratic per token group
-  * — it is the *oracle/verify* path; the LSH banding path is the one that
-  * holds at 100 TB (candidates ∝ true near-dups, not n²).
+  * on something with bounded fan-in, never a full cross-join. The
+  * exact-Jaccard pair join is bounded by the shingle document-frequency cap
+  * (worst case cap² candidates per shingle, with an exact hot-shingle
+  * correction term — see [[jaccardPairs]]); the LSH banding path
+  * additionally bounds candidates ∝ true near-dups and is the preferred
+  * shape at 100 TB.
   */
 object Dedup {
 
@@ -39,10 +42,10 @@ object Dedup {
   /** Exact Jaccard verification of candidate (d1, d2) pairs: re-shingle
     * ONLY the documents that appear in a candidate pair (semi-join first,
     * so the shingle pipeline never runs over the rest of the corpus), then
-    * intersect per pair. Candidates are few by construction (LSH banding /
-    * df-capped shingle join), so this touches a vanishing fraction of the
-    * corpus. Shared by `jaccardPairs` and `minHashPairs` so the exact
-    * arithmetic can't drift between the oracle path and the LSH path.
+    * intersect per pair. Candidates are few by construction (LSH banding
+    * bounds them ∝ true near-dups), so this touches a vanishing fraction of
+    * the corpus. Used by `minHashPairs`; `jaccardPairs` reaches the same
+    * exact values through its hot-shingle correction term instead.
     */
   private def verifyPairsExact(candidates: DataFrame, docs: DataFrame,
                                idCol: String, textCol: String, shingleN: Int,

@@ -40,12 +40,19 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("channels", IntegerType)))
 
+  // ImageIO defaults to a temp-FILE cache per stream — 32 executor threads
+  // each creating/deleting a disk cache file per image serializes on the
+  // filesystem. In-memory streams for KB-scale payloads are strictly better.
+  private lazy val imageIoMemoryCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL decode kernel: `ImageIO.read` over the payload bytes (JDK-native
     * PNG/BMP/GIF/JPEG readers). Non-image payloads decode to null — the
     * fixed-schema contract (bytes in, struct-or-null out) is what a JNI
     * codec for other formats would also satisfy.
     */
   def decodeImage(bytes: Array[Byte]): Row = {
+    imageIoMemoryCache
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
@@ -60,6 +67,7 @@ object Multimodal {
     * h = 8 + (id / 16) % 16).
     */
   def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    imageIoMemoryCache
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
@@ -83,7 +91,8 @@ object Multimodal {
     val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
     val enc = RowEncoder.encoderFor(outSchema)
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    // codec work is per-row CPU; a small parquet input arrives as one task
+    OpUtils.spread(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = encodePng((8 + id % 16).toInt, (8 + (id / 16) % 16).toInt, id)
@@ -122,6 +131,7 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex("payload")
     df.mapPartitions { rows =>
       rows.map { r =>
+        imageIoMemoryCache
         val bytes = r.getAs[Array[Byte]](payloadIdx)
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
