@@ -197,5 +197,36 @@ object IngestQueries {
       },
       Some(
         "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_under, " +
-          "true AS ranges_disjoint FROM lineitem WHERE l_orderkey <= 1000")))
+          "true AS ranges_disjoint FROM lineitem WHERE l_orderkey <= 1000")),
+
+    // bucketed co-located join: both tables pre-shuffled once at write time
+    // on the join key, then a fact-fact join + aggregation on that key runs
+    // with ZERO hash exchange — asserted in-plan at build time (q_scan2
+    // pattern). The one-time layout cost replacing every recurring shuffle
+    // is the single biggest lever for repeated join workloads at 100 TB.
+    DeclaredQuery(
+      "q_ext_bucket1",
+      (s, d) => {
+        import graft.sources.Bucketing
+        val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_quantity")
+        val o = Tables.load(s, d, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        Bucketing.writeBucketed(li, "q_bucket1_li", "l_orderkey", buckets = 8)
+        Bucketing.writeBucketed(o, "q_bucket1_o", "l_orderkey", buckets = 8)
+        val out = Bucketing.read(s, "q_bucket1_li")
+          .join(Bucketing.read(s, "q_bucket1_o"), "l_orderkey")
+          .groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"),
+            r4(max(col("o_totalprice"))).as("total"))
+          .orderBy("l_orderkey")
+        require(Bucketing.isShuffleFree(out),
+          "q_ext_bucket1: bucketed join/agg plan contains a hash exchange:\n" +
+            out.queryExecution.executedPlan.toString)
+        out
+      },
+      Some(
+        "SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),4) AS qty, " +
+          "count(*) AS n, round(max(o_totalprice),4) AS total " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "GROUP BY 1 ORDER BY 1")))
 }
