@@ -131,7 +131,7 @@ object Similarity {
     *     (vector_dot accepts mixed float/double sides).
     */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
-                      numCentroids: Int, iterations: Int = 3): DataFrame = {
+                      numCentroids: Int, iterations: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val initOrder = Seq(xxhash64(col("nid")), col("nid"))
@@ -231,7 +231,7 @@ object Similarity {
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
 
   def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
-                    numCentroids: Int, kmeansIterations: Int = 3): IvfIndex = {
+                    numCentroids: Int, kmeansIterations: Int = 2): IvfIndex = {
     val cent = kmeansCentroids(vectors, idCol, vecCol, numCentroids, kmeansIterations)
     IvfIndex(cent, assignCells(spread(vectors), idCol, vecCol, cent))
   }
