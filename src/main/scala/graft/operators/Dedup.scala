@@ -110,9 +110,11 @@ object Dedup {
         .filter(col("jac") >= threshold)
         .select(col("d1"), col("d2"), col("jac"))
     // a shingle's df is bounded by the document count, so the cap is
-    // provably a no-op when n_docs <= cap — skip the df pass entirely (one
-    // cheap plan-time count; parquet answers it from footer metadata)
-    if (docs.count() <= maxShingleDf) {
+    // provably a no-op when n_docs <= cap. Probe with limit(cap+1).count()
+    // rather than count(): the limit short-circuits the scan after cap+1
+    // rows, so the probe stays cheap at ANY corpus size (a plain count of a
+    // filtered 100 TB input would be a full pass)
+    if (docs.limit(maxShingleDf + 1).count() <= maxShingleDf) {
       finish(pairCounts(toks), col("c"))
     } else {
       // hot shingle hashes, materialized eagerly: the table is tiny
@@ -167,7 +169,8 @@ object Dedup {
         .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
         .filter(col("jac") >= threshold)
         .select(col("d1"), col("d2"), col("jac"))
-    if (left.count() + right.count() <= maxShingleDf) {
+    // limit-probed like jaccardPairs — cheap at any corpus size
+    if (left.limit(maxShingleDf + 1).count() + right.limit(maxShingleDf + 1).count() <= maxShingleDf) {
       finish(pairCounts(lt, rt), col("c"))
     } else {
       val hotTokens = lt.unionByName(rt).groupBy("th").agg(count(lit(1)).as("df"))
