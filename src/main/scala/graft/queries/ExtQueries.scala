@@ -561,5 +561,36 @@ object ExtQueries {
       Some(
         "WITH o AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
           "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events) " +
-          "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")))
+          "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")),
+
+    // stream-stream interval join (watermarks bound the join state on both
+    // sides); on a bounded replay the output equals the batch equi+range
+    // join exactly — a full oracle, not just rows
+    DeclaredQuery(
+      "q_ext_stream3",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, df => EventStreams.purchaseClickJoin(df, 60),
+            OutputMode.Append, "stream_ssjoin")
+          .orderBy("p_id", "c_id"),
+      Some(
+        "WITH p AS (SELECT event_id p_id, user_id, ts p_ts FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT event_id c_id, user_id, ts c_ts FROM events WHERE event_type='click') " +
+          "SELECT p.p_id, c.c_id, p.user_id FROM p JOIN c ON p.user_id = c.user_id " +
+          "AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE AND c.c_ts <= p.p_ts " +
+          "ORDER BY 1, 2")),
+
+    // streaming exact dedup with watermark-bounded state
+    // (dropDuplicatesWithinWatermark): which ROW survives per key is
+    // arrival-order-dependent, but the surviving KEY SET is deterministic —
+    // project to keys so the oracle is the batch DISTINCT
+    DeclaredQuery(
+      "q_ext_stream4",
+      (s, d) =>
+        EventStreams.runToMemory(s, d,
+            df => EventStreams.dedupStream(df, Seq("user_id", "event_type")),
+            OutputMode.Append, "stream_dedup")
+          .select(col("user_id"), col("event_type"))
+          .orderBy("user_id", "event_type"),
+      Some(
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")))
 }
