@@ -199,6 +199,24 @@ object IngestQueries {
         "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_under, " +
           "true AS ranges_disjoint FROM lineitem WHERE l_orderkey <= 1000")),
 
+    // upsert + predicate delete (the underlying ParquetDB store's
+    // update/delete surface): anti-join + union + crash-safe rewrite, then
+    // a filtered rewrite; the oracle is the expected final table
+    DeclaredQuery(
+      "q_upd1",
+      (s, _) => {
+        import s.implicits._
+        val db = freshDb(s, "q_upd1")
+        db.create(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "x", "v"))
+        db.upsert(Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "x", "v"), "id")
+        db.deleteWhere(col("v") === 40.0)
+        db.read().select(col("id"), col("x"), r4(col("v")).as("v")).orderBy("id")
+      },
+      Some(
+        "SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a', CAST(10.0 AS DOUBLE)), " +
+          "(CAST(2 AS BIGINT), 'B', CAST(99.0 AS DOUBLE)), " +
+          "(CAST(3 AS BIGINT), 'c', CAST(30.0 AS DOUBLE))) t(id, x, v) ORDER BY id")),
+
     // bucketed co-located join: both tables pre-shuffled once at write time
     // on the join key, then a fact-fact join + aggregation on that key runs
     // with ZERO hash exchange — asserted in-plan at build time (q_scan2

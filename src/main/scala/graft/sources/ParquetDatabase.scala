@@ -92,28 +92,53 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   def normalize(maxRowsPerFile: Long, sortBy: Seq[String] = Nil): Unit = {
     val df = read()
     val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
-    val tmp = s"${dir}__normalize_tmp"
-    val old = s"${dir}__old"
     val laidOut =
       if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
           .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
       else df.repartition(n)
-    laidOut
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRowsPerFile)
-      .parquet(tmp)
+    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString))
+  }
+
+  /** Full-rewrite-and-swap: write `newData` to a temp sibling, then swap it
+    * into place. Crash-safe (see `normalize` doc): the live dir is renamed
+    * aside before the rewrite takes its place, so a crash at any point
+    * leaves the table recoverable by a single rename — never deleted.
+    */
+  private def rewriteWith(newData: DataFrame, options: Map[String, String] = Map.empty): Unit = {
+    val tmp = s"${dir}__normalize_tmp"
+    val old = s"${dir}__old"
+    newData.write.mode("overwrite").options(options).parquet(tmp)
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
     fs.delete(new Path(old), true)
     if (!fs.rename(new Path(dir), new Path(old)))
-      throw new java.io.IOException(s"normalize: failed to move $dir aside to $old; table untouched")
+      throw new java.io.IOException(s"rewrite: failed to move $dir aside to $old; table untouched")
     if (!fs.rename(new Path(tmp), new Path(dir)))
       throw new java.io.IOException(
-        s"normalize: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
+        s"rewrite: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
     fs.delete(new Path(old), true)
   }
+
+  /** Upsert by key (the underlying ParquetDB API's `update` surface —
+    * unexercised by the reference's loaders but part of the store's
+    * contract, arXiv:2502.05311 §API): rows in `patch` whose key matches an
+    * existing row replace it; unmatched patch rows are appended. One
+    * distributed anti-join + union + crash-safe rewrite — no driver-side
+    * row handling.
+    */
+  def upsert(patch: DataFrame, keyCol: String): Unit = {
+    val base = read()
+    val kept = base.join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
+    rewriteWith(kept.unionByName(patch, allowMissingColumns = true))
+  }
+
+  /** Delete rows matching the predicate (ParquetDB `delete` surface):
+    * filtered crash-safe rewrite.
+    */
+  def deleteWhere(condition: Column): Unit =
+    rewriteWith(read().filter(!condition))
 
   /** Normalize to a target FILE SIZE (the reference's actual goal — the
     * notebook's "6 GB file → ≤2 GB"): estimate bytes/row from the current

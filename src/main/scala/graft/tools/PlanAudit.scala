@@ -20,7 +20,7 @@ object PlanAudit {
         // the k-means sample; dedup2 runs the cap's plan-time doc count)
         val sideEffecting = Set("q_scan2", "q_ext_dedup6", "q_ext_pipe1",
           "q_ext_pipe2", "q_ext_dedup2", "q_ext_dedup3", "q_ext_sim3",
-          "q_ext_sim4", "q_ext_dedup7", "q_ext_bucket1")
+          "q_ext_sim4", "q_ext_dedup7", "q_ext_bucket1", "q_upd1")
         if (q.name.startsWith("q_ing") || q.name.startsWith("q_norm") ||
             q.name.startsWith("q_ext_stream") || sideEffecting(q.name)) {
           println(f"${q.name}%-16s SKIP (side-effecting/streaming/iterative)")

@@ -57,6 +57,22 @@ class ParquetDatabaseSpec extends SparkSpec {
     }
   }
 
+  test("upsert replaces matching keys, appends new ones; deleteWhere filters in place") {
+    val db = freshDb("upsert")
+    db.create(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "x", "v"))
+    db.upsert(Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("id", "x", "v"), "id")
+    val rows = db.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    db.deleteWhere(col("v") === 40.0)
+    assert(db.read().orderBy("id").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // crash-safe temp dirs cleaned up after both rewrites
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__normalize_tmp")))
+  }
+
   test("per-read options reach the parquet source (P8 LoadConfig parity)") {
     val db = freshDb("readopts")
     db.create(Seq((1L, "a")).toDF("id", "x"))
