@@ -145,13 +145,25 @@ object EventStreams {
                   transform: DataFrame => DataFrame,
                   mode: OutputMode, name: String): DataFrame = {
     spark.streams.active.filter(_.name == name).foreach(_.stop())
-    val q = transform(readEventsStream(spark, dir))
-      .writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a streaming query pins shuffle partitions at start, and every stateful
+    // operator allocates one state store PER partition (a stream-stream join
+    // allocates four) — at the batch session's partition count that is pure
+    // per-micro-batch overhead for bounded replays. Scope a smaller count to
+    // the stream start; batch queries planned after this are unaffected
+    // because the conf is restored immediately.
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    val q =
+      try {
+        spark.conf.set(partKey, "8")
+        transform(readEventsStream(spark, dir))
+          .writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(partKey, oldParts)
     q.awaitTermination()
     // Update-mode memory sinks APPEND each micro-batch's emissions: with
     // more than one batch the table would hold stale rows alongside final
