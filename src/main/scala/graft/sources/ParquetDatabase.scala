@@ -124,21 +124,111 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   /** Upsert by key (the underlying ParquetDB API's `update` surface —
     * unexercised by the reference's loaders but part of the store's
     * contract, arXiv:2502.05311 §API): rows in `patch` whose key matches an
-    * existing row replace it; unmatched patch rows are appended. One
-    * distributed anti-join + union + crash-safe rewrite — no driver-side
-    * row handling.
+    * existing row replace it; unmatched patch rows are appended.
+    *
+    * Scale path: the rewrite is scoped to the FILES whose footer key range
+    * intersects a patch key (copy-on-write at file granularity) — on a
+    * range-laid-out table (`normalize(sortBy)`) a small patch rewrites a
+    * handful of files, not the table. A file whose merged footer
+    * [min, max] on `keyCol` misses every patch key provably contains no
+    * row to replace, so leaving it physically untouched is exact, not a
+    * heuristic. Files without usable integral stats are conservatively
+    * rewritten; a layout where no per-file ranges are visible (hive
+    * partition subdirs, empty dir) falls back to the full crash-safe
+    * rewrite, which is always correct.
     */
   def upsert(patch: DataFrame, keyCol: String): Unit = {
-    val base = read()
-    val kept = base.join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
-    rewriteWith(kept.unionByName(patch, allowMissingColumns = true))
+    val perFile = ParquetStats.fileKeyRanges(dir, keyCol)
+    if (perFile.isEmpty) {
+      // partitioned layout (files in subdirs) or empty table — full rewrite
+      val base = read()
+      val kept = base.join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
+      rewriteWith(kept.unionByName(patch, allowMissingColumns = true))
+    } else {
+      val (statless, ranged) = perFile.partition(_._2.isEmpty)
+      // touched-by-range: stream the (large) patch key set against the tiny
+      // broadcast range table — a BroadcastNestedLoopJoin whose output is
+      // map-side-distinct file paths, so nothing big ever reaches the driver
+      val rangeDf = spark.createDataFrame(
+        ranged.map { case (p, Some((lo, hi))) => (p, lo, hi); case (p, None) => (p, 0L, 0L) })
+        .toDF("path", "lo", "hi")
+      val keys = patch.select(col(s"`$keyCol`").cast("long").as("__k")).distinct()
+      val hit =
+        if (ranged.isEmpty) Array.empty[String]
+        else keys.join(broadcast(rangeDf), col("__k").between(col("lo"), col("hi")))
+          .select("path").distinct().collect().map(_.getString(0))
+      val touched = (statless.map(_._1) ++ hit).distinct
+      val touchedDf =
+        if (touched.isEmpty) patch.limit(0)
+        else spark.read.option("mergeSchema", "true").parquet(touched: _*)
+          .join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
+      // re-range the replacement on the key so the rewritten files keep
+      // tight disjoint footer ranges — future patches prune just as well
+      val n = math.max(1, touched.size)
+      val shaped = touchedDf.unionByName(patch, allowMissingColumns = true)
+        .repartitionByRange(n, col(s"`$keyCol`"))
+        .sortWithinPartitions(col(s"`$keyCol`"))
+      replaceFiles(touched, shaped)
+    }
   }
 
-  /** Delete rows matching the predicate (ParquetDB `delete` surface):
-    * filtered crash-safe rewrite.
+  /** Delete rows matching the predicate (ParquetDB `delete` surface).
+    *
+    * Scale path: one column-pruned, pushdown-friendly scan finds the EXACT
+    * set of files holding a matching row (`_metadata.file_path` — no footer
+    * stats needed, works for arbitrary predicates); only those files are
+    * rewritten, copy-on-write. The scan cost is unavoidable (matches must
+    * be found); the rewrite — the expensive half at 100 TB — is scoped.
+    * Falls back to the full crash-safe rewrite on partitioned layouts
+    * (where file replacement would drop directory-encoded columns).
     */
-  def deleteWhere(condition: Column): Unit =
-    rewriteWith(read().filter(!condition))
+  def deleteWhere(condition: Column): Unit = {
+    val base = spark.read.option("mergeSchema", "true").parquet(dir)
+    val hitNames = base.filter(condition)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    val flat = ParquetStats.listParquetFiles(dir)
+    val touched = flat.map(_.toString).filter(p => hitNames.contains(new Path(p).getName))
+    if (hitNames.isEmpty) () // nothing matches — leave every file untouched
+    else if (touched.size != hitNames.size) // partitioned subdir layout
+      rewriteWith(read().filter(!condition))
+    else {
+      val kept = spark.read.option("mergeSchema", "true").parquet(touched: _*)
+        .filter(!condition)
+      replaceFiles(touched, kept)
+    }
+  }
+
+  /** Copy-on-write commit: replace exactly `touched` files with the files
+    * of `newData`, leaving every other file physically untouched (same
+    * path, same bytes, same mtime). Ordering never deletes before the new
+    * data is fully in place: (1) write new files to a temp sibling — live
+    * table unaffected; (2) rename touched files aside into `__patch_old` —
+    * each rename atomic, a crash mid-way is recovered by renaming back;
+    * (3) rename new files in (part-file names carry a fresh UUID, so no
+    * collision with live names); (4) only then drop `__patch_old`.
+    */
+  private def replaceFiles(touched: Seq[String], newData: DataFrame): Unit = {
+    val tmp = new Path(s"${dir}__patch_tmp")
+    val old = new Path(s"${dir}__patch_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    newData.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(old)
+    touched.foreach { f =>
+      val p = new Path(f)
+      if (!fs.rename(p, new Path(old, p.getName)))
+        throw new java.io.IOException(s"patch: failed to move $p aside; recover by renaming " +
+          s"$old/* back into $dir")
+    }
+    ParquetStats.listParquetFiles(tmp.toString).foreach { f =>
+      if (!fs.rename(f, new Path(dir, f.getName)))
+        throw new java.io.IOException(s"patch: failed to move $f into $dir; originals preserved " +
+          s"in $old, rewrite in $tmp")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+  }
 
   /** Normalize to a target FILE SIZE (the reference's actual goal — the
     * notebook's "6 GB file → ≤2 GB"): estimate bytes/row from the current

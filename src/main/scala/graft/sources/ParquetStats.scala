@@ -53,6 +53,42 @@ object ParquetStats {
 
   def totalRows(dir: String): Long = fileStats(dir).map(_.numRows).sum
 
+  /** Per-FILE merged (min, max) footer statistics of an integral column —
+    * the pruning index for file-scoped `upsert`: a file whose merged key
+    * range misses every patch key provably contains no row to replace and
+    * is left physically untouched. `None` for a file whose footer lacks
+    * usable stats on the column (missing, non-integral, or all-null) —
+    * callers must treat such files as always-touched.
+    *
+    * Restricted to INT32/INT64 physical types: `longValue` on a
+    * float/double min/max would truncate and make pruning UNSOUND.
+    */
+  def fileKeyRanges(dir: String, column: String): Seq[(String, Option[(Long, Long)])] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
+    val conf = new Configuration()
+    listParquetFiles(dir).map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      val perGroup =
+        try reader.getFooter.getBlocks.asScala.toIndexedSeq.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>
+            val tpe = c.getPrimitiveType.getPrimitiveTypeName
+            val st = c.getStatistics
+            if ((tpe != INT32 && tpe != INT64) || st == null || !st.hasNonNullValue) None
+            else (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Number, mx: java.lang.Number) =>
+                Some((mn.longValue, mx.longValue))
+              case _ => None
+            }
+          }
+        } finally reader.close()
+      // every row group needs stats, else the file's range is unknown
+      val merged =
+        if (perGroup.isEmpty || perGroup.exists(_.isEmpty)) None
+        else Some((perGroup.flatten.map(_._1).min, perGroup.flatten.map(_._2).max))
+      (p.toString, merged)
+    }
+  }
+
   /** Per-row-group (min, max) footer statistics of a numeric column across
     * the table — exactly the stats the parquet reader's row-group skipping
     * consults. Footer-only; row groups without usable stats are omitted.

@@ -69,8 +69,65 @@ class ParquetDatabaseSpec extends SparkSpec {
     // crash-safe temp dirs cleaned up after both rewrites
     val fs = new org.apache.hadoop.fs.Path(db.dir)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__old")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + "__normalize_tmp")))
+    for (suffix <- Seq("__old", "__normalize_tmp", "__patch_old", "__patch_tmp"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + suffix)), suffix)
+  }
+
+  test("upsert/deleteWhere on a range-sorted table leave out-of-range files untouched") {
+    val db = freshDb("scoped")
+    db.create(spark.range(10000).select(col("id"), (col("id") % 97).as("v")))
+    db.normalize(maxRowsPerFile = 2500, sortBy = Seq("id"))
+    def snapshot(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(db.dir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      ParquetStats.listParquetFiles(db.dir)
+        .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
+    }
+    val before = snapshot()
+    assert(before.size >= 4)
+    // patch keys all land in the first file's range [0, ~2500)
+    db.upsert(Seq((10L, -1L), (20L, -2L), (10001L, -3L)).toDF("id", "v"), "id")
+    val afterUpsert = snapshot()
+    // every file whose range excludes {10, 20, 10001} survives byte-identical
+    val preservedU = before.keySet.intersect(afterUpsert.keySet)
+    assert(preservedU.size >= before.size - 2,
+      s"upsert rewrote too many files: kept ${preservedU.size} of ${before.size}")
+    preservedU.foreach(p => assert(before(p) === afterUpsert(p), s"mtime changed: $p"))
+    val got = db.read().filter(col("v") < 0).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((10L, -1L), (20L, -2L), (10001L, -3L)))
+    assert(db.nRows === 10001L)
+    // scoped delete: only the file(s) holding id=10/20 and the upsert file change
+    val beforeDel = snapshot()
+    db.deleteWhere(col("v") < 0)
+    val afterDel = snapshot()
+    val preservedD = beforeDel.keySet.intersect(afterDel.keySet)
+    assert(preservedD.size >= beforeDel.size - 2,
+      s"delete rewrote too many files: kept ${preservedD.size} of ${beforeDel.size}")
+    preservedD.foreach(p => assert(beforeDel(p) === afterDel(p), s"mtime changed: $p"))
+    assert(db.nRows === 9998L)
+    assert(db.read().filter(col("v") < 0).count() === 0L)
+    // a delete matching nothing touches nothing
+    db.deleteWhere(col("v") === -999L)
+    assert(snapshot() === afterDel)
+  }
+
+  test("scoped upsert falls back correctly when footer ranges are unusable (string key)") {
+    val db = freshDb("scoped_str")
+    db.create(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    db.upsert(Seq(("b", 20L), ("d", 4L)).toDF("k", "v"), "k")
+    val rows = db.read().orderBy("k").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("a", 1L), ("b", 20L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("deleteWhere on a hive-partitioned table keeps partition columns (full-rewrite fallback)") {
+    val db = freshDb("scoped_part")
+    db.create(spark.range(100).select(col("id"), (col("id") % 4).as("p")),
+      partitionBy = Seq("p"))
+    db.deleteWhere(col("id") < 10)
+    assert(db.nRows === 90L)
+    assert(db.read().columns.toSet === Set("id", "p"))
+    assert(db.read().filter(col("p").isNull).count() === 0L)
   }
 
   test("per-read options reach the parquet source (P8 LoadConfig parity)") {
