@@ -225,10 +225,69 @@ object Similarity {
 
   /** IVF index artifacts: broadcastable centroids `(cid, cv)` and the
     * corpus with its assigned cell `(nid, nv, cell)`. Built once at write
-    * time; in a real deployment `assigned` is persisted partitioned by
-    * `cell` so probes prune cells at scan time.
+    * time; [[persistIvfIndex]] stores `assigned` hive-partitioned by `cell`
+    * so probes prune whole cell directories at scan time
+    * ([[ivfTopKPersisted]]).
     */
   final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Persist the index for repeated probing: centroids as plain parquet
+    * (tiny, broadcast at probe time), `assigned` hive-partitioned by `cell`
+    * — the storage layout that turns "which cells to probe" into directory
+    * pruning before a single footer is read. Overwrites `dir`.
+    */
+  def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
+    val spark = index.assigned.sparkSession
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    new graft.sources.ParquetDatabase(spark, s"$dir/centroids").create(index.centroids)
+    new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
+      .create(index.assigned, partitionBy = Seq("cell"))
+  }
+
+  /** Reopen a persisted index (for [[ivfSelfTopK]] or ad-hoc probing).
+    * `assigned` keeps its cell-partitioned layout, so any filter on `cell`
+    * prunes directories.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned"))
+
+  /** Probe a PERSISTED index with storage-level cell pruning: the probed
+    * cell set (≤ numCentroids values — broadcast-sized by construction) is
+    * computed first, then the assigned corpus is read WITH a static
+    * partition filter on those cells — the scan lists only the probed
+    * `cell=` directories; un-probed cells cost nothing, not even a footer
+    * read. This is the deployment shape `ivfTopK`'s inline form amortizes
+    * toward: build+persist once at write time, probe many times.
+    */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    // localCheckpoint: probes feed both the cell-set collect and the probe
+    // join — without it the subtree is computed twice (no subplan dedup)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("pcos", cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .localCheckpoint()
+    val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val assigned = spark.read.parquet(s"$indexDir/assigned")
+      .filter(col("cell").isin(cells: _*))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
 
   def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int, kmeansIterations: Int = 2): IvfIndex = {
@@ -278,8 +337,26 @@ object Similarity {
     * keyed on the cell id — candidates per vector ≈ n·nprobe/numCentroids,
     * co-partitioned by cell, no broadcast of anything but the centroids.
     */
-  def ivfSelfTopK(index: IvfIndex, k: Int, nprobe: Int): DataFrame = {
+  /** @param maxCellFraction mega-cell guard: a cell holding more than this
+    *  fraction of the corpus (a degenerate corpus — e.g. mass-duplicated
+    *  embeddings — collapses into one cell) would make that cell's
+    *  candidate set approach n². Hot cells are deterministically
+    *  sub-divided by `xxhash64(id) % nsub` on BOTH sides, so each vector
+    *  meets a bounded uniform sample (≈ maxCellFraction·n) of its hot
+    *  cell instead of all of it. Exact for the balanced case (nsub=1 —
+    *  every pair survives); for a genuine mega-cell the sampled candidates
+    *  are near-interchangeable (that is what made the cell hot), so top-k
+    *  quality degrades gracefully rather than the job blowing up.
+    */
+  def ivfSelfTopK(index: IvfIndex, k: Int, nprobe: Int,
+                  maxCellFraction: Double = 0.25): DataFrame = {
     graft.functions.GraftFunctions.register(index.assigned.sparkSession)
+    // cell sizes: ≤ numCentroids rows — broadcast-sized by construction
+    val n = index.assigned.count()
+    val maxCell = math.max(1L, (maxCellFraction * n).toLong)
+    val subCounts = index.assigned.groupBy("cell")
+      .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("long").as("nsub"))
+      .localCheckpoint()
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
     val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"))
       .crossJoin(broadcast(index.centroids))
@@ -287,7 +364,12 @@ object Similarity {
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
       .select(col("qid"), col("qv"), col("cid").as("cell"))
-    val scored = index.assigned.join(probes, Seq("cell")) // shuffle join on cell
+      .join(broadcast(subCounts), Seq("cell"))
+      .withColumn("sub", pmod(xxhash64(col("qid")), col("nsub")))
+    val corpus = index.assigned
+      .join(broadcast(subCounts), Seq("cell"))
+      .withColumn("sub", pmod(xxhash64(col("nid")), col("nsub")))
+    val scored = corpus.join(probes.drop("nsub"), Seq("cell", "sub")) // shuffle join on (cell, sub)
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))

@@ -102,6 +102,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rk >= 0.95, s"k-means recall $rk below 0.95 at nprobe=1 on separable clusters")
   }
 
+  test("persisted IVF index: pruned probe matches the in-memory result, scans fewer cell dirs") {
+    import org.apache.spark.sql.functions._
+    val df = blockClustered(clusters = 4, per = 25, dim = 16, jitter = 0.05)
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    val dir = "target/tmp/ivf/spec"
+    Similarity.persistIvfIndex(index, dir)
+    val q = df.filter($"vec_id".isin(0L, 30L))
+    val mem = Similarity.ivfTopK(index, q, "vec_id", "embedding", k = 5, nprobe = 1)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rn"))).toSet
+    val persisted = Similarity.ivfTopKPersisted(spark, dir, q, "vec_id", "embedding",
+      k = 5, nprobe = 1)
+    val got = persisted.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"), r.getAs[Int]("rn"))).toSet
+    assert(got === mem)
+    // storage-level pruning: 2 probed cells of 4 on separable clusters
+    val scan = graft.plans.PlanChecks
+      .fileScanFor(persisted.queryExecution.executedPlan, "assigned").get
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")))
+    val totalCells = scan.relation.location.listFiles(Nil, Nil).size
+    assert(scan.selectedPartitions.partitionCount < totalCells,
+      s"scanned ${scan.selectedPartitions.partitionCount} of $totalCells cell dirs")
+    // reopened index drives the self-join form too
+    val reopened = Similarity.loadIvfIndex(spark, dir)
+    assert(reopened.assigned.count() === 100L && reopened.centroids.count() === 4L)
+  }
+
   test("ivfSelfTopK approximates the exact k-NN graph on clustered data") {
     val df = blockClustered(clusters = 4, per = 20, dim = 16, jitter = 0.05)
       .toDF("vec_id", "embedding")
@@ -114,6 +141,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"k-NN graph recall $recall below 0.9")
     // every vector gets neighbors
     assert(graph.map(_._1).size === 80)
+  }
+
+  test("ivfSelfTopK bounds candidates under a planted mega-cell") {
+    import org.apache.spark.sql.functions._
+    val rng = new java.util.SplittableRandom(3L)
+    val base = Seq.fill(16)(rng.nextDouble() * 2 - 1)
+    // 200 near-identical vectors (mass duplication) + 20 diverse ones:
+    // k-means puts the 200 into one cell — the degenerate n² shape
+    val hot = (0 until 200).map { i =>
+      (i.toLong, base.map(x => (x + (rng.nextDouble() * 2 - 1) * 0.01).toFloat))
+    }
+    val diverse = (200 until 220).map { i =>
+      (i.toLong, Seq.fill(16)((rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = (hot ++ diverse).toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", numCentroids = 4)
+    val hotCellSize = index.assigned.groupBy("cell").count()
+      .collect().map(_.getLong(1)).max
+    assert(hotCellSize >= 150L, s"fixture not skewed: max cell $hotCellSize")
+    // k larger than any cell → the result IS the candidate set. Unguarded,
+    // the hot cell alone yields ~200² = 40k pairs; the guard caps each
+    // vector's same-cell sample at ≈ maxCellFraction·n = 22.
+    val candidates = Similarity.ivfSelfTopK(index, k = Int.MaxValue, nprobe = 1,
+      maxCellFraction = 0.1).count()
+    val bound = 220L * (2 * 22 + 1) // per-vector ≈ maxCell candidates, 2x hash-imbalance headroom
+    assert(candidates <= bound, s"candidates $candidates exceed bound $bound — guard inactive")
+    // quality degrades gracefully, not collapses: everyone still gets
+    // neighbors, and hot-cell members still find near-identical ones
+    val top = Similarity.ivfSelfTopK(index, k = 3, nprobe = 1, maxCellFraction = 0.1)
+    assert(top.select("qid").distinct().count() === 220L)
+    val hotTop1 = top.filter(col("qid") < 200 && col("rn") === 1)
+      .agg(min("cos")).head().getDouble(0)
+    assert(hotTop1 >= 0.99, s"hot-cell members lost their near-dups: min top-1 cos $hotTop1")
   }
 
   test("cosineNearDupPairs finds planted near-duplicates and no unrelated pairs") {
