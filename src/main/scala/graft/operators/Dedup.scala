@@ -81,10 +81,21 @@ object Dedup {
     * capped join misses is added back from per-doc hot-shingle sets (each
     * at most |hot shingles| long — tiny by construction, since the number
     * of distinct hot shingles is bounded by corpus_shingle_instances/cap).
-    * The one (documented) trade: a pair whose shared shingles are ALL
-    * hotter than the cap never forms a candidate and is missed; such a pair
-    * overlaps only in corpus-cliché shingles and cannot reach a meaningful
-    * threshold anyway.
+    * A pair whose shared shingles are ALL hotter than the cap never forms
+    * a candidate in the capped join — and mass duplication (a document
+    * templated more than cap times, exactly what near-dedup targets at
+    * 100 TB) makes EVERY shingle of the duplicates hot, so such jac=1.0
+    * pairs are real. They are recovered by a second candidate route:
+    * MinHash banding over the "hot-heavy" documents. If jac(A,B) >=
+    * threshold and every shared shingle is hot, then (since
+    * |A∩B| >= threshold·|A| and A's rare shingles all lie outside A∩B)
+    * BOTH endpoints have rare-shingle fraction <= 1-threshold — so banding
+    * the docs satisfying that test covers every structurally-missed pair.
+    * The only remaining misses are the banding family's probabilistic ones
+    * ((1-s^r)^b ≈ 3e-4 at s=0.8 with 8 bands × 2 rows), and banding cost
+    * is ∝ hot-heavy docs, whose true pairs are output anyway. Emitted jac
+    * values stay EXACT for every pair from either route (rare-shared count
+    * from the capped join + hot-shared from the per-doc hot sets).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 1,
@@ -127,24 +138,75 @@ object Dedup {
       // whose shared shingles include hot ones
       val hotDocToks = toks.join(hotTokens, Seq("th"), "left_semi")
         .groupBy("id").agg(collect_set(col("th")).as("hot_ths"))
+      // hot-heavy docs (rare fraction <= 1-threshold): the ONLY possible
+      // endpoints of a pair the capped join structurally misses (see the
+      // operator doc). Small by construction in a normal corpus; ∝ true
+      // duplicates in a mass-dup one. localCheckpoint'd: the id list seeds
+      // the banding route and an inline subplan would re-run tokenization.
+      val rareCounts = capped.groupBy("id").agg(count(lit(1)).as("rc"))
+      val hotHeavyIds = sizes.join(rareCounts, Seq("id"), "left")
+        .filter(coalesce(col("rc"), lit(0L)) <= (lit(1.0) - threshold) * col("sz"))
+        .select("id").localCheckpoint()
+      val extra = bandedCandidatePairs(toks.join(hotHeavyIds, Seq("id"), "left_semi"))
+        .withColumn("c", lit(0L))
+      // merge the two candidate routes; the rare-shared count c comes from
+      // the capped join (0 for banding-only pairs — all their shared
+      // shingles are hot and re-enter via the correction term)
+      val paired = pairCounts(capped).unionByName(extra)
+        .groupBy("d1", "d2").agg(max(col("c")).as("c"))
       // exact intersection = shared rare shingles (counted by the join) +
       // shared hot shingles (intersect of the two per-doc hot sets)
       val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
         size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(0L)
       finish(
-        pairCounts(capped)
+        paired
           .join(hotDocToks.select(col("id").as("d1"), col("hot_ths").as("h1")), Seq("d1"), "left")
           .join(hotDocToks.select(col("id").as("d2"), col("hot_ths").as("h2")), Seq("d2"), "left"),
         col("c") + cHot)
     }
   }
 
+  /** MinHash-banded candidate (d1, d2) pairs from exploded (id, th) token
+    * hashes — the fallback candidate route for hot-heavy docs. 8 bands × 2
+    * rows: miss probability (1-s²)⁸ ≈ 3e-4 at s=0.8, ≈ 0 at s=1 (the mass
+    * -duplication case it exists for). Permutations are a projection, not
+    * aggregate-inlined (JIT method-size rule, cf. [[minHashSignature]]).
+    */
+  private def bandedCandidatePairs(tokHashes: DataFrame, numBands: Int = 8,
+                                   rowsPerBand: Int = 2): DataFrame = {
+    val banded = bandRows(tokHashes, numBands, rowsPerBand)
+      .localCheckpoint() // self-joined below — don't run the signature twice
+    banded.as("x")
+      .join(banded.withColumnRenamed("id", "id2").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") && col("x.id") < col("id2"))
+      .select(col("x.id").as("d1"), col("id2").as("d2"))
+      .distinct()
+  }
+
+  /** (id, band, bh) MinHash band-hash rows from exploded (id, th) token
+    * hashes.
+    */
+  private def bandRows(tokHashes: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val permuted = tokHashes.select(
+      col("id") +: (0 until numHashes).map(i => xxhash64(lit(i), col("th")).as(s"p$i")): _*)
+    val mins = (0 until numHashes).map(i => min(col(s"p$i")).as(s"h$i"))
+    val sig = permuted.groupBy("id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until numBands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: hs: _*).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** Cross-corpus exact Jaccard pairs: every (left doc, right doc) pair
     * with similarity >= threshold — the incremental-ingest form of
     * [[jaccardPairs]] (dedup an incoming batch against an existing corpus;
     * decontaminate a training set against an eval set). Same df-cap fan-in
-    * bound and exact hot-shingle correction, with document frequency
-    * measured over BOTH corpora combined.
+    * bound, exact hot-shingle correction, and hot-heavy banding fallback
+    * as [[jaccardPairs]], with document frequency measured over BOTH
+    * corpora combined.
     */
   def jaccardPairsBetween(left: DataFrame, right: DataFrame, idCol: String,
                           textCol: String, threshold: Double, shingleN: Int = 1,
@@ -169,8 +231,12 @@ object Dedup {
         .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
         .filter(col("jac") >= threshold)
         .select(col("d1"), col("d2"), col("jac"))
-    // limit-probed like jaccardPairs — cheap at any corpus size
-    if (left.limit(maxShingleDf + 1).count() + right.limit(maxShingleDf + 1).count() <= maxShingleDf) {
+    // limit-probed like jaccardPairs, but as ONE action: union the two
+    // limited sides before counting instead of paying a job per side
+    val probed = left.limit(maxShingleDf + 1).select(lit(1).as("one"))
+      .unionAll(right.limit(maxShingleDf + 1).select(lit(1).as("one")))
+      .count()
+    if (probed <= maxShingleDf) {
       finish(pairCounts(lt, rt), col("c"))
     } else {
       val hotTokens = lt.unionByName(rt).groupBy("th").agg(count(lit(1)).as("df"))
@@ -178,10 +244,33 @@ object Dedup {
       def capped(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_anti")
       def hotSets(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_semi")
         .groupBy("id").agg(collect_set(col("th")).as("hot_ths"))
+      // hot-heavy fallback, cross-corpus form (same math as jaccardPairs:
+      // a structurally-missed pair at jac >= threshold forces BOTH
+      // endpoints under the 1-threshold rare fraction, df measured over
+      // the combined corpora) — band each side's hot-heavy docs, join
+      // left × right on band hash
+      def hotHeavyIds(toks: DataFrame, sizes: DataFrame) = {
+        val rare = capped(toks).groupBy("id").agg(count(lit(1)).as("rc"))
+        sizes.join(rare, Seq("id"), "left")
+          .filter(coalesce(col("rc"), lit(0L)) <= (lit(1.0) - threshold) * col("sz"))
+          .select("id").localCheckpoint()
+      }
+      val lBand = bandRows(lt.join(hotHeavyIds(lt, lsz), Seq("id"), "left_semi"), 8, 2)
+        .localCheckpoint()
+      val rBand = bandRows(rt.join(hotHeavyIds(rt, rsz), Seq("id"), "left_semi"), 8, 2)
+        .localCheckpoint()
+      val extra = lBand.as("x")
+        .join(rBand.withColumnRenamed("id", "id2").as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.id").as("d1"), col("id2").as("d2"))
+        .distinct()
+        .withColumn("c", lit(0L))
+      val paired = pairCounts(capped(lt), capped(rt)).unionByName(extra)
+        .groupBy("d1", "d2").agg(max(col("c")).as("c"))
       val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
         size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(0L)
       finish(
-        pairCounts(capped(lt), capped(rt))
+        paired
           .join(hotSets(lt).select(col("id").as("d1"), col("hot_ths").as("h1")), Seq("d1"), "left")
           .join(hotSets(rt).select(col("id").as("d2"), col("hot_ths").as("h2")), Seq("d2"), "left"),
         col("c") + cHot)
@@ -311,9 +400,14 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min(col("rep")).as("rep"))
         .localCheckpoint() // truncate the growing iteration lineage
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-        .filter(col("rep") =!= col("old")).limit(1).count()
-      converged = changed == 0
+      // convergence probe every OTHER round (and on the last allowed one):
+      // fixpoint rounds are idempotent, so a skipped check just trades one
+      // cheap extra propagation for halving the per-round probe jobs
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        val changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+          .filter(col("rep") =!= col("old")).limit(1).count()
+        converged = changed == 0
+      }
       if (iter > 0) superseded += labels // iter 0's labels is un-checkpointed
       labels = next
       iter += 1

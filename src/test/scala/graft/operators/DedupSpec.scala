@@ -70,6 +70,40 @@ class DedupSpec extends SparkSpec {
       s"pair $k capped=$v uncapped=${uncapped(k)}") }
   }
 
+  test("mass-duplicated docs (every shingle hot) are still found by the capped path") {
+    // 12 identical copies of one template: with cap=5 every one of their
+    // shingles is hot (df=12), so the capped join alone would silently
+    // miss all 66 jac=1.0 pairs — the exact failure mode mass-dedup exists
+    // for. The hot-heavy banding fallback must recover them, with exact jac.
+    val template = (100L until 112L).map(i =>
+      (i, "identical template body repeated verbatim across the whole batch"))
+    val filler = (0L until 8L).map(i => (i, s"unrelated filler document number$i text$i body$i"))
+    val corpus = (template ++ filler).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", threshold = 0.9,
+        shingleN = 3, maxShingleDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val templatePairs = pairs.keySet.filter(p => p._1 >= 100L && p._2 >= 100L)
+    assert(templatePairs.size === 12 * 11 / 2,
+      s"expected all 66 template pairs, got ${templatePairs.size}")
+    templatePairs.foreach(p => assert(pairs(p) === 1.0, s"pair $p jac ${pairs(p)} != 1.0"))
+    assert(!pairs.keySet.exists(p => p._1 < 100L || p._2 < 100L), "filler docs paired")
+  }
+
+  test("cross-corpus mass duplication survives the cap (jaccardPairsBetween fallback)") {
+    val leftDocs = (0L until 8L).map(i =>
+      (i, "contaminated evaluation passage shared across train and test splits"))
+      .toDF("doc_id", "text")
+    val rightDocs = ((100L until 106L).map(i =>
+      (i, "contaminated evaluation passage shared across train and test splits")) :+
+      (200L, "a clean unrelated training document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairsBetween(leftDocs, rightDocs, "doc_id", "text",
+        threshold = 0.9, shingleN = 3, maxShingleDf = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.size === 8 * 6, s"expected 48 cross pairs, got ${pairs.size}")
+    pairs.foreach { case (p, j) => assert(j === 1.0, s"pair $p jac $j != 1.0") }
+  }
+
   test("minHashPairs matches exact jaccardPairs at high threshold") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.6, shingleN = 3)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
