@@ -53,9 +53,15 @@ object Multimodal {
     */
   def decodeImage(bytes: Array[Byte]): Row = {
     imageIoMemoryCache
+    // null/empty payloads short-circuit, and NonFatal (not just
+    // IOException) maps to null: ImageIO readers throw RuntimeExceptions
+    // (IllegalArgument/IndexOutOfBounds/NegativeArraySize) on
+    // malformed-but-recognized payloads — in a mixed 100 TB binary column
+    // one bad row must yield null, not kill the job
+    if (bytes == null || bytes.isEmpty) return null
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) null
     else Row(img.getWidth, img.getHeight, img.getRaster.getNumBands)
   }
@@ -133,9 +139,14 @@ object Multimodal {
       rows.map { r =>
         imageIoMemoryCache
         val bytes = r.getAs[Array[Byte]](payloadIdx)
+        // same hardening as decodeImage: null/empty passes through, any
+        // non-fatal decoder throw (ImageIO RuntimeExceptions included)
+        // means "not an image" rather than a dead job
         val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: java.io.IOException => null }
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) r
         else {
           val (w, h) = (math.max(1, (img.getWidth * scale).toInt),

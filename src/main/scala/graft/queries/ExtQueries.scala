@@ -257,9 +257,11 @@ object ExtQueries {
           .select(col("doc_id"), col("split"))
           .orderBy("doc_id"),
       Some(
+        // CAST AS STRING: valid in both engines (DuckDB aliases STRING to
+        // VARCHAR; Spark's VARCHAR demands a length) — the text runs on both
         "SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split " +
-          "FROM (SELECT doc_id, (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1))*256 " +
-          "+ ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 10 AS b FROM documents) " +
+          "FROM (SELECT doc_id, (ascii(substr(md5(CAST(doc_id AS STRING)),1,1))*256 " +
+          "+ ascii(substr(md5(CAST(doc_id AS STRING)),2,1))) % 10 AS b FROM documents) " +
           "ORDER BY doc_id")),
 
     // sequence packing: shard by key, contiguous-fill fixed-capacity token
@@ -396,15 +398,29 @@ object ExtQueries {
           "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
           "ORDER BY 1, 2")),
 
-    // IVF ANN (k-means centroids built inline; recall vs exact asserted in
-    // SimilaritySpec — a deployment builds the index once at write time)
+    // IVF ANN over a PERSISTED index: k-means centroids built + stored once
+    // (write-time, amortized), `assigned` hive-partitioned by cell, probes
+    // read only the probed cell directories — asserted in-plan: the
+    // assigned scan carries a `cell` partition filter AND selects strictly
+    // fewer partition dirs than exist. Recall vs exact in SimilaritySpec.
     DeclaredQuery(
       "q_ext_sim3",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-            k = 10, numCentroids = 16, nprobe = 4)
-          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+        val dir = "target/tmp/ivf/q_ext_sim3"
+        val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding", numCentroids = 16)
+        Similarity.persistIvfIndex(index, dir)
+        val out = Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nprobe = 3)
+        val scan = graft.plans.PlanChecks.fileScanFor(out.queryExecution.executedPlan, "assigned")
+          .getOrElse(throw new IllegalStateException("no assigned-index scan in plan"))
+        require(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+          s"q_ext_sim3: no cell partition filter on the index scan " +
+            s"(partitionFilters=${scan.partitionFilters})")
+        val totalCells = scan.relation.location.listFiles(Nil, Nil).size
+        require(scan.selectedPartitions.partitionCount < totalCells,
+          s"q_ext_sim3: probe scanned all $totalCells cell dirs — no storage-level pruning")
+        out.select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
           .orderBy("qid", "rn")
       },
       None),
@@ -443,8 +459,10 @@ object ExtQueries {
             col("decoded.channels").as("channels"))
           .orderBy("doc_id"),
       Some(
+        // floor(a/b) rather than DuckDB's `//`: identical on these nonneg
+        // values and the text also runs under Spark's parser (OracleSqlSpec)
         "SELECT doc_id, CAST(8 + doc_id % 16 AS INTEGER) AS width, " +
-          "CAST(8 + (doc_id // 16) % 16 AS INTEGER) AS height, " +
+          "CAST(8 + CAST(floor(doc_id / 16) AS BIGINT) % 16 AS INTEGER) AS height, " +
           "CAST(3 AS INTEGER) AS channels FROM documents ORDER BY doc_id")),
 
     // multimodal resize, REAL kernel: PNG → half-size → decode; recovered
@@ -461,8 +479,9 @@ object ExtQueries {
             col("decoded.width").as("width"), col("decoded.height").as("height"))
           .orderBy("doc_id"),
       Some(
-        "SELECT doc_id, CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS width, " +
-          "CAST(greatest((8 + (doc_id // 16) % 16) // 2, 1) AS INTEGER) AS height " +
+        // floor(a/b) rather than `//` — portable, see q_ext_mm2's note
+        "SELECT doc_id, CAST(greatest(CAST(floor((8 + doc_id % 16) / 2) AS BIGINT), 1) AS INTEGER) AS width, " +
+          "CAST(greatest(CAST(floor((8 + CAST(floor(doc_id / 16) AS BIGINT) % 16) / 2) AS BIGINT), 1) AS INTEGER) AS height " +
           "FROM documents ORDER BY doc_id")),
 
     // frame sampling over binary payloads: 16-byte frames, every 2nd kept
@@ -582,7 +601,11 @@ object ExtQueries {
     // streaming exact dedup with watermark-bounded state
     // (dropDuplicatesWithinWatermark): which ROW survives per key is
     // arrival-order-dependent, but the surviving KEY SET is deterministic —
-    // project to keys so the oracle is the batch DISTINCT
+    // project to keys so the oracle is the batch DISTINCT. The sink-side
+    // distinct() matters: watermark-bounded dedup may legitimately re-emit
+    // a key that recurs beyond the watermark horizon once the replay spans
+    // multiple micro-batches (one events file today, but the glob is not a
+    // contract) — the KEY SET, not the emitted multiset, is the semantics
     DeclaredQuery(
       "q_ext_stream4",
       (s, d) =>
@@ -590,6 +613,7 @@ object ExtQueries {
             df => EventStreams.dedupStream(df, Seq("user_id", "event_type")),
             OutputMode.Append, "stream_dedup")
           .select(col("user_id"), col("event_type"))
+          .distinct()
           .orderBy("user_id", "event_type"),
       Some(
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")))

@@ -95,8 +95,10 @@ object MiscQueries {
       },
       Some(
         "SELECT o_custkey AS cust, " +
-          "arg_max(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS best_order, " +
-          "arg_min(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS worst_order, " +
+          // max_by/min_by: DuckDB's documented aliases for arg_max/arg_min,
+          // and the names Spark's parser knows — the text runs on both
+          "max_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS best_order, " +
+          "min_by(o_orderkey, CAST(round(o_totalprice*100) AS BIGINT)*10000000000 + o_orderkey) AS worst_order, " +
           "count(*) AS n FROM orders GROUP BY 1 ORDER BY 1")),
 
     // boolean aggregates

@@ -91,11 +91,14 @@ object ScanQueries {
         Tables.load(s, d, "part")
           .select(col("p_partkey"),
             regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
-            regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"))
+            // [0-9] rather than \d: identical semantics, but portable across
+            // SQL string-literal escaping rules (Spark SQL collapses '\d'
+            // to 'd' in a literal; DuckDB keeps it — a class needs neither)
+            regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
           .orderBy("p_partkey"),
       Some(
         "SELECT p_partkey, regexp_extract(p_name,'^([a-z]+)',1) AS first_word, " +
-          "regexp_extract(p_brand,'#(\\d+)',1) AS brand_num FROM part ORDER BY p_partkey")),
+          "regexp_extract(p_brand,'#([0-9]+)',1) AS brand_num FROM part ORDER BY p_partkey")),
 
     DeclaredQuery(
       "q_date1",

@@ -41,13 +41,15 @@ object SetQueries {
           "SELECT c_custkey, c_mktsegment AS seg FROM customer WHERE c_custkey > 1400) " +
           "ORDER BY c_custkey")),
 
-    // multiset semantics: EXCEPT ALL / INTERSECT ALL preserve duplicates.
-    // EXCEPT ALL keeps max(cnt_a - cnt_b, 0) copies per key and INTERSECT ALL
+    // multiset semantics, AGGREGATION formulation: EXCEPT ALL keeps
+    // max(cnt_a - cnt_b, 0) copies per key and INTERSECT ALL
     // min(cnt_a, cnt_b) — both multiplicities fall out of ONE groupBy over
     // the input (one shuffle), where the literal exceptAll/intersectAll
     // operators plan two aggregate+generate subtrees plus a join (4+
-    // shuffles over the fact table). Equivalence to the set-op formulation
-    // is asserted in SetOpSpec, which keeps the Dataset API forms exercised.
+    // shuffles over the fact table). This is the shape the engine prefers
+    // at fact scale; the LITERAL operators are declared + oracle-checked
+    // on a dimension-sized input by q_set7 below, and the two forms'
+    // equivalence is asserted in SetOpSpec.
     DeclaredQuery(
       "q_set6",
       (s, d) => {
@@ -70,6 +72,30 @@ object SetQueries {
           "inte AS (SELECT l_orderkey, count(*) n_int FROM (SELECT * FROM alll INTERSECT ALL SELECT * FROM firstl) GROUP BY 1) " +
           "SELECT e.l_orderkey, e.n_exc, coalesce(i.n_int, 0) AS n_int " +
           "FROM exc e LEFT JOIN inte i ON e.l_orderkey = i.l_orderkey ORDER BY 1")),
+
+    // the LITERAL exceptAll/intersectAll operators (multiset Dataset API),
+    // oracle-checked — declared on the customer dimension where their
+    // multi-shuffle plan is the natural choice (see q_set6's note for the
+    // fact-scale alternative)
+    DeclaredQuery(
+      "q_set7",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val a = c.select(col("c_mktsegment").as("seg"))
+        val b = c.filter(col("c_acctbal") > 5000).select(col("c_mktsegment").as("seg"))
+        val exc = a.exceptAll(b).groupBy("seg").agg(count(lit(1)).as("n_exc"))
+        val inte = a.intersectAll(b).groupBy("seg").agg(count(lit(1)).as("n_int"))
+        exc.join(inte, Seq("seg"), "left")
+          .select(col("seg"), col("n_exc"), coalesce(col("n_int"), lit(0L)).as("n_int"))
+          .orderBy("seg")
+      },
+      Some(
+        "WITH a AS (SELECT c_mktsegment AS seg FROM customer), " +
+          "b AS (SELECT c_mktsegment AS seg FROM customer WHERE c_acctbal > 5000), " +
+          "exc AS (SELECT seg, count(*) n_exc FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1), " +
+          "inte AS (SELECT seg, count(*) n_int FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1) " +
+          "SELECT e.seg, e.n_exc, coalesce(i.n_int, 0) AS n_int " +
+          "FROM exc e LEFT JOIN inte i ON e.seg = i.seg ORDER BY 1")),
 
     DeclaredQuery(
       "q_set1",

@@ -44,11 +44,15 @@ object WindowQueries {
             r4(last(col("o_totalprice")).over(wCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("last_price"))
           .orderBy("o_orderkey"),
       Some(
-        "SELECT o_orderkey, o_custkey, round(lag(o_totalprice,1) OVER w,4) AS prev_price, " +
-          "round(lead(o_totalprice,1) OVER w,4) AS next_price, " +
-          "round(first_value(o_totalprice) OVER w,4) AS first_price, " +
-          "round(last_value(o_totalprice) OVER w,4) AS last_price FROM orders " +
-          "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        // two WINDOW clauses: lag/lead take the frameless one — a frame on
+        // lag is a DuckDB-tolerated no-op that Spark's parser rejects, and
+        // the oracle text should run on both engines
+        "SELECT o_orderkey, o_custkey, round(lag(o_totalprice,1) OVER wo,4) AS prev_price, " +
+          "round(lead(o_totalprice,1) OVER wo,4) AS next_price, " +
+          "round(first_value(o_totalprice) OVER wf,4) AS first_price, " +
+          "round(last_value(o_totalprice) OVER wf,4) AS last_price FROM orders " +
+          "WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+          "wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY o_orderkey")),
 
     DeclaredQuery(

@@ -32,6 +32,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("decoded")))
   }
 
+  test("decode/resize survive null, empty, and malformed-but-recognized payloads") {
+    val png = Multimodal.encodePng(width = 4, height = 4, seed = 1L)
+    // a truncated PNG is RECOGNIZED by the reader (magic bytes intact) but
+    // throws from inside the decoder — historically a RuntimeException, not
+    // IOException, i.e. the one-bad-row-kills-the-job case
+    val truncated = png.take(30)
+    val rows = Seq((1L, png), (2L, null.asInstanceOf[Array[Byte]]),
+      (3L, Array.empty[Byte]), (4L, truncated))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(spark, rows).orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(out(0).fieldIndex("decoded")))
+    (1 to 3).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("decoded")), s"row $i"))
+    // resize: bad payloads pass through unchanged instead of throwing
+    val meta = rows.withColumn("meta", struct(lit("image/png").as("mime")))
+    val resized = Multimodal.resizeImages(meta, scale = 0.5).orderBy("doc_id").collect()
+    assert(resized.length === 4)
+    assert(resized(3).getAs[Array[Byte]]("payload").toSeq === truncated.toSeq)
+  }
+
   test("withGeneratedPngPayload + resizeImages halve real dimensions") {
     val ids = Seq(Tuple1(0L), Tuple1(20L), Tuple1(255L)).toDF("doc_id")
     val decoded = Multimodal.decodeImages(spark,
