@@ -181,5 +181,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_srp_bucket", exprs => VectorSrpBucket(exprs(0),
         intLit(exprs(1), "planeOffset"), intLit(exprs(2), "numPlanes")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_bucket", exprs => QuantileBucket(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -199,6 +199,50 @@ object IngestQueries {
         "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_under, " +
           "true AS ranges_disjoint FROM lineitem WHERE l_orderkey <= 1000")),
 
+    // Z-order clustering: rewrite lineitem along a Morton curve over
+    // (l_partkey, l_suppkey), then hit it with a predicate box on BOTH
+    // columns. Each file covers a small hyper-rectangle of the value space,
+    // so footer min/max stats prune files on either column — the
+    // multi-dimensional complement to q_norm2's single-key sorted layout.
+    // Asserted at build time: both filters reach the scan (pushdown) AND
+    // the box intersects at most 60% of the files' footer rectangles (the
+    // sharper comparative bound — z-order beats a 1-D sort on the trailing
+    // column — is ZOrderSpec's job, at a fixed synthetic size).
+    DeclaredQuery(
+      "q_norm3",
+      (s, d) => {
+        val db = freshDb(s, "q_norm3")
+        db.create(Tables.load(s, d, "lineitem"))
+        db.normalizeZOrder(maxRowsPerFile = 8192, zCols = Seq("l_partkey", "l_suppkey"))
+        val (pLo, pHi, sLo, sHi) = (100L, 300L, 10L, 30L)
+        def hits(column: String, lo: Long, hi: Long): Set[String] =
+          graft.sources.ParquetStats.fileKeyRanges(db.dir, column).collect {
+            // a file without usable stats could hold matching rows — count
+            // it as hit (conservative, same rule as the scoped upsert)
+            case (p, None) => p
+            case (p, Some((mn, mx))) if mx >= lo && mn <= hi => p
+          }.toSet
+        val nFiles = db.fileStats.size
+        val boxHits = (hits("l_partkey", pLo, pHi) intersect hits("l_suppkey", sLo, sHi)).size
+        require(boxHits <= math.ceil(nFiles * 0.6).toInt,
+          s"q_norm3: z-order layout failed to localize the box — " +
+            s"$boxHits of $nFiles files intersect a ~2% predicate box")
+        val pruned = db.read().filter(
+          col("l_partkey").between(pLo, pHi) && col("l_suppkey").between(sLo, sHi))
+        val scan = pruned.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.headOption.getOrElse(throw new IllegalStateException("no FileSourceScan in q_norm3 plan"))
+        for (c <- Seq("l_partkey", "l_suppkey"))
+          require(scan.dataFilters.exists(_.references.exists(_.name == c)),
+            s"q_norm3: $c filter not pushed to the scan (dataFilters=${scan.dataFilters})")
+        pruned.agg(count(lit(1)).as("n_match"))
+          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir)))
+          .select(col("n_total"), col("n_match"))
+      },
+      Some(
+        "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_match " +
+          "FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

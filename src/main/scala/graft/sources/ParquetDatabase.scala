@@ -100,6 +100,24 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString))
   }
 
+  /** Rewrite the table clustered along a Z-order (Morton) curve over
+    * `zCols` — multi-dimensional data skipping where `normalize(sortBy)` is
+    * one-dimensional: each output file covers a small hyper-rectangle of
+    * the (equi-depth-ranked) value space, so footer min/max stats prune
+    * files for predicates on ANY subset of the z-columns, not just a
+    * leading sort key. See [[ZOrder]] for the curve construction.
+    */
+  def normalizeZOrder(maxRowsPerFile: Long, zCols: Seq[String], bits: Int = 8): Unit = {
+    val df = read()
+    val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
+    val z = "__zorder"
+    val laidOut = df.withColumn(z, ZOrder.zValue(df, zCols, bits))
+      .repartitionByRange(n, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
+    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString))
+  }
+
   /** Full-rewrite-and-swap: write `newData` to a temp sibling, then swap it
     * into place. Crash-safe (see `normalize` doc): the live dir is renamed
     * aside before the rewrite takes its place, so a crash at any point

@@ -129,6 +129,30 @@ class SimilaritySpec extends SparkSpec {
     assert(reopened.assigned.count() === 100L && reopened.centroids.count() === 4L)
   }
 
+  test("ensureIvfIndex builds once, reuses on identical corpus, rebuilds on change") {
+    val df = blockClustered(clusters = 4, per = 25, dim = 16, jitter = 0.05)
+      .toDF("vec_id", "embedding")
+    val dir = "target/tmp/ivf/ensure_spec"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
+    def centroidMtimes: Set[Long] =
+      graft.sources.ParquetStats.listParquetFiles(s"$dir/centroids")
+        .map(f => fs.getFileStatus(f).getModificationTime).toSet
+    Similarity.ensureIvfIndex(spark, dir, df, "vec_id", "embedding", numCentroids = 4)
+    val built = centroidMtimes
+    assert(built.nonEmpty)
+    // identical corpus: the index files must be left physically untouched
+    Similarity.ensureIvfIndex(spark, dir, df, "vec_id", "embedding", numCentroids = 4)
+    assert(centroidMtimes === built, "unchanged corpus must not rebuild the index")
+    // changed corpus (one vector dropped): fingerprint mismatch -> rebuild
+    Thread.sleep(5) // mtime granularity
+    Similarity.ensureIvfIndex(spark, dir, df.filter($"vec_id" =!= 0L),
+      "vec_id", "embedding", numCentroids = 4)
+    assert(Similarity.loadIvfIndex(spark, dir).assigned.count() === 99L,
+      "changed corpus must rebuild the persisted assignment")
+  }
+
   test("ivfSelfTopK approximates the exact k-NN graph on clustered data") {
     val df = blockClustered(clusters = 4, per = 20, dim = 16, jitter = 0.05)
       .toDF("vec_id", "embedding")
