@@ -183,5 +183,15 @@ object GraftFunctions {
         intLit(exprs(1), "planeOffset"), intLit(exprs(2), "numPlanes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_bucket", exprs => QuantileBucket(exprs(0), exprs(1)), "built-in")
+    // Spark's own runtime-filter expressions, exposed for explicit use by
+    // BloomJoin (the optimizer only injects them under its cost heuristics)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", exprs =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)), "built-in")
   }
 }

@@ -506,6 +506,39 @@ object ExtQueries {
           "base64(CAST(substr(text, 1, 16) AS BLOB)) AS first_frame_b64 " +
           "FROM documents ORDER BY doc_id")),
 
+    // ---- bloom semi-join reduction ----
+    // the big side (lineitem) is bloom-filtered down to ~matching rows
+    // BEFORE its join shuffle (Spark's own runtime-filter expressions,
+    // driven explicitly); results are identical to the plain join (the
+    // exact join removes the bloom's false positives), so the oracle is
+    // the plain SQL join. Asserted at build time: the might_contain
+    // predicate is in the physical plan (i.e. the reduction actually runs).
+    DeclaredQuery(
+      "q_ext_bloom1",
+      (s, d) => {
+        import graft.operators.BloomJoin
+        val li = Tables.load(s, d, "lineitem")
+        val small = Tables.load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            year(col("o_orderdate")) === 1996 && month(col("o_orderdate")) === 3)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val out = BloomJoin.reducedJoin(li, small, "l_orderkey", "o_orderkey",
+            expectedItems = 20000)
+          .groupBy(col("l_orderkey"))
+          .agg(dsum(col("l_quantity")).as("qty"), count(lit(1)).as("n"),
+            r4(max(col("o_totalprice"))).as("total"))
+          .orderBy("l_orderkey")
+        require(out.queryExecution.executedPlan.toString.contains("might_contain"),
+          "q_ext_bloom1: bloom prefilter missing from the physical plan")
+        out
+      },
+      Some(
+        "SELECT l_orderkey, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),4) AS qty, " +
+          "count(*) AS n, round(max(o_totalprice),4) AS total " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+          "WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1996 AND month(o_orderdate) = 3 " +
+          "GROUP BY 1 ORDER BY 1")),
+
     // ---- event windows ----
     DeclaredQuery(
       "q_ext_evt1",
