@@ -346,6 +346,127 @@ object Dedup {
     verifyPairsExact(candidates, docs, idCol, textCol, shingleN, threshold)
   }
 
+  /** Persisted MinHash signature store — the INCREMENTAL dedup shape: a
+    * continuously-growing corpus pays shingling + signatures ONCE per
+    * document at ingest, and each new batch dedups against the whole
+    * corpus by joining the store's band rows, never re-reading (let alone
+    * re-shingling) corpus text. At 100 TB the alternative — re-running
+    * [[jaccardPairsBetween]] per batch — re-tokenizes the full corpus on
+    * every ingest tick.
+    *
+    * Layout at `dir`:
+    *  - `toks/`  (id, ths array<long>) — distinct shingle hashes per doc,
+    *    the exact-verification side (jac on 64-bit shingle hashes, same
+    *    negligible-collision contract as [[jaccardPairs]]'s hashed join);
+    *  - `bands/` (id, band, bh) — LSH band rows, the candidate-join side;
+    *  - `_params` — banding/shingle params; probes validate against it so
+    *    a store built with different banding fails loudly instead of
+    *    silently missing candidates.
+    *
+    * Build runs the shingle pipeline once: `toks` is written first, and
+    * `bands` derives from the STORED arrays (no second tokenization pass).
+    */
+  def buildMinHashStore(docs: DataFrame, idCol: String, textCol: String, dir: String,
+                        numBands: Int = 16, rowsPerBand: Int = 2,
+                        shingleN: Int = 3): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    appendToMinHashStore(docs, idCol, textCol, dir, numBands, rowsPerBand, shingleN)
+  }
+
+  /** Append a new batch's signatures to an existing store (after the caller
+    * has dedup'd/kept them — the store should hold surviving docs). Params
+    * are pinned by the store's `_params` marker.
+    */
+  def appendToMinHashStore(batch: DataFrame, idCol: String, textCol: String,
+                           dir: String, numBands: Int = 16, rowsPerBand: Int = 2,
+                           shingleN: Int = 3): Unit = {
+    val marker = readParams(dir) match {
+      case Some(stored) =>
+        require(stored == (numBands, rowsPerBand, shingleN),
+          s"store $dir was built with (bands,rows,shingleN)=$stored, " +
+            s"got (${numBands},${rowsPerBand},${shingleN})")
+        false
+      case None => true
+    }
+    val toks = tokenSets(batch, idCol, textCol, shingleN)
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+    toks.groupBy("id").agg(collect_set(col("th")).as("ths"))
+      .write.mode("append").parquet(s"$dir/toks")
+    // band rows derive from the STORED arrays — one shingle pass total
+    val storedBatch = batch.sparkSession.read.parquet(s"$dir/toks")
+      .join(batch.select(col(s"`$idCol`").as("id")), Seq("id"), "left_semi")
+    bandRows(storedBatch.select(col("id"), explode(col("ths")).as("th")),
+        numBands, rowsPerBand)
+      .write.mode("append").parquet(s"$dir/bands")
+    if (marker) writeParams(dir, (numBands, rowsPerBand, shingleN))
+  }
+
+  private def paramsPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "_params")
+
+  private def readParams(dir: String): Option[(Int, Int, Int)] = {
+    val p = paramsPath(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      val Array(b, r, n) = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split('|').map(_.toInt)
+      Some((b, r, n))
+    }
+  }
+
+  private def writeParams(dir: String, params: (Int, Int, Int)): Unit = {
+    val p = paramsPath(dir)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(s"${params._1}|${params._2}|${params._3}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Near-dup pairs (batch doc, stored doc) with exact Jaccard >= threshold,
+    * candidates from the store's LSH bands — the per-batch incremental step.
+    * Only the BATCH is tokenized (once, checkpointed — its rows feed both
+    * the band join and the verify join, and the checkpoint is ∝ batch
+    * size); the corpus side comes entirely from the store. Emitted jac is
+    * exact over the hashed shingle sets; misses are the banding family's
+    * (1-s^r)^b — < 1e-7 at s≥0.8 with the default 16×2.
+    *
+    * Returns (d1 = batch id, d2 = stored id, jac). Batch-internal pairs are
+    * the caller's [[minHashPairs]] step; appending survivors is
+    * [[appendToMinHashStore]].
+    */
+  def minHashPairsAgainstStore(batch: DataFrame, idCol: String, textCol: String,
+                               dir: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val (numBands, rowsPerBand, shingleN) = readParams(dir).getOrElse(
+      throw new IllegalStateException(s"no MinHash store at $dir (missing _params)"))
+    val batchToks = tokenSets(batch, idCol, textCol, shingleN)
+      .select(col("id"), xxhash64(col("tok")).as("th"))
+      .localCheckpoint()
+    val batchBands = bandRows(batchToks, numBands, rowsPerBand)
+    val candidates = batchBands.as("x")
+      .join(spark.read.parquet(s"$dir/bands").withColumnRenamed("id", "sid").as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") =!= col("sid"))
+      .select(col("x.id").as("d1"), col("sid").as("d2"))
+      .distinct()
+      .localCheckpoint() // tiny by construction; feeds two joins below
+    val batchSets = batchToks.groupBy("id").agg(collect_set(col("th")).as("ths"))
+    val storedSets = spark.read.parquet(s"$dir/toks")
+      .join(candidates.select(col("d2").as("id")), Seq("id"), "left_semi")
+    candidates
+      .join(batchSets.select(col("id").as("d1"), col("ths").as("t1")), "d1")
+      .join(storedSets.select(col("id").as("d2"), col("ths").as("t2")), "d2")
+      .withColumn("c", size(array_intersect(col("t1"), col("t2"))).cast("long"))
+      .withColumn("jac", col("c").cast("double") / (size(col("t1")) + size(col("t2")) - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   /** 64-bit SimHash over the token set: bit b is the sign of the vote
     * sum over tokens of ±1 by bit b of xxhash64(token).
     *

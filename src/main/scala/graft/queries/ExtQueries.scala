@@ -246,6 +246,31 @@ object ExtQueries {
           "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
           "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6 ORDER BY 1,2")),
 
+    // incremental dedup via the persisted MinHash store: the corpus side
+    // (doc_id % 10 <> 0) is signed ONCE into a band/signature store; the
+    // incoming batch (doc_id % 10 = 0) dedups against the store without
+    // re-reading corpus text — the per-ingest-tick shape at 100 TB. jac is
+    // exactly verified over stored shingle-hash sets, so the oracle is the
+    // same exact cross-corpus SQL as q_ext_dedup7 at τ=0.8 (banding miss
+    // < 1e-7 per true pair at s ≥ 0.8 with 16×2).
+    DeclaredQuery(
+      "q_ext_dedup8",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = "target/tmp/minhash_store/q_ext_dedup8"
+        Dedup.buildMinHashStore(docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", dir)
+        Dedup.minHashPairsAgainstStore(docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", dir, threshold = 0.8)
+          .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        s"WITH $jaccardCtes2 " +
+          "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
+          "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 ORDER BY 1,2")),
+
     // deterministic train/val/test split: md5-prefix bucket of the key —
     // engine-portable and stable under repartitioning/re-ingestion (a
     // rand(seed) split is neither)

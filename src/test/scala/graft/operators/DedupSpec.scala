@@ -112,6 +112,53 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("MinHash store: batch-vs-store pairs match jaccardPairsBetween; appends extend it") {
+    val dir = "target/tmp/minhash_store/spec"
+    // corpus with a planted near-dup target; batch contains a near-dup of it
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (11L, "completely different words about spark engines and shuffles"),
+      (12L, "yet another unrelated document describing parquet footers")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog tonight today"),
+      (21L, "nothing like anything stored before in any way whatsoever")
+    ).toDF("doc_id", "text")
+    Dedup.buildMinHashStore(corpus, "doc_id", "text", dir)
+    val got = Dedup.minHashPairsAgainstStore(batch, "doc_id", "text", dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.jaccardPairsBetween(batch, corpus, "doc_id", "text",
+        threshold = 0.6, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.exists { case (d1, d2, _) => d1 == 20L && d2 == 10L })
+    // append the batch; a later near-dup of doc 20 must now hit the store
+    Dedup.appendToMinHashStore(batch, "doc_id", "text", dir)
+    val later = Seq((30L, "the quick brown fox jumps over the lazy dog tonight today"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minHashPairsAgainstStore(later, "doc_id", "text", dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((30L, 20L)), s"appended doc not found: $hits")
+    assert(hits.contains((30L, 10L)))
+    // exact dup of an appended doc verifies at jac = 1.0 over stored sets
+    val exact = Dedup.minHashPairsAgainstStore(later, "doc_id", "text", dir, threshold = 0.6)
+      .filter(col("d2") === 20L).head().getAs[Double]("jac")
+    assert(exact === 1.0)
+  }
+
+  test("MinHash store rejects mismatched banding params and missing stores") {
+    val dir = "target/tmp/minhash_store/spec_params"
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    Dedup.buildMinHashStore(d, "doc_id", "text", dir, numBands = 16, rowsPerBand = 2)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToMinHashStore(d, "doc_id", "text", dir, numBands = 8, rowsPerBand = 4)
+    }
+    intercept[IllegalStateException] {
+      Dedup.minHashPairsAgainstStore(d, "doc_id", "text",
+        "target/tmp/minhash_store/nowhere", threshold = 0.5)
+    }
+  }
+
   test("connectedComponents labels every vertex with the min id of its component") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L), (4L, 3L))
       .toDF("d1", "d2")
