@@ -680,5 +680,51 @@ object ExtQueries {
           .distinct()
           .orderBy("user_id", "event_type"),
       Some(
-        "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")))
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY 1, 2")),
+
+    // streaming-materialized-view sink: the events table is staged into 4
+    // files and replayed ONE FILE PER MICRO-BATCH; each batch's per-user
+    // partial (count, decimal sum) is additively merged into a
+    // ParquetDatabase via the file-scoped upsert, batchId-guarded against
+    // re-delivery. The final table must equal the batch aggregate of the
+    // whole history — asserted against the oracle — and the replay must
+    // genuinely span multiple micro-batches (asserted below; a single
+    // batch would make the merge path vacuous). Decimal partials make the
+    // merged sum independent of batch split and engine.
+    DeclaredQuery(
+      "q_ext_stream5",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val root = "target/tmp/stream_merge"
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+        // stage the RAW events (nanos ts as long — the stream applies the
+        // shared DIV-1000 conversion) into 4 chunk files = 4 micro-batches
+        s.read.schema(Tables.eventsRawSchema).parquet(s"$d/events.parquet")
+          .repartition(4).write.parquet(s"$root/src")
+        val db = EventStreams.mergeStreamToTable(s, s"$root/src",
+          batch => batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(DecimalType(18, 4))).as("total")),
+          "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
+        // the merge marker records the LAST merged batchId — ≥ 1 proves the
+        // replay spanned multiple micro-batches (ids start at 0)
+        val mk = new org.apache.hadoop.fs.Path(s"$root/ck", "_graft_last_merged")
+        val fs = mk.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val buf = new Array[Byte](fs.getFileStatus(mk).getLen.toInt)
+        val in = fs.open(mk)
+        try in.readFully(buf) finally in.close()
+        val lastBatch = new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        require(lastBatch >= 1,
+          s"q_ext_stream5: replay collapsed into ${lastBatch + 1} micro-batch(es) — " +
+            "the merge path was not exercised")
+        db.read()
+          .select(col("user_id"), col("n"),
+            round(col("total").cast("double"), 4).as("total"))
+          .orderBy("user_id")
+      },
+      Some(
+        "SELECT user_id, count(*) AS n, " +
+          "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),4) AS total " +
+          "FROM events GROUP BY 1 ORDER BY 1")))
 }

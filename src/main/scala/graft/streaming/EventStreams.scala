@@ -134,6 +134,79 @@ object EventStreams {
       .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"))
   }
 
+  /** Streaming incremental aggregation MERGED into a [[graft.sources.ParquetDatabase]]
+    * — the streaming-materialized-view sink: each micro-batch's per-key
+    * partial aggregate is added into the stored totals via the file-scoped
+    * `upsert`, so the table converges to the full-history aggregate no
+    * matter how the input splits into micro-batches (the partials must be
+    * ADDITIVE — counts, sums — so batch order can't matter). This is what a
+    * deployment runs instead of Complete-mode memory sinks: state lives in
+    * the table, the stream holds none, and each tick rewrites only the
+    * files holding touched keys.
+    *
+    * Exactly-once: foreachBatch can re-deliver a batch after a crash, and a
+    * re-merged additive partial would DOUBLE-count — so the last merged
+    * batchId is recorded in the checkpoint dir and replayed ids are
+    * skipped. The marker shares the checkpoint's lifecycle (a fresh
+    * checkpoint = a new pipeline = start from a fresh table).
+    *
+    * @param partialAgg batch → (keyCol, additive numeric columns). The
+    *   merge coalesces missing sides to zero, adds, and casts back to the
+    *   partial's column types so the table schema cannot drift (decimal
+    *   addition would otherwise widen precision every batch).
+    */
+  def mergeStreamToTable(spark: SparkSession, sourceDir: String,
+                         partialAgg: DataFrame => DataFrame, keyCol: String,
+                         tableDir: String, checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1): graft.sources.ParquetDatabase = {
+    val db = new graft.sources.ParquetDatabase(spark, tableDir)
+    val markerPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_last_merged")
+    val fs = markerPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def lastMerged: Long =
+      if (!fs.exists(markerPath)) -1L
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(markerPath).getLen.toInt)
+        val in = fs.open(markerPath)
+        try in.readFully(buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }
+    val src = spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastMerged) {
+          val partial = partialAgg(batch)
+          val valueCols = partial.columns.filterNot(_ == keyCol).toSeq
+          if (!db.exists) db.create(partial)
+          else {
+            // touch only stored rows for keys in this batch: the semi-join
+            // keeps the read (and the later upsert rewrite) ∝ batch keys
+            val existing = db.read()
+              .join(partial.select(col(s"`$keyCol`")), Seq(keyCol), "left_semi")
+            val joined = existing.select(
+                col(s"`$keyCol`") +: valueCols.map(c => col(s"`$c`").as(s"__old_$c")): _*)
+              .join(partial, Seq(keyCol), "full_outer")
+            val merged = joined.select(
+              col(s"`$keyCol`") +: valueCols.map { c =>
+                (coalesce(col(s"`__old_$c`"), lit(0)) + coalesce(col(s"`$c`"), lit(0)))
+                  .cast(partial.schema(c).dataType).as(c)
+              }: _*)
+            db.upsert(merged, keyCol)
+          }
+          val out = fs.create(markerPath, true)
+          try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    db
+  }
+
   /** Run a streaming transform of the events table to completion with
     * Trigger.AvailableNow into an in-memory table, and return the final
     * result. This is the harness entry point — it proves the streaming

@@ -80,4 +80,40 @@ class EventStreamsSpec extends SparkSpec {
       .orderBy("user_id").collect()
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming merge sink converges to the batch aggregate and is replay-safe") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val root = "target/tmp/stream/merge_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
+    spark.read.schema(Tables.eventsRawSchema).parquet(s"$sfDir/events.parquet")
+      .repartition(3).write.parquet(s"$root/src")
+    def partial(batch: org.apache.spark.sql.DataFrame) =
+      batch.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 4))).as("total"))
+    val db = EventStreams.mergeStreamToTable(spark, s"$root/src", partial,
+      "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
+    def snapshot = db.read()
+      .select(col("user_id"), col("n"), round(col("total").cast("double"), 4).as("total"))
+      .orderBy("user_id").collect().toSeq
+    val want = partial(Tables.load(spark, sfDir, "events"))
+      .select(col("user_id"), col("n"), round(col("total").cast("double"), 4).as("total"))
+      .orderBy("user_id").collect().toSeq
+    assert(snapshot === want, "merged table diverged from the batch aggregate")
+    // replay with the same checkpoint: no new files -> no merges -> unchanged
+    // (the batchId guard additionally protects re-DELIVERED batches)
+    EventStreams.mergeStreamToTable(spark, s"$root/src", partial,
+      "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
+    assert(snapshot === want, "re-run with the same checkpoint changed the table")
+    // new data arriving later merges incrementally on top
+    spark.read.schema(Tables.eventsRawSchema).parquet(s"$sfDir/events.parquet")
+      .limit(50).write.mode("append").parquet(s"$root/src")
+    EventStreams.mergeStreamToTable(spark, s"$root/src", partial,
+      "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
+    val n0 = want.map(_.getLong(1)).sum
+    val n1 = snapshot.map(_.getLong(1)).sum
+    assert(n1 === n0 + 50, s"incremental merge added ${n1 - n0} rows, want 50")
+  }
 }
