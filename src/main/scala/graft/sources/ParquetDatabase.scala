@@ -74,6 +74,15 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   def nRows: Long = read().count()
   def nColumns: Int = schema.fields.length
 
+  /** Row count from parquet footers when the flat layout exposes them
+    * (metadata-only — no data pages); falls back to a count job on
+    * hive-partitioned layouts whose files live in subdirectories.
+    */
+  private def footerRowCount: Long = {
+    val fromFooters = ParquetStats.totalRows(dir)
+    if (fromFooters > 0) fromFooters else nRows
+  }
+
   /** Rewrite the table into evenly-sized files (ParquetDB `normalize`,
     * base.py:184-186; the notebook's "6 GB file → ≤2 GB" goal).
     *
@@ -91,7 +100,9 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   def normalize(maxRowsPerFile: Long, sortBy: Seq[String] = Nil): Unit = {
     val df = read()
-    val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
+    // row count from the footers (metadata-only) — a count() job here would
+    // be a full extra pass over the table being rewritten
+    val n = math.max(1, math.ceil(footerRowCount.toDouble / maxRowsPerFile).toInt)
     val laidOut =
       if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
@@ -109,7 +120,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   def normalizeZOrder(maxRowsPerFile: Long, zCols: Seq[String], bits: Int = 8): Unit = {
     val df = read()
-    val n = math.max(1, math.ceil(nRows.toDouble / maxRowsPerFile).toInt)
+    val n = math.max(1, math.ceil(footerRowCount.toDouble / maxRowsPerFile).toInt)
     val z = "__zorder"
     val laidOut = df.withColumn(z, ZOrder.zValue(df, zCols, bits))
       .repartitionByRange(n, col(z))

@@ -55,10 +55,13 @@ object ZOrder {
     * @param relErr approxQuantile relative error; boundary wobble only
     *              shifts bucket edges slightly (layout quality, never
     *              correctness — scans consult real footer stats, not the
-    *              quantiles).
+    *              quantiles). The default matches the resolution the
+    *              bucketing can even express (2^-8 ≈ 0.004): a tighter
+    *              sketch costs real scan time and buys nothing below the
+    *              bucket width.
     */
   def zValue(df: DataFrame, zCols: Seq[String], bits: Int = 8,
-             relErr: Double = 0.001): Column = {
+             relErr: Double = 0.004): Column = {
     require(zCols.nonEmpty, "zValue needs at least one column")
     val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
     // one distributed pass computes every column's boundary sketch
