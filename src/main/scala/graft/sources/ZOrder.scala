@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *     which are bounded-volume rectangles in value space.
   */
 object ZOrder {
+  // Scope: numeric z-columns only (quantile_bucket ranks primitives). A
+  // string key would need an order-preserving numeric surrogate to benefit;
+  // hashing one destroys exactly the locality the curve exists to create.
 
   /** Interleave the low `bits` bits of each (non-negative int) column:
     * result bit `i * cols.size + j` = bit `i` of `cols(j)`. With k columns
