@@ -174,36 +174,48 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    val q = src.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastMerged) {
-          val partial = partialAgg(batch)
-          val valueCols = partial.columns.filterNot(_ == keyCol).toSeq
-          if (!db.exists) db.create(partial)
-          else {
-            // touch only stored rows for keys in this batch: the semi-join
-            // keeps the read (and the later upsert rewrite) ∝ batch keys
-            val existing = db.read()
-              .join(partial.select(col(s"`$keyCol`")), Seq(keyCol), "left_semi")
-            val joined = existing.select(
-                col(s"`$keyCol`") +: valueCols.map(c => col(s"`$c`").as(s"__old_$c")): _*)
-              .join(partial, Seq(keyCol), "full_outer")
-            val merged = joined.select(
-              col(s"`$keyCol`") +: valueCols.map { c =>
-                (coalesce(col(s"`__old_$c`"), lit(0)) + coalesce(col(s"`$c`"), lit(0)))
-                  .cast(partial.schema(c).dataType).as(c)
-              }: _*)
-            db.upsert(merged, keyCol)
+    // scope a small shuffle-partition count to the WHOLE replay (not just
+    // the stream start as in runToMemory): foreachBatch's inner
+    // aggregate/merge/upsert jobs are BATCH plans created per micro-batch,
+    // so they read the session conf at their own plan time — every one of
+    // them re-shuffles a keys-sized table where the batch session's count
+    // is pure overhead. Restored after termination; the engine's drivers
+    // never plan unrelated queries concurrently with a bounded replay.
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "8")
+      val q = src.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > lastMerged) {
+            val partial = partialAgg(batch)
+            val valueCols = partial.columns.filterNot(_ == keyCol).toSeq
+            if (!db.exists) db.create(partial)
+            else {
+              // touch only stored rows for keys in this batch: the semi-join
+              // keeps the read (and the later upsert rewrite) ∝ batch keys
+              val existing = db.read()
+                .join(partial.select(col(s"`$keyCol`")), Seq(keyCol), "left_semi")
+              val joined = existing.select(
+                  col(s"`$keyCol`") +: valueCols.map(c => col(s"`$c`").as(s"__old_$c")): _*)
+                .join(partial, Seq(keyCol), "full_outer")
+              val merged = joined.select(
+                col(s"`$keyCol`") +: valueCols.map { c =>
+                  (coalesce(col(s"`__old_$c`"), lit(0)) + coalesce(col(s"`$c`"), lit(0)))
+                    .cast(partial.schema(c).dataType).as(c)
+                }: _*)
+              db.upsert(merged, keyCol)
+            }
+            val out = fs.create(markerPath, true)
+            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
           }
-          val out = fs.create(markerPath, true)
-          try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
         }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, oldParts)
     db
   }
 

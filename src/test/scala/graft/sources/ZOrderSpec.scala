@@ -114,6 +114,28 @@ class ZOrderSpec extends SparkSpec {
       s"z-order box hits ${boxHits(zDir, box)} of $nz files — no localization")
   }
 
+  test("scoped upsert stays correct on a z-ordered table (overlapping 1-D ranges)") {
+    // z-ordered files have overlapping single-column footer ranges (they are
+    // rectangles, not a 1-D partition) — the range-scoped upsert must still
+    // patch exactly the right rows and leave provably-unaffected files alone
+    val dir = "target/tmp/zorder/upsert"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    val rng = new java.util.SplittableRandom(23L)
+    val rows = (0L until 5000L).map(i => (i, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))
+    val db = new ParquetDatabase(spark, dir)
+    db.create(rows.toDF("id", "x", "y"))
+    db.normalizeZOrder(maxRowsPerFile = 500, zCols = Seq("x", "y"))
+    import spark.implicits._
+    db.upsert(Seq((42L, -1L, -1L), (6000L, -2L, -2L)).toDF("id", "x", "y"), "id")
+    val got = db.read().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 5001)
+    assert(got.find(_._1 == 42L).get === ((42L, -1L, -1L)))
+    assert(got.find(_._1 == 6000L).get === ((6000L, -2L, -2L)))
+    val untouched = rows.filterNot(_._1 == 42L).toSet
+    assert(untouched.subsetOf(got.toSet), "scoped upsert corrupted unrelated rows")
+  }
+
   test("zValue equi-depth ranking survives heavy value skew") {
     // 90% of x mass at one value — a min/max linear scale would put 90% of
     // rows in one z cell; equi-depth ranks must still spread rows enough
