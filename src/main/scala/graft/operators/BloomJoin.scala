@@ -35,11 +35,26 @@ object BloomJoin {
   private def registered(df: DataFrame): Unit =
     graft.functions.GraftFunctions.register(df.sparkSession)
 
+  /** Ceiling on sketch size (bits) — Spark's own runtime-filter cap (8 MiB
+    * serialized). The sketch ships to every task as a literal, so an
+    * unbounded build side would trade the shuffle it saves for plan/closure
+    * bloat. Beyond this, the build side is no longer "small": use a plain
+    * shuffle semi-join, which is what the exact join does anyway.
+    */
+  val MaxNumBits: Long = 67108864L
+
   /** Optimal bit count for `n` items at false-positive rate `fpp`:
-    * m = -n·ln(fpp)/ln(2)². */
+    * m = -n·ln(fpp)/ln(2)². Fails loudly past [[MaxNumBits]] (≈ 7M items at
+    * 1% fpp) rather than silently shipping a data-sized literal.
+    */
   def optimalNumBits(n: Long, fpp: Double): Long = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    val bits = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
+    require(bits <= MaxNumBits,
+      s"bloom sketch for $n items at fpp=$fpp needs $bits bits > cap $MaxNumBits " +
+        "(the build side is not small enough for semi-join reduction; " +
+        "use the plain join, or raise fpp)")
+    bits
   }
 
   /** Serialized Bloom filter over `keys`' key column (distributed

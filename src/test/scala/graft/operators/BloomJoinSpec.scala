@@ -46,6 +46,14 @@ class BloomJoinSpec extends SparkSpec {
       s"prefilter kept $kept rows - no meaningful reduction over 100000")
   }
 
+  test("oversized build sides are rejected instead of shipping a data-sized literal") {
+    intercept[IllegalArgumentException] {
+      BloomJoin.optimalNumBits(1_000_000_000L, 0.01)
+    }
+    // at the cap boundary it still sizes normally
+    assert(BloomJoin.optimalNumBits(1_000_000L, 0.01) <= BloomJoin.MaxNumBits)
+  }
+
   test("outer joins are rejected (reduction would drop result rows)") {
     val df = Seq((1L, "x")).toDF("k", "v")
     intercept[IllegalArgumentException] {
