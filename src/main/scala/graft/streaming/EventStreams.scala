@@ -148,7 +148,12 @@ object EventStreams {
     * re-merged additive partial would DOUBLE-count — so the last merged
     * batchId is recorded in the checkpoint dir and replayed ids are
     * skipped. The marker shares the checkpoint's lifecycle (a fresh
-    * checkpoint = a new pipeline = start from a fresh table).
+    * checkpoint = a new pipeline = start from a fresh table). Honest limit:
+    * the table commit and the marker write are two filesystem operations —
+    * a crash BETWEEN them re-merges that one batch on restart. Closing that
+    * window needs an atomic commit of data+watermark (a transactional table
+    * format's single-manifest swap); on plain parquet the exposure is one
+    * batch, detectable by comparing the marker to the checkpoint's offsets.
     *
     * @param partialAgg batch → (keyCol, additive numeric columns). The
     *   merge coalesces missing sides to zero, adds, and casts back to the
