@@ -265,15 +265,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * estimate is conservative by `safety` so post-rewrite compression-ratio
     * drift doesn't overshoot the target.
     */
+  /** @param zOrderBy mutually exclusive with sortBy: cluster the rewrite
+    *  along a Z-order curve over these columns instead of a 1-D sort
+    *  (multi-dimensional skipping, see [[normalizeZOrder]]).
+    */
   def normalizeToBytes(targetBytesPerFile: Long, safety: Double = 0.9,
-                       sortBy: Seq[String] = Nil): Unit = {
+                       sortBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil): Unit = {
+    require(sortBy.isEmpty || zOrderBy.isEmpty,
+      "normalizeToBytes: pass sortBy OR zOrderBy, not both (one physical order per table)")
     val stats = fileStats
     val totalBytes = stats.map(_.fileBytes).sum
     val totalRows = stats.map(_.numRows).sum
     require(totalRows > 0, s"normalizeToBytes on empty table $dir")
     val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
     val maxRows = math.max(1L, (targetBytesPerFile * safety / bytesPerRow).toLong)
-    normalize(maxRows, sortBy)
+    if (zOrderBy.nonEmpty) normalizeZOrder(maxRows, zOrderBy)
+    else normalize(maxRows, sortBy)
   }
 
   /** Replication surface (reference R11: HuggingFace snapshot up/download,

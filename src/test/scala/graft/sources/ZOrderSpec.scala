@@ -136,6 +136,25 @@ class ZOrderSpec extends SparkSpec {
     assert(untouched.subsetOf(got.toSet), "scoped upsert corrupted unrelated rows")
   }
 
+  test("normalizeToBytes(zOrderBy) clusters by the curve; mixing orders is rejected") {
+    val dir = "target/tmp/zorder/bytes"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    val rng = new java.util.SplittableRandom(29L)
+    val rows = Seq.fill(10000)((rng.nextInt(1000).toLong, rng.nextInt(1000).toLong))
+    val db = new ParquetDatabase(spark, dir)
+    db.create(rows.toDF("x", "y"))
+    intercept[IllegalArgumentException] {
+      db.normalizeToBytes(64 * 1024, sortBy = Seq("x"), zOrderBy = Seq("x", "y"))
+    }
+    db.normalizeToBytes(targetBytesPerFile = 16 * 1024, zOrderBy = Seq("x", "y"))
+    assert(db.fileStats.size > 2, "byte target produced too few files to check layout")
+    val hits = boxHits(dir, Map("y" -> (100L, 199L)))
+    assert(hits * 2 <= db.fileStats.size,
+      s"byte-targeted z-order failed to localize y: $hits of ${db.fileStats.size}")
+    assert(db.read().count() === 10000L)
+  }
+
   test("zValue equi-depth ranking survives heavy value skew") {
     // 90% of x mass at one value — a min/max linear scale would put 90% of
     // rows in one z cell; equi-depth ranks must still spread rows enough
