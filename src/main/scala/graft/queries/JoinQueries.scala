@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.SkewOps
+import graft.operators.{RangeJoin, SkewOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QHelpers._
@@ -183,5 +183,32 @@ object JoinQueries {
           "j AS (SELECT p_id, c_id, c_val, row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) rn " +
           "FROM p JOIN c ON c_uid=user_id AND c_ts<=p_ts) " +
           "SELECT p_id AS event_id, c_id AS prior_click_id, round(c_val,4) AS click_value " +
-          "FROM j WHERE rn=1 ORDER BY event_id")))
+          "FROM j WHERE rn=1 ORDER BY event_id")),
+
+    // pure range join — NO equi-key: every click (any user) inside each
+    // purchase's 1-hour window. Catalyst has only a nested-loop plan for
+    // this shape; RangeJoin buckets time so it runs as a shuffled equi-join
+    // on the bucket id (RangeJoinSpec asserts the plan carries no
+    // BroadcastNestedLoopJoin / CartesianProduct). DuckDB's IEJoin computes
+    // the same relation natively — that is the oracle.
+    DeclaredQuery(
+      "q_join9",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("value").as("c_val"))
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+        RangeJoin.pointInInterval(clicks, "c_ts", windows, "lo", "hi", 3600L)
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))
+          .select(col("p_id").as("event_id"), col("n"), col("total"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH p AS (SELECT event_id p_id, ts lo, ts + INTERVAL 1 HOUR hi FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT ts c_ts, value c_val FROM events WHERE event_type='click') " +
+          "SELECT p_id AS event_id, count(*) AS n, round(sum(c_val),4) AS total " +
+          "FROM p JOIN c ON c_ts >= lo AND c_ts <= hi GROUP BY 1 ORDER BY 1")))
 }
