@@ -51,4 +51,36 @@ object RangeJoin {
       .filter(col(pointTsCol) >= col(loCol) && col(pointTsCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Join `left` to every interval of `right` it overlaps:
+    * left.lo <= right.hi AND right.lo <= left.hi (inclusive). The
+    * interval×interval generalization of [[pointInInterval]] — the shape
+    * Catalyst can only nested-loop.
+    *
+    * Both sides explode to every bucket they span, so an overlapping pair
+    * co-occurs in EVERY bucket of the spans' intersection. Emitting it once
+    * per co-occurrence would need a distinct() over the (potentially huge)
+    * join output; instead each pair is kept only in the single bucket
+    * `greatest(bucket(left.lo), bucket(right.lo))`. That bucket always lies
+    * in the intersection when the intervals truly overlap (truncation is
+    * monotone: lo <= other.hi bucket-wise on both sides), so the output is
+    * exact with no dedup pass. Column names must be disjoint across sides;
+    * intervals with hi < lo are dropped on both sides.
+    */
+  def intervalOverlap(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(ts) / bucketSeconds)
+    def explodeSpan(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) >= col(lo))
+      .withColumn("__bucket", explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+    explodeSpan(left, lLoCol, lHiCol)
+      .join(explodeSpan(right, rLoCol, rHiCol), Seq("__bucket"))
+      .filter(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__bucket") === greatest(bucketOf(col(lLoCol)), bucketOf(col(rLoCol))))
+      .drop("__bucket")
+  }
 }

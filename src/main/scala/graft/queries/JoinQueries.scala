@@ -210,5 +210,33 @@ object JoinQueries {
         "WITH p AS (SELECT event_id p_id, ts lo, ts + INTERVAL 1 HOUR hi FROM events WHERE event_type='purchase'), " +
           "c AS (SELECT ts c_ts, value c_val FROM events WHERE event_type='click') " +
           "SELECT p_id AS event_id, count(*) AS n, round(sum(c_val),4) AS total " +
-          "FROM p JOIN c ON c_ts >= lo AND c_ts <= hi GROUP BY 1 ORDER BY 1")))
+          "FROM p JOIN c ON c_ts >= lo AND c_ts <= hi GROUP BY 1 ORDER BY 1")),
+
+    // interval×interval overlap join — purchase 1-hour windows against
+    // click 30-minute windows, no equi-key. Wide spans co-occur in many
+    // buckets; RangeJoin.intervalOverlap keeps each pair only in its
+    // greatest-lo bucket so the equi-join output is exact without a
+    // distinct() (RangeJoinSpec proves once-per-pair and the no-nested-loop
+    // plan). Oracle: DuckDB IEJoin on the overlap predicate.
+    DeclaredQuery(
+      "q_join10",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_lo"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("p_hi"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_lo"), (col("ts") + expr("INTERVAL 30 MINUTE")).as("c_hi"),
+            col("value").as("c_val"))
+        RangeJoin.intervalOverlap(purchases, "p_lo", "p_hi", clicks, "c_lo", "c_hi", 3600L)
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))
+          .select(col("p_id").as("event_id"), col("n"), col("total"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH p AS (SELECT event_id p_id, ts p_lo, ts + INTERVAL 1 HOUR p_hi FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT ts c_lo, ts + INTERVAL 30 MINUTE c_hi, value c_val FROM events WHERE event_type='click') " +
+          "SELECT p_id AS event_id, count(*) AS n, round(sum(c_val),4) AS total " +
+          "FROM p JOIN c ON p_lo <= c_hi AND c_lo <= p_hi GROUP BY 1 ORDER BY 1")))
 }

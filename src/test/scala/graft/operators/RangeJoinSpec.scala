@@ -72,6 +72,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count() === 1L)
   }
 
+  test("interval overlap equals the naive theta join, exactly once per pair") {
+    // spans of wildly different widths, touching endpoints, disjoint cases
+    val left = Seq(
+      ("L1", ts("2024-01-01 00:00:00"), ts("2024-01-01 06:00:00")), // 6h
+      ("L2", ts("2024-01-01 05:59:59"), ts("2024-01-01 06:30:00")),
+      ("L3", ts("2024-01-02 00:00:00"), ts("2024-01-02 00:00:00")), // zero-width
+      ("L4", ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00"))  // overlaps nothing
+    ).toDF("lid", "llo", "lhi")
+    val right = Seq(
+      ("R1", ts("2024-01-01 06:00:00"), ts("2024-01-01 07:00:00")), // touches L1 at one instant
+      ("R2", ts("2023-12-31 00:00:00"), ts("2024-01-03 00:00:00")), // 3-day span covers L1-L3
+      ("R3", ts("2024-01-01 03:00:00"), ts("2024-01-01 04:00:00"))  // nested inside L1
+    ).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 3600L)
+      .select("lid", "rid")
+    val want = left.join(right, $"llo" <= $"rhi" && $"rlo" <= $"lhi")
+      .select("lid", "rid")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "bucketed interval overlap diverged from the theta join")
+    // the greatest-lo-bucket rule must emit each pair exactly once even
+    // though wide spans co-occur in many buckets
+    assert(got.count() === got.distinct().count())
+  }
+
+  test("interval overlap plans as an equi-join, not a nested loop") {
+    val left = (0L until 500L).map(i => (i,
+      new Timestamp(1700000000000L + i * 120000L),
+      new Timestamp(1700000000000L + i * 120000L + 1800000L))).toDF("lid", "llo", "lhi")
+    val right = (0L until 300L).map(i => (i,
+      new Timestamp(1700000000000L + i * 180000L),
+      new Timestamp(1700000000000L + i * 180000L + 3600000L))).toDF("rid", "rlo", "rhi")
+    val plan = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap fell back to a nested loop:\n$plan")
+  }
+
   test("non-positive bucket width is rejected") {
     val df = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("a", "t")
     intercept[IllegalArgumentException] {
