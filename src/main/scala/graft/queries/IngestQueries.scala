@@ -243,6 +243,53 @@ object IngestQueries {
         "SELECT (SELECT count(*) FROM lineitem) AS n_total, count(*) AS n_match " +
           "FROM lineitem WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30")),
 
+    // scoped small-file compaction: a range-laid-out table accretes a tail
+    // of tiny append files (the streaming merge sink's natural debris);
+    // compactSmallFiles bin-packs ONLY the tail, leaving every
+    // healthy-sized file byte-identical — cost tracks the tail, not table
+    // size (normalize() would rewrite all 100 TB to fix a few MB). Build
+    // -time asserts: files at/above the size threshold keep their mtimes,
+    // the tail actually packs, the file count drops. The oracle checks the
+    // surviving data.
+    DeclaredQuery(
+      "q_norm4",
+      (s, d) => {
+        val db = freshDb(s, "q_norm4")
+        db.create(Tables.load(s, d, "lineitem").select("l_orderkey", "l_extendedprice"))
+        db.normalize(maxRowsPerFile = 8192, sortBy = Seq("l_orderkey"))
+        // six tiny appends — deterministic orders slices conformed to the
+        // store schema, one file each
+        for (i <- 0 until 6)
+          db.create(Tables.load(s, d, "orders")
+            .filter(col("o_orderkey") % 6000 === i)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice").as("l_extendedprice"))
+            .repartition(1))
+        def snapshot(): Map[String, Long] = {
+          val fs = new org.apache.hadoop.fs.Path(db.dir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          graft.sources.ParquetStats.listParquetFiles(db.dir)
+            .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
+        }
+        val before = snapshot()
+        val target = db.fileStats.map(_.fileBytes).max
+        val mustSurvive = db.fileStats.filter(_.fileBytes >= (target * 0.5).toLong).map(_.path)
+        val packed = db.compactSmallFiles(target, sortBy = Seq("l_orderkey"))
+        val after = snapshot()
+        require(mustSurvive.forall(p => after.get(p) == before.get(p)),
+          "q_norm4: compaction touched a healthy-sized file")
+        require(packed >= 6 && after.size < before.size,
+          s"q_norm4: tail not packed (packed=$packed, files ${before.size}->${after.size})")
+        db.read()
+          .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("total"))
+          .withColumn("healthy_untouched", lit(true))
+          .withColumn("tail_packed", lit(true))
+      },
+      Some(
+        "SELECT (SELECT count(*) FROM lineitem) + (SELECT count(*) FROM orders WHERE o_orderkey % 6000 < 6) AS n_rows, " +
+          "round(CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem) + " +
+          "(SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders WHERE o_orderkey % 6000 < 6) AS DOUBLE), 4) AS total, " +
+          "true AS healthy_untouched, true AS tail_packed")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

@@ -259,6 +259,47 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     fs.delete(tmp, true)
   }
 
+  /** Compact the small-file tail: bin-pack ONLY the files smaller than
+    * `smallFraction · targetBytesPerFile` into ~target-sized replacements,
+    * leaving every healthy-sized file physically untouched (same path, same
+    * bytes, same mtime). Streaming merge sinks and repeated small appends
+    * accrete a tail of tiny files; `normalize()` fixes that by rewriting
+    * the WHOLE table — a 100 TB rewrite to repair a few GB of tail. This
+    * scopes the rewrite so cost tracks the problem (bytes in small files),
+    * not table size, and the commit is the same crash-safe file swap the
+    * scoped upsert uses ([[replaceFiles]]).
+    *
+    * @param sortBy keep a range layout: pack small files range-partitioned
+    *               and sorted so the replacements carry tight footer ranges
+    *               like the rest of a `normalize(sortBy)` table
+    * @return number of small files packed away (0 = nothing worth doing).
+    *         Hive-partitioned layouts list no top-level files and return 0
+    *         untouched — file replacement there would drop the
+    *         directory-encoded columns; use `normalize()` for those.
+    */
+  def compactSmallFiles(targetBytesPerFile: Long, smallFraction: Double = 0.5,
+                        sortBy: Seq[String] = Nil): Int = {
+    require(smallFraction > 0 && smallFraction <= 1.0,
+      s"smallFraction must be in (0, 1], got $smallFraction")
+    val small = fileStats.filter(_.fileBytes < (targetBytesPerFile * smallFraction).toLong)
+    val bytes = small.map(_.fileBytes).sum
+    // conservative 0.9 like normalizeToBytes: re-compression drift must not
+    // overshoot the target
+    val n = math.max(1, math.ceil(bytes.toDouble / (targetBytesPerFile * 0.9)).toInt)
+    if (small.size <= n) 0 // packing would not reduce the file count
+    else {
+      val paths = small.map(_.path)
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val shaped =
+        if (sortBy.nonEmpty)
+          df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
+            .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
+        else df.repartition(n)
+      replaceFiles(paths, shaped)
+      small.size
+    }
+  }
+
   /** Normalize to a target FILE SIZE (the reference's actual goal — the
     * notebook's "6 GB file → ≤2 GB"): estimate bytes/row from the current
     * footers (compressed, i.e. as-stored) and convert to a row bound. The

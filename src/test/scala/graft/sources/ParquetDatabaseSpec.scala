@@ -112,6 +112,44 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(snapshot() === afterDel)
   }
 
+  test("compactSmallFiles packs only the small tail; healthy files untouched") {
+    val db = freshDb("compact")
+    def snapshot(): Map[String, Long] = {
+      val fs = new org.apache.hadoop.fs.Path(db.dir)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      ParquetStats.listParquetFiles(db.dir)
+        .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
+    }
+    // one healthy file + a tail of six tiny append files
+    db.create(spark.range(20000).select(col("id"), (col("id") % 13).as("v")).repartition(1))
+    (0 until 6).foreach { i =>
+      db.create(spark.range(200)
+        .select((col("id") + 100000L + i * 1000L).as("id"), lit(i.toLong).as("v"))
+        .repartition(1))
+    }
+    val before = snapshot()
+    assert(before.size === 7)
+    val healthyBytes = db.fileStats.map(_.fileBytes).max
+    val healthyPath = db.fileStats.maxBy(_.fileBytes).path
+    val checksum = db.read().agg(sum("id"), sum("v"), count(lit(1))).head()
+
+    val packed = db.compactSmallFiles(targetBytesPerFile = healthyBytes)
+    assert(packed === 6)
+    val after = snapshot()
+    // the healthy file survives byte-identical; the tail collapsed
+    assert(after.contains(healthyPath) && after(healthyPath) === before(healthyPath))
+    assert(after.size < before.size, s"no file-count reduction: ${after.size}")
+    assert(db.read().agg(sum("id"), sum("v"), count(lit(1))).head() === checksum)
+    // second pass: the packed tail is a single small file — nothing to do
+    assert(db.compactSmallFiles(targetBytesPerFile = healthyBytes) === 0)
+    assert(snapshot() === after)
+    // crash-safe temp dirs cleaned up
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    for (suffix <- Seq("__patch_old", "__patch_tmp"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + suffix)), suffix)
+  }
+
   test("scoped upsert falls back correctly when footer ranges are unusable (string key)") {
     val db = freshDb("scoped_str")
     db.create(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
