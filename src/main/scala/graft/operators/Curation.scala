@@ -59,6 +59,43 @@ object Curation {
       .withColumn("bin_offset", col("start_tok") % capacity)
   }
 
+  /** Export a corpus as `numShards` deterministic shards under `dir`
+    * (`shard=<k>/` directories) and return a manifest of what landed on
+    * disk — the handoff format a trainer consumes: shards enumerable,
+    * independently readable, membership reproducible.
+    *
+    * Shard assignment is the md5 bucket of the id ([[splitBucket]]'s
+    * rationale: engine-portable, stable under repartitioning and
+    * re-ingestion — re-exporting an unchanged corpus reproduces the same
+    * membership, unlike anything rand()-based). The write repartitions on
+    * the shard id so each shard is written by one task; `format` is
+    * "parquet" or "json" (JSON-lines, the common text-corpus interchange).
+    *
+    * The manifest (shard, n_rows, n_bytes) is computed by reading BACK the
+    * export — it reports disk truth, not intent: a shard that failed to
+    * write would be missing here, not silently claimed.
+    */
+  def exportShards(df: DataFrame, idCol: String, numShards: Int, dir: String,
+                   format: String = "parquet"): DataFrame = {
+    require(numShards > 0, s"exportShards: numShards must be positive, got $numShards")
+    val spark = df.sparkSession
+    df.withColumn("shard", splitBucket(col(idCol), numShards))
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").format(format).partitionBy("shard").save(dir)
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.listStatus(p).toSeq.filter(_.isDirectory).map { d =>
+        val shard = d.getPath.getName.stripPrefix("shard=").toInt
+        shard -> fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
+      }
+    }
+    val bytesDf = spark.createDataFrame(bytes).toDF("shard", "n_bytes")
+    spark.read.format(format).load(dir)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .join(bytesDf, Seq("shard"), "left")
+  }
+
   /** Mask all but the last `keep` characters of a column (PII-style
     * masking before a corpus leaves curation). SQL-expression based so the
     * identical text runs on the oracle engine.

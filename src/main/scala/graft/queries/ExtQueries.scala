@@ -322,6 +322,32 @@ object ExtQueries {
           "regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed " +
           "FROM customer ORDER BY c_custkey")),
 
+    // sharded corpus export: the trainer handoff — md5-bucketed shard
+    // membership (reproducible across re-exports, unlike rand()), one
+    // writer task per shard, manifest computed from the written files (disk
+    // truth). The query re-reads the export and checks per-shard counts AND
+    // per-shard content sums against DuckDB computing the same md5 buckets
+    // directly — a full round-trip proof. n_bytes stays out of the declared
+    // output (physical size is engine-specific); CurationSpec asserts it.
+    DeclaredQuery(
+      "q_ext_shard1",
+      (s, d) => {
+        val dir = "target/tmp/q_ext_shard1"
+        val manifest = graft.operators.Curation.exportShards(
+          Tables.load(s, d, "documents"), "doc_id", 8, dir)
+        val back = s.read.parquet(dir).groupBy("shard")
+          .agg(sum(col("n_chars")).as("chars"), min(col("doc_id")).as("first_doc"))
+        manifest.join(back, "shard")
+          .select(col("shard").cast("int").as("shard"), col("n_rows"),
+            col("chars"), col("first_doc"))
+          .orderBy("shard")
+      },
+      Some(
+        "SELECT CAST((ascii(substr(md5(CAST(doc_id AS STRING)),1,1))*256 " +
+          "+ ascii(substr(md5(CAST(doc_id AS STRING)),2,1))) % 8 AS INTEGER) AS shard, " +
+          "count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_doc " +
+          "FROM documents GROUP BY 1 ORDER BY 1")),
+
     // SimHash (xxhash64-based — not expressible in DuckDB; rows-only check,
     // quality asserted vs exact Jaccard in the test suite)
     DeclaredQuery(

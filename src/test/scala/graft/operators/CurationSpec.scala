@@ -60,6 +60,30 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(cross((10L, 11L)) - self((10L, 11L))) < 1e-12)
   }
 
+  test("exportShards writes deterministic shards and a disk-truth manifest") {
+    val dir = "target/tmp/curation_shards"
+    val docs = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val manifest = Curation.exportShards(docs, "doc_id", 8, dir)
+    val m = manifest.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.keySet === (0 until 8).toSet)
+    assert(m.values.sum === 2000L)
+    assert(m.values.forall(_ > 0), s"empty shard: $m")
+    assert(manifest.collect().forall(_.getLong(2) > 0L), "zero-byte shard in manifest")
+    // every row lands in exactly one shard, and membership equals the
+    // declarative bucket — re-exporting an unchanged corpus is a no-op move
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2000L && back.select("doc_id").distinct().count() === 2000L)
+    val expected = docs.withColumn("shard", Curation.splitBucket(col("doc_id"), 8))
+      .select(col("doc_id"), col("shard").cast("int").as("shard"))
+    assert(back.select(col("doc_id"), col("shard").cast("int").as("shard"))
+      .exceptAll(expected).isEmpty)
+    // JSON-lines export round-trips the same counts
+    val mj = Curation.exportShards(docs, "doc_id", 8, dir + "_json", format = "json")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mj === m)
+  }
+
   test("maskTail hides all but the tail") {
     val out = Seq(("Customer#000000042", 1L)).toDF("c_name", "k")
       .select(Curation.maskTail("c_name", 4).as("m")).head().getString(0)
