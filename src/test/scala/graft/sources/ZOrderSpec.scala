@@ -93,10 +93,20 @@ class ZOrderSpec extends SparkSpec {
     sdb.normalize(maxRowsPerFile = 1000, sortBy = Seq("x"))
     val nz = zdb.fileStats.size
     val ns = sdb.fileStats.size
-    // predicate on y ALONE: the x-sorted layout cannot skip anything (every
-    // file spans the full y domain); the z-order layout must skip most files
+    // predicate on y ALONE: the x-sorted layout cannot meaningfully skip
+    // (nearly every file spans the full y domain — "nearly" because the
+    // repartitionByRange sampling behind normalize(sortBy) occasionally
+    // leaves one small tail file with a narrow y range, so the control is a
+    // tolerance, not an absolute); the z-order layout must skip most files
+    // AND beat the 1-D control by at least 2x — the comparative property is
+    // the claim, the control bound just guards the fixture
     val yOnly = Map("y" -> (100L, 199L))
-    assert(boxHits(sDir, yOnly) === ns, "x-sorted layout unexpectedly pruned on y")
+    assert(boxHits(sDir, yOnly) >= ns - 1,
+      s"x-sorted layout pruned on y far more than sampling noise allows: " +
+        s"${boxHits(sDir, yOnly)} of $ns files hit")
+    assert(boxHits(zDir, yOnly) * 2 <= boxHits(sDir, yOnly),
+      s"z-order pruned too little on y vs the 1-D control: " +
+        s"${boxHits(zDir, yOnly)} z hits vs ${boxHits(sDir, yOnly)} sorted hits")
     assert(boxHits(zDir, yOnly) * 2 <= nz,
       s"z-order pruned too little on y: ${boxHits(zDir, yOnly)} of $nz files hit")
     // predicate on x alone: both layouts must prune (z-order may prune less
