@@ -185,6 +185,37 @@ object JoinQueries {
           "SELECT p_id AS event_id, c_id AS prior_click_id, round(c_val,4) AS click_value " +
           "FROM j WHERE rn=1 ORDER BY event_id")),
 
+    // no-equi-key as-of: the latest click from ANY user within the hour
+    // before each purchase. q_asof1's equi-key (user_id) let it run as a
+    // plain hash join + window; without the key Catalyst would nested-loop,
+    // so this rides RangeJoin.asOf (bucketed candidates + one window per
+    // purchase — RangeJoinSpec asserts the no-nested-loop plan). The oracle
+    // is the same as-of relation with the identical explicit tie-break
+    // (c_ts DESC, c_id DESC), horizon-bounded on both engines: the
+    // globally-latest predecessor within the horizon IS the as-of answer.
+    DeclaredQuery(
+      "q_asof2",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+            col("value").as("c_val"))
+        RangeJoin.asOf(p, "p_ts", "p_id", c, "c_ts",
+            horizonSeconds = 3600L, tieBreakDesc = Seq("c_id"))
+          .select(col("p_id").as("event_id"), col("c_id").as("prior_click_id"),
+            r4(col("c_val")).as("click_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH p AS (SELECT event_id p_id, ts p_ts FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT event_id c_id, ts c_ts, value c_val FROM events WHERE event_type='click'), " +
+          "j AS (SELECT p_id, c_id, c_val, row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) rn " +
+          "FROM p JOIN c ON c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR) " +
+          "SELECT p_id AS event_id, c_id AS prior_click_id, round(c_val,4) AS click_value " +
+          "FROM j WHERE rn=1 ORDER BY event_id")),
+
     // pure range join — NO equi-key: every click (any user) inside each
     // purchase's 1-hour window. Catalyst has only a nested-loop plan for
     // this shape; RangeJoin buckets time so it runs as a shuffled equi-join

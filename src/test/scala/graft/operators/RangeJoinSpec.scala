@@ -115,4 +115,96 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.pointInInterval(df, "t", df.toDF("b", "lo"), "lo", "lo", 0L)
     }
   }
+
+  test("asOf picks the latest in-horizon row per key, deterministically on ties") {
+    val rng = new java.util.SplittableRandom(31L)
+    val base = 1700000000000L
+    val lefts = (0L until 300L)
+      .map(i => (i, new Timestamp(base + rng.nextInt(500000) * 1000L))).toDF("lid", "lts")
+    // duplicate timestamps on the right exercise the tie-break
+    val rights = (0L until 600L)
+      .map(i => (i, new Timestamp(base + rng.nextInt(250000) * 2000L), i * 0.5))
+      .toDF("rid", "rts", "rv")
+    val got = RangeJoin.asOf(lefts, "lts", "lid", rights, "rts",
+      horizonSeconds = 3600L, tieBreakDesc = Seq("rid"))
+      .select("lid", "rid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lid").orderBy($"rts".desc, $"rid".desc)
+    val want = lefts
+      .join(rights, $"rts" <= $"lts" && $"rts" >= $"lts" - expr("INTERVAL 1 HOUR"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select("lid", "rid")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "asOf diverged from the window-formulated as-of")
+    // exactly one winner per matched left row
+    assert(got.count() === got.select("lid").distinct().count())
+    // and it plans as an equi-join, not a nested loop
+    val plan = RangeJoin.asOf(lefts, "lts", "lid", rights, "rts", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"asOf fell back to a nested loop:\n$plan")
+    // a left row whose nearest predecessor is beyond the horizon is dropped
+    val lonely = Seq((99L, ts("2030-01-01 12:00:00"))).toDF("lid", "lts")
+    val stale = Seq((1L, ts("2030-01-01 10:00:00"), 1.0)).toDF("rid", "rts", "rv")
+    assert(RangeJoin.asOf(lonely, "lts", "lid", stale, "rts", 3600L).count() === 0L)
+  }
+
+  test("open-ended sentinel interval fails loudly instead of exploding") {
+    // the classic SCD pattern: hi = 9999-12-31 on one dirty row would
+    // explode to ~70M bucket rows at 1-hour buckets — the guard must turn
+    // that into a clear error naming the bound, not an executor OOM
+    val points = Seq((1L, ts("2024-01-01 00:30:00"))).toDF("pid", "t")
+    val intervals = Seq(
+      ("ok", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      ("sentinel", ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("iv", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi", 3600L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("maxSpanBuckets"), s"guard error lost its diagnosis: $msg")
+    // same guard on the overlap variant
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(points.select($"t".as("llo"), $"t".as("lhi")),
+        "llo", "lhi", intervals, "lo", "hi", 3600L).collect()
+    }
+    val msg2 = Option(e2.getMessage).getOrElse("") +
+      Option(e2.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg2.contains("maxSpanBuckets"))
+    // a raised maxSpanBuckets admits the wide interval and joins correctly
+    val wide = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi",
+      3600L, maxSpanBuckets = 100000000L)
+    assert(wide.select($"iv").as[String].collect().sorted.toSeq === Seq("ok", "sentinel"))
+  }
+
+  test("auto-picked bucket width joins correctly and near the hand-tuned explode cost") {
+    // mixed workload: most intervals ~30 min, a tail of 4-hour spans
+    val rng = new java.util.SplittableRandom(17L)
+    val base = 1700000000000L
+    val intervals = (0L until 400L).map { i =>
+      val lo = base + rng.nextInt(1000000) * 1000L
+      val spanMs = if (i % 10 == 0) 4 * 3600 * 1000L else 1800 * 1000L
+      (i, new Timestamp(lo), new Timestamp(lo + spanMs))
+    }.toDF("iv", "lo", "hi")
+    val points = (0L until 2000L)
+      .map(i => (i, new Timestamp(base + rng.nextInt(1000000) * 1000L))).toDF("pid", "t")
+    val auto = RangeJoin.autoBucketSeconds(intervals, "lo", "hi")
+    assert(auto === 1800L, s"median span of the mixed workload is 30 min, picked $auto s")
+    // explode cost at the auto width stays within 2x of the hand-tuned one
+    def explodeRows(bucketSeconds: Long): Long = intervals.select(
+      (floor(unix_timestamp($"hi") / bucketSeconds) -
+        floor(unix_timestamp($"lo") / bucketSeconds) + lit(1L)).as("n"))
+      .agg(sum($"n")).collect().head.getLong(0)
+    val handTuned = explodeRows(1800L)
+    assert(explodeRows(auto) <= 2 * handTuned)
+    // and the no-width overload computes the same relation as the theta join
+    val got = RangeJoin.pointInInterval(points, "t", intervals, "lo", "hi")
+      .select("pid", "iv")
+    val want = points.join(intervals, $"t" >= $"lo" && $"t" <= $"hi")
+      .select("pid", "iv")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "auto-width range join diverged from the theta join")
+    assert(got.count() === got.distinct().count())
+  }
 }
