@@ -71,9 +71,18 @@ object Curation {
     * the shard id so each shard is written by one task; `format` is
     * "parquet" or "json" (JSON-lines, the common text-corpus interchange).
     *
-    * The manifest (shard, n_rows, n_bytes) is computed by reading BACK the
-    * export — it reports disk truth, not intent: a shard that failed to
-    * write would be missing here, not silently claimed.
+    * The manifest (shard, n_rows, n_bytes) is computed from what actually
+    * LANDED on disk — it reports disk truth, not intent: a shard that
+    * failed to write shows up as n_rows=0, not silently claimed. Every
+    * shard id in [0, numShards) appears, so a trainer enumerating shards
+    * can tell "legitimately empty" (the md5 bucket distribution is not
+    * uniform; empty shards are plausible at small N) from "missing" — both
+    * are n_rows=0 rows here, with the directory listing as the evidence.
+    * For parquet the row counts come from file FOOTERS
+    * (`ParquetStats.totalRows` per shard directory) — metadata-only, no
+    * second pass over the data pages; a 100 TB export is not re-read to
+    * describe it. JSON has no footer, so that format keeps the read-back
+    * count (the price of a schemaless interchange format).
     */
   def exportShards(df: DataFrame, idCol: String, numShards: Int, dir: String,
                    format: String = "parquet"): DataFrame = {
@@ -82,18 +91,31 @@ object Curation {
     df.withColumn("shard", splitBucket(col(idCol), numShards))
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").format(format).partitionBy("shard").save(dir)
-    val bytes = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      fs.listStatus(p).toSeq.filter(_.isDirectory).map { d =>
-        val shard = d.getPath.getName.stripPrefix("shard=").toInt
-        shard -> fs.listStatus(d.getPath).filter(_.isFile).map(_.getLen).sum
-      }
+    // session Hadoop conf, not `new Configuration()`: session-configured
+    // filesystem settings (credentials, endpoints) must reach the listing
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val shardDirs = fs.listStatus(p).toSeq.filter(_.isDirectory).map { d =>
+      d.getPath.getName.stripPrefix("shard=").toInt -> d.getPath
+    }.toMap
+    val bytes = shardDirs.map { case (k, path) =>
+      k -> fs.listStatus(path).filter(_.isFile).map(_.getLen).sum
     }
-    val bytesDf = spark.createDataFrame(bytes).toDF("shard", "n_bytes")
-    spark.read.format(format).load(dir)
-      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
-      .join(bytesDf, Seq("shard"), "left")
+    val rows: Map[Int, Long] = format match {
+      case "parquet" =>
+        shardDirs.map { case (k, path) =>
+          k -> graft.sources.ParquetStats.totalRows(path.toString, conf)
+        }
+      case _ =>
+        spark.read.format(format).load(dir)
+          .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val manifest = (0 until numShards).map { k =>
+      (k, rows.getOrElse(k, 0L), bytes.getOrElse(k, 0L))
+    }
+    spark.createDataFrame(manifest).toDF("shard", "n_rows", "n_bytes")
   }
 
   /** Mask all but the last `keep` characters of a column (PII-style

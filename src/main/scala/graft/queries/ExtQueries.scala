@@ -332,7 +332,9 @@ object ExtQueries {
     DeclaredQuery(
       "q_ext_shard1",
       (s, d) => {
-        val dir = "target/tmp/q_ext_shard1"
+        // per-run unique dir: concurrent suites in one working directory
+        // must not race on an overwrite mid-manifest-read
+        val dir = s"target/tmp/q_ext_shard1/${java.util.UUID.randomUUID}"
         val manifest = graft.operators.Curation.exportShards(
           Tables.load(s, d, "documents"), "doc_id", 8, dir)
         val back = s.read.parquet(dir).groupBy("shard")

@@ -84,6 +84,23 @@ class CurationSpec extends SparkSpec {
     assert(mj === m)
   }
 
+  test("exportShards manifests empty shards as zero rows, not missing rows") {
+    // md5 buckets are not uniform: a tiny corpus leaves shards empty, and a
+    // trainer enumerating shard=0..N-1 must see them as n_rows=0 (disk
+    // truth: nothing landed) rather than absent-from-the-manifest (which
+    // would be indistinguishable from a failed write)
+    val dir = "target/tmp/curation_shards_empty"
+    val docs = spark.range(3).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id")).as("text"))
+    val manifest = Curation.exportShards(docs, "doc_id", 16, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(manifest.keySet === (0 until 16).toSet, "manifest must enumerate every shard id")
+    assert(manifest.values.map(_._1).sum === 3L)
+    val (empty, full) = manifest.values.partition(_._1 == 0L)
+    assert(empty.nonEmpty && empty.forall(_._2 == 0L), "empty shard with nonzero bytes")
+    assert(full.forall(_._2 > 0L))
+  }
+
   test("maskTail hides all but the tail") {
     val out = Seq(("Customer#000000042", 1L)).toDF("c_name", "k")
       .select(Curation.maskTail("c_name", 4).as("m")).head().getString(0)
