@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.StructType
   */
 class ParquetDatabase(val spark: SparkSession, val dir: String) {
 
-  private def fs = new Path(dir).getFileSystem(new Configuration())
+  // session Hadoop conf, not `new Configuration()`: session-configured
+  // filesystem settings (credentials, endpoints) must reach every listing,
+  // rename, and footer read this facade performs
+  private def hconf: Configuration = spark.sessionState.newHadoopConf()
+  private def fs = new Path(dir).getFileSystem(hconf)
 
   def exists: Boolean = fs.exists(new Path(dir))
 
@@ -79,7 +83,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * hive-partitioned layouts whose files live in subdirectories.
     */
   private def footerRowCount: Long = {
-    val fromFooters = ParquetStats.totalRows(dir)
+    val fromFooters = ParquetStats.totalRows(dir, hconf)
     if (fromFooters > 0) fromFooters else nRows
   }
 
@@ -167,7 +171,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * rewrite, which is always correct.
     */
   def upsert(patch: DataFrame, keyCol: String): Unit = {
-    val perFile = ParquetStats.fileKeyRanges(dir, keyCol)
+    val perFile = ParquetStats.fileKeyRanges(dir, keyCol, hconf)
     if (perFile.isEmpty) {
       // partitioned layout (files in subdirs) or empty table — full rewrite
       val base = read()
@@ -216,7 +220,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     val hitNames = base.filter(condition)
       .select(col("_metadata.file_path")).distinct()
       .collect().map(r => new Path(r.getString(0)).getName).toSet
-    val flat = ParquetStats.listParquetFiles(dir)
+    val flat = ParquetStats.listParquetFiles(dir, hconf)
     val touched = flat.map(_.toString).filter(p => hitNames.contains(new Path(p).getName))
     if (hitNames.isEmpty) () // nothing matches — leave every file untouched
     else if (touched.size != hitNames.size) // partitioned subdir layout
@@ -237,7 +241,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * (3) rename new files in (part-file names carry a fresh UUID, so no
     * collision with live names); (4) only then drop `__patch_old`.
     */
-  private def replaceFiles(touched: Seq[String], newData: DataFrame): Unit = {
+  private def replaceFiles(touched: Seq[String], newData: DataFrame,
+                           targetDir: String = dir): Unit = {
+    // temp siblings always hang off the TABLE root, never inside it: a
+    // `<partition>=x__patch_tmp` child of the root would parse as a bogus
+    // partition value for any concurrent reader of the table
     val tmp = new Path(s"${dir}__patch_tmp")
     val old = new Path(s"${dir}__patch_old")
     fs.delete(tmp, true)
@@ -248,12 +256,12 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       val p = new Path(f)
       if (!fs.rename(p, new Path(old, p.getName)))
         throw new java.io.IOException(s"patch: failed to move $p aside; recover by renaming " +
-          s"$old/* back into $dir")
+          s"$old/* back into $targetDir")
     }
-    ParquetStats.listParquetFiles(tmp.toString).foreach { f =>
-      if (!fs.rename(f, new Path(dir, f.getName)))
-        throw new java.io.IOException(s"patch: failed to move $f into $dir; originals preserved " +
-          s"in $old, rewrite in $tmp")
+    ParquetStats.listParquetFiles(tmp.toString, hconf).foreach { f =>
+      if (!fs.rename(f, new Path(targetDir, f.getName)))
+        throw new java.io.IOException(s"patch: failed to move $f into $targetDir; originals " +
+          s"preserved in $old, rewrite in $tmp")
     }
     fs.delete(old, true)
     fs.delete(tmp, true)
@@ -273,15 +281,49 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *               and sorted so the replacements carry tight footer ranges
     *               like the rest of a `normalize(sortBy)` table
     * @return number of small files packed away (0 = nothing worth doing).
-    *         Hive-partitioned layouts list no top-level files and return 0
-    *         untouched — file replacement there would drop the
-    *         directory-encoded columns; use `normalize()` for those.
+    *         Hive-partitioned layouts are packed PER PARTITION DIRECTORY:
+    *         partition columns live in the directory names, not the files,
+    *         so swapping files inside each partition dir preserves them —
+    *         and streaming merge sinks + `create(partitionBy)` are exactly
+    *         where small-file tails accrete.
     */
   def compactSmallFiles(targetBytesPerFile: Long, smallFraction: Double = 0.5,
                         sortBy: Seq[String] = Nil): Int = {
     require(smallFraction > 0 && smallFraction <= 1.0,
       s"smallFraction must be in (0, 1], got $smallFraction")
-    val small = fileStats.filter(_.fileBytes < (targetBytesPerFile * smallFraction).toLong)
+    if (!exists) 0
+    else if (ParquetStats.listParquetFiles(dir, hconf).nonEmpty)
+      compactDir(dir, targetBytesPerFile, smallFraction, sortBy)
+    else
+      // one sequential pass over partition leaves: each swap is scoped to
+      // its own directory, so a crash mid-table leaves every other
+      // partition fully intact (and the touched one recoverable, per
+      // replaceFiles' contract)
+      partitionLeafDirs(new Path(dir))
+        .map(d => compactDir(d.toString, targetBytesPerFile, smallFraction, sortBy)).sum
+  }
+
+  /** Leaf `col=value` directories holding this table's data files. Only
+    * hive-style names are descended into — temp siblings and metadata dirs
+    * never match.
+    */
+  private def partitionLeafDirs(root: Path): Seq[Path] = {
+    val subdirs = fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    if (subdirs.isEmpty) Seq.empty
+    else subdirs.map(_.getPath).flatMap { d =>
+      val deeper = partitionLeafDirs(d)
+      if (deeper.isEmpty) Seq(d) else deeper
+    }
+  }
+
+  /** The bin-packing kernel of [[compactSmallFiles]], scoped to one
+    * directory of files (the table root, or a single partition leaf).
+    */
+  private def compactDir(d: String, targetBytesPerFile: Long, smallFraction: Double,
+                         sortBy: Seq[String]): Int = {
+    val small = ParquetStats.fileStats(d, hconf)
+      .filter(_.fileBytes < (targetBytesPerFile * smallFraction).toLong)
     val bytes = small.map(_.fileBytes).sum
     // conservative 0.9 like normalizeToBytes: re-compression drift must not
     // overshoot the target
@@ -295,7 +337,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
           df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
             .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
         else df.repartition(n)
-      replaceFiles(paths, shaped)
+      replaceFiles(paths, shaped, d)
       small.size
     }
   }
@@ -336,5 +378,5 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   }
 
   /** Physical layout stats (ParquetDB P7 introspection). */
-  def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir)
+  def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir, hconf)
 }
