@@ -370,7 +370,7 @@ object Dedup {
                         numBands: Int = 16, rowsPerBand: Int = 2,
                         shingleN: Int = 3): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    p.getFileSystem(docs.sparkSession.sessionState.newHadoopConf()).delete(p, true)
     appendToMinHashStore(docs, idCol, textCol, dir, numBands, rowsPerBand, shingleN)
   }
 
@@ -381,7 +381,7 @@ object Dedup {
   def appendToMinHashStore(batch: DataFrame, idCol: String, textCol: String,
                            dir: String, numBands: Int = 16, rowsPerBand: Int = 2,
                            shingleN: Int = 3): Unit = {
-    val marker = readParams(dir) match {
+    val marker = readParams(dir, batch.sparkSession.sessionState.newHadoopConf()) match {
       case Some(stored) =>
         require(stored == (numBands, rowsPerBand, shingleN),
           s"store $dir was built with (bands,rows,shingleN)=$stored, " +
@@ -399,14 +399,16 @@ object Dedup {
     bandRows(storedBatch.select(col("id"), explode(col("ths")).as("th")),
         numBands, rowsPerBand)
       .write.mode("append").parquet(s"$dir/bands")
-    if (marker) writeParams(dir, (numBands, rowsPerBand, shingleN))
+    if (marker) writeParams(dir, (numBands, rowsPerBand, shingleN),
+      batch.sparkSession.sessionState.newHadoopConf())
   }
 
   private def paramsPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "_params")
 
-  private def readParams(dir: String): Option[(Int, Int, Int)] = {
+  private def readParams(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Int, Int, Int)] = {
     val p = paramsPath(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -418,9 +420,10 @@ object Dedup {
     }
   }
 
-  private def writeParams(dir: String, params: (Int, Int, Int)): Unit = {
+  private def writeParams(dir: String, params: (Int, Int, Int),
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = paramsPath(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val out = fs.create(p, true)
     try out.write(s"${params._1}|${params._2}|${params._3}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -442,7 +445,8 @@ object Dedup {
   def minHashPairsAgainstStore(batch: DataFrame, idCol: String, textCol: String,
                                dir: String, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
-    val (numBands, rowsPerBand, shingleN) = readParams(dir).getOrElse(
+    val (numBands, rowsPerBand, shingleN) = readParams(dir,
+      spark.sessionState.newHadoopConf()).getOrElse(
       throw new IllegalStateException(s"no MinHash store at $dir (missing _params)"))
     val batchToks = tokenSets(batch, idCol, textCol, shingleN)
       .select(col("id"), xxhash64(col("tok")).as("th"))

@@ -239,7 +239,7 @@ object Similarity {
   def persistIvfIndex(index: IvfIndex, dir: String): Unit = {
     val spark = index.assigned.sparkSession
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     new graft.sources.ParquetDatabase(spark, s"$dir/centroids").create(index.centroids)
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
       .create(index.assigned, partitionBy = Seq("cell"))
@@ -267,7 +267,7 @@ object Similarity {
     val fp = s"ivf-v1|n=${idRow.getLong(0)}|xor=${idRow.get(1)}" +
       s"|k=$numCentroids|iters=$kmeansIterations"
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
-    val fs = fpPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = fpPath.getFileSystem(vectors.sparkSession.sessionState.newHadoopConf())
     val current =
       if (!fs.exists(fpPath)) None
       else {

@@ -63,11 +63,11 @@ trait Loader {
 
   private def exists(dir: String): Boolean = {
     val p = new Path(dir)
-    p.getFileSystem(new Configuration()).exists(p)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
   private def rm(dir: String): Unit = {
     val p = new Path(dir)
-    p.getFileSystem(new Configuration()).delete(p, true)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   /** Staged pipeline with per-stage caching; returns the canonical-schema

@@ -26,8 +26,7 @@ object ParquetStats {
     def numRows: Long = rowsPerGroup.sum
   }
 
-  def listParquetFiles(dir: String): Seq[Path] = {
-    val conf = new Configuration()
+  def listParquetFiles(dir: String, conf: Configuration = new Configuration()): Seq[Path] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
@@ -37,9 +36,8 @@ object ParquetStats {
         .map(_.getPath)
   }
 
-  def fileStats(dir: String): Seq[FileStats] = {
-    val conf = new Configuration()
-    listParquetFiles(dir).map { p =>
+  def fileStats(dir: String, conf: Configuration = new Configuration()): Seq[FileStats] =
+    listParquetFiles(dir, conf).map { p =>
       val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -49,9 +47,9 @@ object ParquetStats {
           groups.map(_.getRowCount), groups.map(_.getCompressedSize))
       } finally reader.close()
     }
-  }
 
-  def totalRows(dir: String): Long = fileStats(dir).map(_.numRows).sum
+  def totalRows(dir: String, conf: Configuration = new Configuration()): Long =
+    fileStats(dir, conf).map(_.numRows).sum
 
   /** Per-FILE merged (min, max) footer statistics of an integral column —
     * the pruning index for file-scoped `upsert`: a file whose merged key
@@ -63,10 +61,10 @@ object ParquetStats {
     * Restricted to INT32/INT64 physical types: `longValue` on a
     * float/double min/max would truncate and make pruning UNSOUND.
     */
-  def fileKeyRanges(dir: String, column: String): Seq[(String, Option[(Long, Long)])] = {
+  def fileKeyRanges(dir: String, column: String,
+      conf: Configuration = new Configuration()): Seq[(String, Option[(Long, Long)])] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
-    val conf = new Configuration()
-    listParquetFiles(dir).map { p =>
+    listParquetFiles(dir, conf).map { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       val perGroup =
         try reader.getFooter.getBlocks.asScala.toIndexedSeq.map { b =>
@@ -93,9 +91,9 @@ object ParquetStats {
     * the table — exactly the stats the parquet reader's row-group skipping
     * consults. Footer-only; row groups without usable stats are omitted.
     */
-  def columnRanges(dir: String, column: String): Seq[(Long, Long)] = {
-    val conf = new Configuration()
-    listParquetFiles(dir).flatMap { p =>
+  def columnRanges(dir: String, column: String,
+      conf: Configuration = new Configuration()): Seq[(Long, Long)] = {
+    listParquetFiles(dir, conf).flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try reader.getFooter.getBlocks.asScala.toIndexedSeq.flatMap { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == column).flatMap { c =>

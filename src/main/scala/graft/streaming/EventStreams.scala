@@ -166,7 +166,7 @@ object EventStreams {
                          maxFilesPerTrigger: Int = 1): graft.sources.ParquetDatabase = {
     val db = new graft.sources.ParquetDatabase(spark, tableDir)
     val markerPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_last_merged")
-    val fs = markerPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = markerPath.getFileSystem(spark.sessionState.newHadoopConf())
     def lastMerged: Long =
       if (!fs.exists(markerPath)) -1L
       else {
