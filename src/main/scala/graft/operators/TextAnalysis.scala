@@ -38,4 +38,29 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("id"), col("rn"), col("tok"), col("score"))
   }
+
+  /** Per-document repetition signals for quality filtering (the
+    * Gopher-report style "drop documents dominated by repeated content"
+    * gate a pretraining pipeline applies before dedup): total words,
+    * distinct words, duplicate-word fraction (1 − distinct/total) and
+    * top-word dominance (most frequent word's share).
+    *
+    * Dataflow: one shuffle keyed (doc, word) for per-word counts, one keyed
+    * doc for the roll-up — both map-side combinable, fan-in bounded by
+    * per-doc vocabulary, so the operator is two cheap aggregations at any
+    * corpus size. The ratios are exact integer divisions rounded at 4
+    * decimals (cross-engine-stable; no libm involved).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perWord = docs
+      .select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("cnt"))
+    perWord.groupBy("id").agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_frac"),
+        round(col("top_cnt") / col("n_words"), 4).as("top_frac"))
+  }
 }

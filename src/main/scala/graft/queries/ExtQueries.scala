@@ -196,6 +196,24 @@ object ExtQueries {
           "CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS INTEGER) rn FROM scored) " +
           "SELECT doc_id, rn, tok, score FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn")),
 
+    // repetition-based quality signals (Gopher-style): duplicate-word
+    // fraction and top-word dominance per doc — the filter a pretraining
+    // pipeline applies BEFORE dedup to drop template/spam pages. Exact
+    // integer ratios rounded at 4 decimals, identical SQL shape on DuckDB.
+    DeclaredQuery(
+      "q_ext_txt5",
+      (s, d) =>
+        TextAnalysis.repetitionStats(Tables.load(s, d, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2) " +
+          "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_distinct, " +
+          "round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_frac, " +
+          "round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 4) AS top_frac " +
+          "FROM c GROUP BY 1 ORDER BY 1")),
+
     DeclaredQuery(
       "q_ext_fp1",
       (s, d) =>

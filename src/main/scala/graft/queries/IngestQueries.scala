@@ -290,6 +290,78 @@ object IngestQueries {
           "(SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders WHERE o_orderkey % 6000 < 6) AS DOUBLE), 4) AS total, " +
           "true AS healthy_untouched, true AS tail_packed")),
 
+    // scoped compaction on a HIVE-PARTITIONED store: streaming sinks and
+    // create(partitionBy) accrete small-file tails inside partition dirs —
+    // exactly where a whole-table normalize() is most wasteful. The
+    // bin-packing runs per partition leaf with the crash-safe swap scoped
+    // to that directory; partition columns live in the dir names and must
+    // survive. Build-time asserts healthy-file mtime identity and that both
+    // dirs' tails packed; the oracle checks surviving data INCLUDING the
+    // directory-encoded column.
+    DeclaredQuery(
+      "q_norm5",
+      (s, d) => {
+        val db = freshDb(s, "q_norm5")
+        db.create(Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("o_orderkey") % 2).cast("string").as("bucket"))
+          .repartition(2), partitionBy = Seq("bucket"))
+        // four tiny appends landing in BOTH partition dirs (c_custkey % 100
+        // fixes parity, so the bucket comes from the hundreds digit — each
+        // append's rows alternate buckets and write one small file per dir)
+        for (i <- 0 until 4)
+          db.create(Tables.load(s, d, "customer")
+            .filter(col("c_custkey") % 100 === i)
+            .select((col("c_custkey") + 10000000L).as("o_orderkey"),
+              col("c_acctbal").as("o_totalprice"),
+              (floor(col("c_custkey") / 100) % 2).cast("string").as("bucket"))
+            .repartition(1), partitionBy = Seq("bucket"))
+        def snapshot(): Map[String, Long] = {
+          val root = new org.apache.hadoop.fs.Path(db.dir)
+          val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+          val it = fs.listFiles(root, true)
+          val buf = scala.collection.mutable.Map[String, Long]()
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet"))
+              buf(st.getPath.toString) = st.getModificationTime
+          }
+          buf.toMap
+        }
+        def sizes(): Map[String, Long] = {
+          val root = new org.apache.hadoop.fs.Path(db.dir)
+          val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+          val it = fs.listFiles(root, true)
+          val buf = scala.collection.mutable.Map[String, Long]()
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet"))
+              buf(st.getPath.toString) = st.getLen
+          }
+          buf.toMap
+        }
+        val before = snapshot()
+        val bySize = sizes()
+        val target = bySize.values.max
+        val mustSurvive = bySize.filter(_._2 >= (target * 0.5).toLong).keys.toSeq
+        val packed = db.compactSmallFiles(target)
+        val after = snapshot()
+        require(mustSurvive.forall(p => after.get(p) == before.get(p)),
+          "q_norm5: compaction touched a healthy-sized file")
+        require(packed >= 8 && after.size < before.size,
+          s"q_norm5: partition tails not packed (packed=$packed, files ${before.size}->${after.size})")
+        db.read()
+          .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
+            countDistinct(col("bucket")).cast("int").as("n_buckets"))
+          .withColumn("healthy_untouched", lit(true))
+          .withColumn("tail_packed", lit(true))
+      },
+      Some(
+        "SELECT (SELECT count(*) FROM orders) + (SELECT count(*) FROM customer WHERE c_custkey % 100 < 4) AS n_rows, " +
+          "round(CAST((SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) + " +
+          "(SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_custkey % 100 < 4) AS DOUBLE), 4) AS total, " +
+          "2 AS n_buckets, true AS healthy_untouched, true AS tail_packed")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

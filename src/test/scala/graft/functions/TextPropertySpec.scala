@@ -62,6 +62,28 @@ class TextPropertySpec extends SparkSpec {
     out.foreach(l => assert(valid.contains(l), s"langId produced '$l'"))
   }
 
+  test("repetitionStats matches a per-row Scala reference on generated corpora") {
+    val rows = samples(sentence, 80).zipWithIndex
+      .collect { case (ws, i) if ws.nonEmpty => (i.toLong, ws) }
+    val df = rows.map { case (id, ws) => (id, ws.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def r4d(x: Double) = math.rint(x * 10000) / 10000
+    rows.foreach { case (id, ws) =>
+      val counts = ws.groupBy(identity).view.mapValues(_.size)
+      val (n, nd, top) = (ws.size.toLong, counts.size.toLong, counts.values.max.toLong)
+      val (gn, gnd, gdup, gtop) = got(id)
+      assert(gn === n && gnd === nd, s"doc $id counts")
+      assert(math.abs(gdup - r4d(1.0 - nd.toDouble / n)) < 1e-9, s"doc $id dup_frac")
+      assert(math.abs(gtop - r4d(top.toDouble / n)) < 1e-9, s"doc $id top_frac")
+    }
+    // a pure-repetition doc is maximally flagged
+    val spam = Seq((0L, Seq.fill(50)("buy").mkString(" "))).toDF("doc_id", "text")
+    val s0 = graft.operators.TextAnalysis.repetitionStats(spam, "doc_id", "text").head()
+    assert(s0.getDouble(3) === 0.98 && s0.getDouble(4) === 1.0)
+  }
+
   test("minHash signatures are deterministic across plan re-executions") {
     val rows = samples(sentence, 30).zipWithIndex
       .collect { case (ws, i) if ws.size >= 3 => (i.toLong, ws.mkString(" ")) }
