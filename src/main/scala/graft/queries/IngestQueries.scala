@@ -348,8 +348,15 @@ object IngestQueries {
         val after = snapshot()
         require(mustSurvive.forall(p => after.get(p) == before.get(p)),
           "q_norm5: compaction touched a healthy-sized file")
-        require(packed >= 8 && after.size < before.size,
-          s"q_norm5: partition tails not packed (packed=$packed, files ${before.size}->${after.size})")
+        // 4 appends × 2 dirs, except tiny scale factors where an append's
+        // few rows may land single-bucket — so assert the per-DIR property
+        // (every partition dir's tail packed) rather than a fixed count
+        def filesPerDir(m: Map[String, Long]): Map[String, Int] =
+          m.keys.groupBy(p => new org.apache.hadoop.fs.Path(p).getParent.getName)
+            .map { case (dir, ps) => dir -> ps.size }
+        val (fb, fa) = (filesPerDir(before), filesPerDir(after))
+        require(packed >= 6 && fb.keys.forall(k => fa(k) < fb(k)),
+          s"q_norm5: partition tails not packed in every dir (packed=$packed, $fb -> $fa)")
         db.read()
           .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("total"),
             countDistinct(col("bucket")).cast("int").as("n_buckets"))

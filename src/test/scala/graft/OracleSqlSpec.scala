@@ -36,6 +36,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_txt2" -> "unnest (Spark: explode)",
     "q_ext_txt3" -> "list_filter (Spark: filter HOF, different lambda syntax)",
     "q_ext_txt4" -> "string_split/unnest + // integer division",
+    "q_ext_txt5" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_lang1" -> "DuckDB list literal [..] syntax",
     "q_ext_dedup2" -> "string_split (Spark: split)",
     "q_ext_dedup3" -> "string_split (Spark: split)",
