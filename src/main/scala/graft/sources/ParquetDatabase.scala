@@ -251,20 +251,110 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     fs.delete(tmp, true)
     fs.delete(old, true)
     newData.write.mode("overwrite").parquet(tmp.toString)
+    val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     fs.mkdirs(old)
+    // manifest BEFORE any rename: [[recover]] needs to know which live-name
+    // files are replacements (delete on rollback) and where each moved-aside
+    // original belongs — without it, a crash between steps 2 and 3 would be
+    // ambiguous (rolling back originals while leaving new files in place
+    // would duplicate rows)
+    writeTextFile(new Path(old, "_manifest"),
+      (touched.map(p => s"touched\t$p") ++
+        newFiles.map(f => s"new\t$targetDir/${f.getName}")).mkString("\n"))
     touched.foreach { f =>
       val p = new Path(f)
       if (!fs.rename(p, new Path(old, p.getName)))
-        throw new java.io.IOException(s"patch: failed to move $p aside; recover by renaming " +
-          s"$old/* back into $targetDir")
+        throw new java.io.IOException(s"patch: failed to move $p aside; run recover() " +
+          s"(or rename $old/* back into $targetDir)")
     }
-    ParquetStats.listParquetFiles(tmp.toString, hconf).foreach { f =>
+    newFiles.foreach { f =>
       if (!fs.rename(f, new Path(targetDir, f.getName)))
         throw new java.io.IOException(s"patch: failed to move $f into $targetDir; originals " +
-          s"preserved in $old, rewrite in $tmp")
+          s"preserved in $old, rewrite in $tmp — run recover()")
     }
     fs.delete(old, true)
     fs.delete(tmp, true)
+  }
+
+  private def writeTextFile(p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextFile(p: Path): String = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Recover from an interrupted `normalize`/`upsert`/`deleteWhere`/
+    * `compactSmallFiles` swap — the one-rename (or manifest-driven) repair
+    * the crash-safety contracts of [[rewriteWith]] and [[replaceFiles]]
+    * promise. Idempotent; a no-op on a healthy table. Returns a summary of
+    * the actions taken (empty = nothing to repair).
+    *
+    * Rewrite swaps: if the live dir is missing, a COMPLETE rewrite
+    * (`_SUCCESS` present in `__normalize_tmp`) is rolled FORWARD into
+    * place; otherwise the original at `__old` is rolled back. Leftover temp
+    * dirs beside a healthy live dir are simply dropped.
+    *
+    * Patch swaps: the `__patch_old/_manifest` written before any rename
+    * lists every replacement file path and every moved-aside original, so
+    * rollback is exact — replacements that made it into the table are
+    * deleted (their fresh-UUID names cannot collide with originals),
+    * originals are renamed back where they came from, and the temp dirs
+    * dropped. Never loses data: every byte is in the table, `__patch_old`,
+    * or `__patch_tmp` at all times.
+    */
+  def recover(): Seq[String] = {
+    val actions = scala.collection.mutable.ListBuffer[String]()
+    val nTmp = new Path(s"${dir}__normalize_tmp")
+    val nOld = new Path(s"${dir}__old")
+    val pTmp = new Path(s"${dir}__patch_tmp")
+    val pOld = new Path(s"${dir}__patch_old")
+    if (!fs.exists(new Path(dir))) {
+      if (fs.exists(nTmp) && fs.exists(new Path(nTmp, "_SUCCESS"))) {
+        // rewrite finished writing; crash hit between the two renames —
+        // roll FORWARD (the rewrite is the intended state)
+        if (!fs.rename(nTmp, new Path(dir)))
+          throw new java.io.IOException(s"recover: failed to move $nTmp into place")
+        actions += s"completed interrupted rewrite: $nTmp -> $dir"
+        if (fs.exists(nOld)) { fs.delete(nOld, true); actions += s"dropped $nOld" }
+      } else if (fs.exists(nOld)) {
+        // rewrite incomplete — roll back the original
+        if (!fs.rename(nOld, new Path(dir)))
+          throw new java.io.IOException(s"recover: failed to restore $nOld")
+        actions += s"rolled back interrupted rewrite: $nOld -> $dir"
+        if (fs.exists(nTmp)) { fs.delete(nTmp, true); actions += s"dropped incomplete $nTmp" }
+      }
+    } else {
+      // live dir healthy: any rewrite leftovers are droppable debris
+      for (p <- Seq(nTmp, nOld) if fs.exists(p)) {
+        fs.delete(p, true); actions += s"dropped leftover $p"
+      }
+    }
+    if (fs.exists(pOld)) {
+      val manifest = new Path(pOld, "_manifest")
+      if (fs.exists(manifest)) {
+        val lines = readTextFile(manifest).linesIterator.filter(_.nonEmpty).toSeq
+        lines.collect { case l if l.startsWith("new\t") => new Path(l.stripPrefix("new\t")) }
+          .foreach { p => if (fs.exists(p)) { fs.delete(p, false); actions += s"removed replacement $p" } }
+        lines.collect { case l if l.startsWith("touched\t") => new Path(l.stripPrefix("touched\t")) }
+          .foreach { orig =>
+            val aside = new Path(pOld, orig.getName)
+            if (fs.exists(aside) && !fs.exists(orig)) {
+              if (!fs.rename(aside, orig))
+                throw new java.io.IOException(s"recover: failed to restore $aside -> $orig")
+              actions += s"restored $orig"
+            }
+          }
+      }
+      fs.delete(pOld, true); actions += s"dropped $pOld"
+    }
+    if (fs.exists(pTmp)) { fs.delete(pTmp, true); actions += s"dropped $pTmp" }
+    actions.toList
   }
 
   /** Compact the small-file tail: bin-pack ONLY the files smaller than

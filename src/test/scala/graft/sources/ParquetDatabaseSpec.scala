@@ -206,6 +206,55 @@ class ParquetDatabaseSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + suffix)), suffix)
   }
 
+  test("recover() repairs interrupted swaps exactly") {
+    val fs = new org.apache.hadoop.fs.Path("target/tmp")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // rewrite ROLLBACK: crash after the live dir moved aside, rewrite
+    // incomplete (no _SUCCESS in the tmp dir) -> original comes back
+    val db = freshDb("recover_rw")
+    db.create(spark.range(100).toDF("id"))
+    fs.mkdirs(P(db.dir + "__normalize_tmp")) // partial rewrite, no _SUCCESS
+    assert(fs.rename(P(db.dir), P(db.dir + "__old")))
+    val acts = db.recover()
+    assert(acts.exists(_.contains("rolled back")), acts.mkString("; "))
+    assert(db.read().count() === 100L)
+    assert(!fs.exists(P(db.dir + "__old")) && !fs.exists(P(db.dir + "__normalize_tmp")))
+
+    // rewrite ROLL-FORWARD: rewrite complete (_SUCCESS present), crash
+    // between the two renames -> the rewrite lands
+    spark.range(200).toDF("id").write.parquet(db.dir + "__normalize_tmp")
+    assert(fs.rename(P(db.dir), P(db.dir + "__old")))
+    val acts2 = db.recover()
+    assert(acts2.exists(_.contains("completed")), acts2.mkString("; "))
+    assert(db.read().count() === 200L)
+
+    // patch ROLLBACK mid-move: one original moved aside, one replacement
+    // moved in, manifest present -> byte-exact original table restored
+    val db2 = freshDb("recover_patch")
+    db2.create(spark.range(50).toDF("id").repartition(1))
+    db2.create(spark.range(50, 60).toDF("id").repartition(1))
+    val files = ParquetStats.listParquetFiles(db2.dir).map(_.toString).sorted
+    val checksum = db2.read().agg(sum("id")).head().getLong(0)
+    spark.range(1000, 1010).toDF("id").write.parquet(db2.dir + "__patch_tmp")
+    val newFiles = ParquetStats.listParquetFiles(db2.dir + "__patch_tmp")
+    fs.mkdirs(P(db2.dir + "__patch_old"))
+    val manifest = (files.map(p => s"touched\t$p") ++
+      newFiles.map(f => s"new\t${db2.dir}/${f.getName}")).mkString("\n")
+    val out = fs.create(P(db2.dir + "__patch_old/_manifest"), true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    assert(fs.rename(P(files.head), P(db2.dir + "__patch_old/" + P(files.head).getName)))
+    assert(fs.rename(newFiles.head, P(db2.dir + "/" + newFiles.head.getName)))
+    val acts3 = db2.recover()
+    assert(acts3.exists(_.contains("restored")), acts3.mkString("; "))
+    assert(db2.read().agg(sum("id")).head().getLong(0) === checksum)
+    assert(!fs.exists(P(db2.dir + "__patch_old")) && !fs.exists(P(db2.dir + "__patch_tmp")))
+
+    // healthy table: recover() is a no-op
+    assert(db2.recover().isEmpty)
+  }
+
   test("scoped upsert falls back correctly when footer ranges are unusable (string key)") {
     val db = freshDb("scoped_str")
     db.create(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
