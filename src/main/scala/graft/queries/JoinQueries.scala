@@ -243,6 +243,32 @@ object JoinQueries {
           "SELECT p_id AS event_id, count(*) AS n, round(sum(c_val),4) AS total " +
           "FROM p JOIN c ON c_ts >= lo AND c_ts <= hi GROUP BY 1 ORDER BY 1")),
 
+    // the same range-join relation with NO caller-picked bucket width: the
+    // operator measures the interval side's median span (one quantile
+    // sketch pass) and picks the width itself. Same oracle as q_join9 —
+    // the width changes the physical bucketing, never the relation; this
+    // puts the auto-width path on the driver's correctness gate.
+    DeclaredQuery(
+      "q_join11",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_ts"), col("value").as("c_val"))
+        val windows = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+        RangeJoin.pointInInterval(clicks, "c_ts", windows, "lo", "hi")
+          .groupBy("p_id")
+          .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))
+          .select(col("p_id").as("event_id"), col("n"), col("total"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH p AS (SELECT event_id p_id, ts lo, ts + INTERVAL 1 HOUR hi FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT ts c_ts, value c_val FROM events WHERE event_type='click') " +
+          "SELECT p_id AS event_id, count(*) AS n, round(sum(c_val),4) AS total " +
+          "FROM p JOIN c ON c_ts >= lo AND c_ts <= hi GROUP BY 1 ORDER BY 1")),
+
     // interval×interval overlap join — purchase 1-hour windows against
     // click 30-minute windows, no equi-key. Wide spans co-occur in many
     // buckets; RangeJoin.intervalOverlap keeps each pair only in its
