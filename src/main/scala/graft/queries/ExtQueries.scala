@@ -708,6 +708,25 @@ object ExtQueries {
           "AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTE AND c.c_ts <= p.p_ts " +
           "ORDER BY 1, 2")),
 
+    // stream-stream range join with NO equi-key: streaming refuses the
+    // shape outright (stream-stream state must hash-partition on an
+    // equality key), so the RangeJoin bucket trick is what makes it
+    // expressible at all — purchase lookback intervals explode to bucket
+    // ids, clicks map to one bucket, and the join is a watermark-bounded
+    // equi-join emitting each true pair exactly once (the click's bucket).
+    // Bounded replay equals the batch theta join — the oracle.
+    DeclaredQuery(
+      "q_ext_stream6",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, df => EventStreams.rangeJoinStream(df, 10),
+            OutputMode.Append, "stream_rangejoin")
+          .orderBy("p_id", "c_id"),
+      Some(
+        "WITH p AS (SELECT event_id p_id, ts p_ts FROM events WHERE event_type='purchase'), " +
+          "c AS (SELECT event_id c_id, ts c_ts FROM events WHERE event_type='click') " +
+          "SELECT p_id, c_id FROM p JOIN c ON c_ts >= p_ts - INTERVAL 10 MINUTE AND c_ts <= p_ts " +
+          "ORDER BY 1, 2")),
+
     // streaming exact dedup with watermark-bounded state
     // (dropDuplicatesWithinWatermark): which ROW survives per key is
     // arrival-order-dependent, but the surviving KEY SET is deterministic —

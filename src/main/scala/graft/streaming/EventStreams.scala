@@ -134,6 +134,45 @@ object EventStreams {
       .select(col("p_id"), col("c_id"), col("p_uid").as("user_id"))
   }
 
+  /** Stream-stream range join with NO equi-key — the streaming form of
+    * [[graft.operators.RangeJoin.pointInInterval]]: every click (ANY user)
+    * within the `lookbackMinutes` before each purchase.
+    *
+    * Spark's stream-stream join hash-partitions both sides' state on the
+    * join's equality keys; without one the shape is not merely slow, it is
+    * INEXPRESSIBLE (batch Catalyst at least falls back to a nested loop —
+    * streaming refuses the plan). The bucket trick manufactures the key:
+    * each purchase's `[ts - lookback, ts]` interval explodes to the time
+    * buckets it spans (≤ 2 at the default width = the lookback), each click
+    * maps to exactly one bucket, and the join runs as a standard
+    * watermark-bounded stream-stream equi-join on the bucket id plus the
+    * exact time-range predicate. A true pair co-occurs only in the click's
+    * bucket, so output is exactly-once with no dedup. Both watermarks cover
+    * the lookback, and the time-range condition lets expired click state be
+    * evicted — state stays bounded on an unbounded stream.
+    */
+  def rangeJoinStream(events: DataFrame, lookbackMinutes: Int = 10,
+                      bucketSeconds: Long = 0L): DataFrame = {
+    val width = if (bucketSeconds > 0) bucketSeconds else lookbackMinutes * 60L
+    val wm = s"$lookbackMinutes minutes"
+    def bucketOf(c: org.apache.spark.sql.Column) = floor(unix_timestamp(c) / width)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", wm)
+      .withColumn("p_bucket", explode(sequence(
+        bucketOf(col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES")),
+        bucketOf(col("p_ts")))))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", wm)
+      .withColumn("c_bucket", bucketOf(col("c_ts")))
+    purchases.join(clicks,
+        col("p_bucket") === col("c_bucket") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMinutes MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+  }
+
   /** Streaming incremental aggregation MERGED into a [[graft.sources.ParquetDatabase]]
     * — the streaming-materialized-view sink: each micro-batch's per-key
     * partial aggregate is added into the stored totals via the file-scoped

@@ -71,6 +71,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("no-equi-key streaming range join equals the batch bucketed range join") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.rangeJoinStream(df, 10),
+        OutputMode.Append, "spec_rangejoin")
+      .orderBy("p_id", "c_id").collect()
+    val ev = Tables.load(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        (col("ts") - expr("INTERVAL 10 MINUTES")).as("lo"), col("ts").as("hi"))
+    val batch = graft.operators.RangeJoin
+      .pointInInterval(clicks, "c_ts", windows, "lo", "hi", 600L)
+      .select(col("p_id"), col("c_id"))
+      .orderBy("p_id", "c_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.nonEmpty)
+    // exactly-once: no pair emitted twice despite the 2-bucket explode
+    assert(streamed.length === streamed.distinct.length)
+  }
+
   test("stateful streaming sessionization equals batch session stats") {
     val streamed = EventStreams.runToMemory(spark, sfDir,
         df => EventStreams.sessionStatsStateful(df, 30),
