@@ -167,6 +167,107 @@ object Multimodal {
         col("meta.mime").as("mime")))
   }
 
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Deterministic WAV encoder: a REAL RIFF/PCM container (canonical 44-byte
+    * header + 16-bit mono PCM, LCG-seeded samples) — no external codec
+    * needed, WAV is a trivial binary layout. Gives the audio decode path
+    * genuine container bytes on tables that carry none; size and duration
+    * are closed-form in (sampleRate, nSamples) so they oracle cleanly.
+    */
+  def encodeWav(sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(36 + dataBytes)
+    buf.put("WAVE".getBytes("US-ASCII")); buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16); buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(sampleRate); buf.putInt(sampleRate * 2) // byte rate = rate * block
+    buf.putShort(2); buf.putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataBytes)
+    var i = 0
+    var s = seed
+    while (i < nSamples) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      buf.putShort((s >>> 48).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV header parse — walks the RIFF chunk list (fmt /data, honoring
+    * odd-size padding) and derives (sample_rate, n_samples, channels, bits,
+    * duration_ms). Null for anything malformed or non-WAV: in a mixed
+    * 100 TB binary column one bad row must yield null, not kill the job —
+    * the same contract as [[decodeImage]].
+    */
+  def decodeWav(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.length < 44) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var rate = -1; var channels = -1; var bits = -1; var dataLen = -1
+    while (off + 8 <= bytes.length) {
+      val id = tag(off)
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return null
+      if (id == "fmt " && size >= 16) {
+        channels = bb.getShort(off + 10).toInt
+        rate = bb.getInt(off + 12)
+        bits = bb.getShort(off + 22).toInt
+      } else if (id == "data") dataLen = size
+      off += 8 + size + (size & 1) // RIFF pads odd-sized chunks
+    }
+    if (rate <= 0 || channels <= 0 || bits <= 0 || dataLen < 0) return null
+    val bytesPerFrame = channels * bits / 8
+    if (bytesPerFrame <= 0) return null
+    val n = dataLen / bytesPerFrame
+    Row(rate, n, channels, bits, n * 1000L / rate)
+  }
+
+  /** Attach a generated WAV payload derived from a long id column — the
+    * audio twin of [[withGeneratedPngPayload]]. Rate cycles 8/12/16/20 kHz,
+    * sample count 400..1840, both closed-form in the id.
+    */
+  def withGeneratedWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("payload", BinaryType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    OpUtils.spread(df).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = encodeWav((8000 + (id % 4) * 4000).toInt, (400 + (id % 37) * 40).toInt, id)
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"),
+        lit("audio/wav").as("mime")))
+  }
+
+  /** Distributed audio decode: mapPartitions over the payload column
+    * emitting the original row plus the `audio` struct (null for non-WAV
+    * payloads) — same shape as [[decodeImages]].
+    */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio", audioSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+ decodeWav(bytes))
+      }
+    }(enc)
+  }
+
   /** STUB feature extraction: fixed-length deterministic pseudo-embedding
     * from payload bytes (stands in for a model forward pass). Pure column
     * expression — scales as a scan.

@@ -561,6 +561,31 @@ object ExtQueries {
           "CAST(greatest(CAST(floor((8 + CAST(floor(doc_id / 16) AS BIGINT) % 16) / 2) AS BIGINT), 1) AS INTEGER) AS height " +
           "FROM documents ORDER BY doc_id")),
 
+    // audio modality, REAL container round-trip: deterministic RIFF/PCM WAV
+    // blobs generated distributed, then decoded back by walking the chunk
+    // list (WAV is a trivial binary layout — no external codec needed, so
+    // unlike image feature extraction nothing here is stubbed). Rate,
+    // sample count, byte size and integer-ms duration are closed-form in
+    // doc_id — the oracle recomputes them directly.
+    DeclaredQuery(
+      "q_ext_mm5",
+      (s, d) =>
+        Multimodal.decodeAudio(
+            Multimodal.withGeneratedWavPayload(
+              Tables.load(s, d, "documents").select(col("doc_id")), "doc_id"))
+          .select(col("doc_id"),
+            col("audio.sample_rate").as("sample_rate"),
+            col("audio.n_samples").as("n_samples"),
+            col("audio.duration_ms").as("duration_ms"),
+            col("meta.n_bytes").as("n_bytes"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate, " +
+          "CAST(400 + (doc_id % 37) * 40 AS INTEGER) AS n_samples, " +
+          "CAST(floor((400 + (doc_id % 37) * 40) * 1000 / (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS duration_ms, " +
+          "CAST(44 + (400 + (doc_id % 37) * 40) * 2 AS INTEGER) AS n_bytes " +
+          "FROM documents ORDER BY doc_id")),
+
     // frame sampling over binary payloads: 16-byte frames, every 2nd kept
     DeclaredQuery(
       "q_ext_mm3",

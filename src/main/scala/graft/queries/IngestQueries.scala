@@ -369,6 +369,41 @@ object IngestQueries {
           "(SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_custkey % 100 < 4) AS DOUBLE), 4) AS total, " +
           "2 AS n_buckets, true AS healthy_untouched, true AS tail_packed")),
 
+    // crash-recovery drill on the driver gate: simulate both interrupted
+    // rewrite-swap states the crash-safety contract names — an INCOMPLETE
+    // rewrite with the live dir moved aside (must roll back to the
+    // original) and a COMPLETE rewrite caught between the two renames
+    // (must roll forward) — then prove the surviving data is exactly the
+    // source. recover() must also be idempotent (second call = no-op).
+    DeclaredQuery(
+      "q_norm6",
+      (s, d) => {
+        val db = freshDb(s, "q_norm6")
+        val src = Tables.load(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+        db.create(src)
+        val fs = new org.apache.hadoop.fs.Path(db.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def P(p: String) = new org.apache.hadoop.fs.Path(p)
+        // drill 1: incomplete rewrite (no _SUCCESS), live dir moved aside
+        fs.mkdirs(P(db.dir + "__normalize_tmp"))
+        require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 1")
+        require(db.recover().exists(_.contains("rolled back")),
+          "q_norm6: incomplete rewrite was not rolled back")
+        // drill 2: complete rewrite (_SUCCESS present), crash between renames
+        src.repartition(2).write.parquet(db.dir + "__normalize_tmp")
+        require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 2")
+        require(db.recover().exists(_.contains("completed")),
+          "q_norm6: complete rewrite was not rolled forward")
+        require(db.recover().isEmpty, "q_norm6: recover() not idempotent")
+        db.read()
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_nationkey")).as("key_sum"))
+          .withColumn("rolled_back", lit(true))
+          .withColumn("rolled_forward", lit(true))
+      },
+      Some(
+        "SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS key_sum, " +
+          "true AS rolled_back, true AS rolled_forward FROM nation")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

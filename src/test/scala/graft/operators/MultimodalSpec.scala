@@ -73,6 +73,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).getAs[Array[Byte]]("payload").toSeq === "x".getBytes.toSeq)
   }
 
+  test("WAV encode/decode round-trips header fields; malformed audio decodes to null") {
+    // direct kernel round-trip at a few (rate, n) points
+    for ((rate, n) <- Seq((8000, 400), (16000, 1201), (44100, 7))) {
+      val row = Multimodal.decodeWav(Multimodal.encodeWav(rate, n, seed = 42L))
+      assert(row.getInt(0) === rate && row.getInt(1) === n)
+      assert(row.getInt(2) === 1 && row.getInt(3) === 16)
+      assert(row.getLong(4) === n * 1000L / rate)
+    }
+    // odd-sized extra chunk before data exercises RIFF padding in the walk
+    val base = Multimodal.encodeWav(8000, 10, 1L)
+    val extra = java.nio.ByteBuffer.allocate(base.length + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put(base, 0, 36) // RIFF..fmt chunk
+    extra.put("LIST".getBytes("US-ASCII")).putInt(1).put(7.toByte).put(0.toByte) // odd chunk + pad
+    extra.put(base, 36, base.length - 36) // data chunk
+    val padded = extra.array()
+    java.nio.ByteBuffer.wrap(padded).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, padded.length - 8) // fix RIFF size
+    val viaPadding = Multimodal.decodeWav(padded)
+    assert(viaPadding != null && viaPadding.getInt(1) === 10, "RIFF padding walk broke")
+    // malformed payloads -> null, never a throw
+    assert(Multimodal.decodeWav(null) === null)
+    assert(Multimodal.decodeWav(Array[Byte]()) === null)
+    assert(Multimodal.decodeWav("not audio at all, just text bytes....................".getBytes) === null)
+    assert(Multimodal.decodeWav(base.take(30)) === null) // truncated header
+    // distributed generate+decode matches the closed form
+    val out = Multimodal.decodeAudio(
+        Multimodal.withGeneratedWavPayload(spark.range(20).select(col("id").as("doc_id")), "doc_id"))
+      .select(col("doc_id"), col("audio.sample_rate"), col("audio.n_samples"), col("audio.duration_ms"))
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (rate, n) = ((8000 + (id % 4) * 4000).toInt, (400 + (id % 37) * 40).toInt)
+      assert(r.getInt(1) === rate && r.getInt(2) === n && r.getLong(3) === n * 1000L / rate)
+    }
+  }
+
   test("sampleFrames cuts fixed-size frames and keeps every k-th") {
     val df = Multimodal.withBinaryPayload(docs, "text")
       .select(col("doc_id"), Multimodal.sampleFrames(col("payload"), frameBytes = 2, everyK = 2).as("frames"))
