@@ -118,6 +118,52 @@ object Curation {
     spark.createDataFrame(manifest).toDF("shard", "n_rows", "n_bytes")
   }
 
+  private def hexDigitVal(c: Column): Column =
+    ascii(c) - when(ascii(c) >= 97, lit(87)).otherwise(lit(48))
+
+  /** Uniform bucket in [0, 65536): the first four hex digits of md5(key)
+    * parsed positionally. Unlike [[splitBucket]] (an ascii-pair fold with
+    * only 256 distinct, skewed values — fine for naming splits/shards,
+    * wrong for honoring a numeric rate), md5 hex digits are uniform, so a
+    * `< round(f·65536)` threshold keeps fraction f of rows to within
+    * binomial noise. Same portability: ascii/substr/md5/CASE exist
+    * identically in Spark and DuckDB.
+    */
+  def uniformBucket16(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    hexDigitVal(substring(h, 1, 1)) * 4096 + hexDigitVal(substring(h, 2, 1)) * 256 +
+      hexDigitVal(substring(h, 3, 1)) * 16 + hexDigitVal(substring(h, 4, 1))
+  }
+
+  /** Deterministic weighted sampling — the mixture-weights step of
+    * training-data assembly (keep corpus A at 100%, corpus B at 25%, …).
+    * A row survives iff its [[uniformBucket16]] falls below
+    * `round(fraction·65536)`, so the rate is honored to within binomial
+    * noise (1/65536 granularity), the sample is reproducible across runs
+    * and repartitioning, and samples are NESTED: the rows kept at weight w
+    * are a subset of those kept at any w' > w — raising a corpus's weight
+    * between runs only ADDS documents, it never churns the ones a trainer
+    * already consumed. Pure expression filter: no shuffle,
+    * pushdown-friendly, scales as a scan.
+    */
+  def sampleByWeight(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"sampleByWeight: fraction must be in [0, 1], got $fraction")
+    df.filter(uniformBucket16(col(keyCol)) < math.round(fraction * 65536))
+  }
+
+  /** Mix corpora at per-corpus weights into one relation (union by name,
+    * missing columns null-filled — corpora rarely share exact schemas).
+    * Each corpus is [[sampleByWeight]]-ed independently, so the mixture is
+    * deterministic end-to-end and per-corpus weights can be retuned without
+    * resampling the others.
+    */
+  def mixCorpora(corpora: Seq[(DataFrame, Double)], keyCol: String): DataFrame = {
+    require(corpora.nonEmpty, "mixCorpora: no corpora given")
+    corpora.map { case (df, w) => sampleByWeight(df, keyCol, w) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Mask all but the last `keep` characters of a column (PII-style
     * masking before a corpus leaves curation). SQL-expression based so the
     * identical text runs on the oracle engine.

@@ -340,6 +340,35 @@ object ExtQueries {
           "regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed " +
           "FROM customer ORDER BY c_custkey")),
 
+    // corpus mixing by weight — the mixture-sampling step of training-data
+    // assembly: the 20 sources split into 4 corpora (by source index mod 4)
+    // mixed at 25/50/75/100% via the deterministic md5-bucket filter
+    // (reproducible, nested samples — raising a weight only ADDS rows).
+    // Oracle: the same bucket arithmetic inline over the one table.
+    DeclaredQuery(
+      "q_ext_mix1",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val idx = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+        val corpora = (0 until 4).map { i =>
+          (docs.filter(idx % 4 === i), (i + 1) / 4.0)
+        }
+        graft.operators.Curation.mixCorpora(corpora, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+          .orderBy("source")
+      },
+      Some {
+        // uniformBucket16 inline: 4 md5 hex digits parsed positionally
+        def dv(k: Int) =
+          s"(ascii(substr(md5(CAST(doc_id AS STRING)),$k,1)) - " +
+            s"CASE WHEN ascii(substr(md5(CAST(doc_id AS STRING)),$k,1)) >= 97 THEN 87 ELSE 48 END)"
+        val v = s"(${dv(1)}*4096 + ${dv(2)}*256 + ${dv(3)}*16 + ${dv(4)})"
+        "SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc FROM documents " +
+          s"WHERE $v < CAST(round(((CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 4 + 1) / 4.0) * 65536) AS BIGINT) " +
+          "GROUP BY 1 ORDER BY 1"
+      }),
+
     // sharded corpus export: the trainer handoff — md5-bucketed shard
     // membership (reproducible across re-exports, unlike rand()), one
     // writer task per shard, manifest computed from the written files (disk

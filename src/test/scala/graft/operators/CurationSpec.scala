@@ -101,6 +101,38 @@ class CurationSpec extends SparkSpec {
     assert(full.forall(_._2 > 0L))
   }
 
+  test("sampleByWeight is deterministic, near-expectation, and NESTED across weights") {
+    val docs = spark.range(4000).select(col("id").as("doc_id"))
+    def keep(f: Double): Set[Long] =
+      Curation.sampleByWeight(docs, "doc_id", f).collect().map(_.getLong(0)).toSet
+    val (k25, k50, k100) = (keep(0.25), keep(0.5), keep(1.0))
+    assert(k100.size === 4000)
+    // uniform 16-bit md5 buckets track the weight to binomial noise
+    // (sd ≈ 27 at n=4000, f=0.25 — 150 is >5 sd)
+    assert(math.abs(k25.size - 1000) < 150, s"0.25 kept ${k25.size}")
+    assert(math.abs(k50.size - 2000) < 200, s"0.5 kept ${k50.size}")
+    // nested: raising a weight only ADDS rows
+    assert(k25.subsetOf(k50) && k50.subsetOf(k100), "samples not nested")
+    // deterministic under repartitioning
+    assert(Curation.sampleByWeight(docs.repartition(13), "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet === k25)
+    assert(keep(0.0).isEmpty)
+    intercept[IllegalArgumentException] { Curation.sampleByWeight(docs, "doc_id", 1.5) }
+  }
+
+  test("mixCorpora unions weighted samples by name with null-fill") {
+    val a = spark.range(100).select(col("id").as("doc_id"), lit("a").as("src"))
+    val b = spark.range(100, 200).select(col("id").as("doc_id"), lit(5.0).as("score"))
+    val mixed = Curation.mixCorpora(Seq((a, 1.0), (b, 0.5)), "doc_id")
+    assert(mixed.columns.toSet === Set("doc_id", "src", "score"))
+    val rows = mixed.collect()
+    val (fromA, fromB) = rows.partition(_.getAs[Long]("doc_id") < 100)
+    assert(fromA.length === 100 && fromA.forall(r => r.getAs[String]("src") == "a" &&
+      r.isNullAt(r.fieldIndex("score"))))
+    assert(fromB.nonEmpty && fromB.length < 100, s"weight 0.5 kept ${fromB.length}")
+    assert(fromB.forall(_.isNullAt(1)))
+  }
+
   test("maskTail hides all but the tail") {
     val out = Seq(("Customer#000000042", 1L)).toDF("c_name", "k")
       .select(Curation.maskTail("c_name", 4).as("m")).head().getString(0)
