@@ -47,4 +47,76 @@ object EventOps {
       .agg(count(lit(1)).as("events_in_session"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("events_in_session")).as("n_events"))
+
+  /** Ordered funnel: per user, the greedy step timestamps for
+    * `steps(0) → steps(1) → …` — t1 = first step-1 event, t2 = first step-2
+    * event strictly after t1, and so on — plus the depth reached. Strict
+    * `>` on the advance means a same-timestamp pair never counts as ordered,
+    * matching the SQL formulation (min ts > previous stage's ts).
+    *
+    * One shuffle total: events are grouped per user, time-sorted with
+    * `sort_array`, and the greedy scan runs as a single `aggregate` HOF over
+    * the per-user array — no per-stage self-join (the k-join formulation
+    * shuffles the events table k times). Per-user arrays bound the memory:
+    * the buffer is one user's step-relevant events, the same bound
+    * sessionization already carries.
+    *
+    * Output: userCol, depth, t1_us … tk_us (epoch micros, null past depth).
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    val idxCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val nulls = steps.map(_ => "CAST(NULL AS TIMESTAMP)").mkString(", ")
+    // state: (depth reached, per-step timestamps); advance on the next step
+    // id strictly after the previous step's timestamp
+    val scan =
+      s"""aggregate(
+         |  evs,
+         |  named_struct('depth', 0, 'ts', array($nulls)),
+         |  (st, e) -> IF(e.step = st.depth + 1 AND IF(st.depth = 0, true, e.ts > st.ts[st.depth - 1]),
+         |                named_struct('depth', st.depth + 1,
+         |                             'ts', transform(st.ts, (t, i) -> IF(i = st.depth, e.ts, t))),
+         |                st))""".stripMargin
+    events
+      .where(col(typeCol).isin(steps: _*))
+      .select(col(userCol),
+        struct(col(tsCol).as("ts"), col(tieCol).as("tie"), idxCol.as("step")).as("e"))
+      .groupBy(userCol)
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .withColumn("f", expr(scan))
+      .select(col(userCol) +: col("f.depth").as("depth") +:
+        steps.indices.map(i => unix_micros(col("f.ts")(i)).as(s"t${i + 1}_us")): _*)
+  }
+
+  /** CDC changelog → SCD type-2 dimension: collapse consecutive repeats of
+    * `stateCol` per key (change detection via lag), then close each retained
+    * version's validity interval with the next version's start (lead).
+    * `valid_to_us` is null on the current version.
+    *
+    * Both window passes share one partitioning (`keyCol`) and one sort
+    * (`tsCol, tieCol`), so Catalyst plans a single exchange + sort. At scale
+    * the cost is the one shuffle any per-key history operation pays;
+    * unchanged-value rows (the bulk of a chatty changelog) are dropped
+    * before the second pass.
+    */
+  def scd2Compact(events: DataFrame, keyCol: String = "user_id",
+      stateCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(stateCol), col(tsCol), col(tieCol))
+      .withColumn("chg", !(lag(col(stateCol), 1).over(w) <=> col(stateCol)))
+      .where(col("chg"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col("version"), col(stateCol).as("state"),
+        unix_micros(col(tsCol)).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        col("valid_to").isNull.as("is_current"))
+  }
 }

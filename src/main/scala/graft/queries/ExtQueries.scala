@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, EventOps, Multimodal, Similarity, SnapshotDiff, StringSim, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -700,6 +700,107 @@ object ExtQueries {
           "coalesce(h.n, 0) AS n FROM axis a LEFT JOIN hourly h " +
           "ON a.user_id = h.user_id AND a.hour = h.hour ORDER BY 1, 2")),
 
+    // ordered funnel (view → click → purchase): greedy per-user stage
+    // timestamps in ONE shuffle (sorted-array HOF scan) vs the oracle's
+    // k-stage self-join formulation — identical semantics, k× fewer passes
+    DeclaredQuery(
+      "q_ext_funnel1",
+      (s, d) =>
+        EventOps.funnel(Tables.load(s, d, "events"), Seq("view", "click", "purchase"))
+          .orderBy("user_id"),
+      Some(
+        "WITH base AS (SELECT DISTINCT user_id FROM events WHERE event_type IN ('view','click','purchase')), " +
+          "s1 AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type='view' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 ON e.user_id=s1.user_id AND e.ts > s1.t1 " +
+          "WHERE e.event_type='click' GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON e.user_id=s2.user_id AND e.ts > s2.t2 " +
+          "WHERE e.event_type='purchase' GROUP BY 1) " +
+          "SELECT b.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+          "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth, " +
+          "CAST(epoch_us(t1) AS BIGINT) AS t1_us, CAST(epoch_us(t2) AS BIGINT) AS t2_us, " +
+          "CAST(epoch_us(t3) AS BIGINT) AS t3_us " +
+          "FROM base b LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id) " +
+          "ORDER BY user_id")),
+
+    // CDC changelog → SCD type-2: collapse consecutive same-state rows per
+    // user, close validity intervals with the next version's start
+    DeclaredQuery(
+      "q_ext_cdc1",
+      (s, d) =>
+        EventOps.scd2Compact(Tables.load(s, d, "events"))
+          .orderBy("user_id", "version"),
+      Some(
+        "WITH m AS (SELECT user_id, event_type, ts, event_id, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+          "c AS (SELECT * FROM m WHERE prev IS DISTINCT FROM event_type) " +
+          "SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version, event_type AS state, " +
+          "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, " +
+          "CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us, " +
+          "lead(ts) OVER w IS NULL AS is_current " +
+          "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+          "ORDER BY user_id, version")),
+
+    // edit-distance-≤1 similarity self-join via deletion neighborhoods —
+    // the oracle brute-forces levenshtein over all pairs of the subset; the
+    // Spark plan is an equi-join on deletion variants + exact verify (no
+    // nested loop, asserted in StringSimSpec)
+    DeclaredQuery(
+      "q_ext_strsim1",
+      (s, d) =>
+        StringSim.editDistance1Join(
+            Tables.load(s, d, "customer").where(col("c_custkey") % 10 === 0),
+            "c_custkey", "c_name")
+          .orderBy("k1", "k2"),
+      Some(
+        "WITH sub AS (SELECT c_custkey k, c_name s FROM customer WHERE c_custkey % 10 = 0) " +
+          "SELECT a.k AS k1, b.k AS k2, a.s AS s1, b.s AS s2, " +
+          "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist " +
+          "FROM sub a, sub b WHERE a.k < b.k AND levenshtein(a.s, b.s) <= 1 " +
+          "ORDER BY k1, k2")),
+
+    // snapshot reconciliation: added / removed / changed (+ which columns)
+    // between two deterministic versions of orders, via one full-outer join
+    DeclaredQuery(
+      "q_ext_diff1",
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val oldSnap = orders.where(col("o_orderkey") % 97 =!= 0)
+          .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("prio"))
+        val newSnap = orders.where(col("o_orderkey") % 89 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, money(col("o_totalprice")) + money(lit(10.0)))
+              .otherwise(money(col("o_totalprice"))).as("price"),
+            when(col("o_orderkey") % 11 === 0, lit("RECHECK"))
+              .otherwise(col("o_orderpriority")).as("prio"))
+        SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("status"), col("changed_cols"),
+            r4(col("old_price").cast("double")).as("old_price"),
+            r4(col("new_price").cast("double")).as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) price, o_orderpriority prio, 1 AS in_old " +
+          "FROM orders WHERE o_orderkey % 97 <> 0), " +
+          "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 " +
+          "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END price, " +
+          "CASE WHEN o_orderkey % 11 = 0 THEN 'RECHECK' ELSE o_orderpriority END prio, 1 AS in_new " +
+          "FROM orders WHERE o_orderkey % 89 <> 0) " +
+          "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+          "CASE WHEN o.in_old IS NULL THEN 'added' WHEN n.in_new IS NULL THEN 'removed' " +
+          "WHEN NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) THEN 'changed' " +
+          "ELSE 'unchanged' END AS status, " +
+          "CASE WHEN o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "THEN array_to_string(list_filter([CASE WHEN NOT (o.price IS NOT DISTINCT FROM n.price) THEN 'price' END, " +
+          "CASE WHEN NOT (o.prio IS NOT DISTINCT FROM n.prio) THEN 'prio' END], x -> x IS NOT NULL), ',') " +
+          "ELSE '' END AS changed_cols, " +
+          "round(CAST(o.price AS DOUBLE), 4) AS old_price, round(CAST(n.price AS DOUBLE), 4) AS new_price " +
+          "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+          "WHERE NOT (o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "ORDER BY o_orderkey")),
+
     // capstone: the full training-data curation pipeline in one plan —
     // quality filter → exact dedup (md5 keeper) → near-dup clustering →
     // keep one doc per cluster. Every stage is the operator declared above;
@@ -745,6 +846,31 @@ object ExtQueries {
         "WITH o AS (SELECT user_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
           "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END new_s FROM events) " +
           "SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM o GROUP BY 1 ORDER BY 1")),
+
+    // streaming ordered funnel with custom per-user state — the streaming
+    // form of q_ext_funnel1; on a bounded replay the final state equals the
+    // batch greedy funnel exactly, so the SAME k-stage self-join oracle
+    // applies (batch/stream parity on a genuinely stateful operator)
+    DeclaredQuery(
+      "q_ext_stream7",
+      (s, d) =>
+        EventStreams.runToMemory(s, d,
+            df => EventStreams.funnelStateful(df, Seq("view", "click", "purchase")),
+            OutputMode.Update, "stream_funnel")
+          .orderBy("user_id"),
+      Some(
+        "WITH base AS (SELECT DISTINCT user_id FROM events WHERE event_type IN ('view','click','purchase')), " +
+          "s1 AS (SELECT user_id, min(ts) t1 FROM events WHERE event_type='view' GROUP BY 1), " +
+          "s2 AS (SELECT e.user_id, min(e.ts) t2 FROM events e JOIN s1 ON e.user_id=s1.user_id AND e.ts > s1.t1 " +
+          "WHERE e.event_type='click' GROUP BY 1), " +
+          "s3 AS (SELECT e.user_id, min(e.ts) t3 FROM events e JOIN s2 ON e.user_id=s2.user_id AND e.ts > s2.t2 " +
+          "WHERE e.event_type='purchase' GROUP BY 1) " +
+          "SELECT b.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 " +
+          "WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth, " +
+          "CAST(epoch_us(t1) AS BIGINT) AS t1_us, CAST(epoch_us(t2) AS BIGINT) AS t2_us, " +
+          "CAST(epoch_us(t3) AS BIGINT) AS t3_us " +
+          "FROM base b LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id) " +
+          "ORDER BY user_id")),
 
     // stream-stream interval join (watermarks bound the join state on both
     // sides); on a bounded replay the output equals the batch equi+range

@@ -12,6 +12,12 @@ import org.apache.spark.sql.types._
 final case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Per-user funnel-fold state for EventStreams.funnelStateful: depth reached
+  * plus per-step timestamps in epoch micros (Long.MinValue = unset).
+  */
+final case class FunnelState(depth: Int, ts: Seq[Long])
+final case class UserFunnel(user_id: Long, depth: Int, ts: Seq[Long])
+
 /** Structured Streaming variants of the event operators (SURVEY.md §7 M5):
   * `readStream` over the parquet dir → watermark + windowed aggregation /
   * custom state → sink. The declared-query harness drives them with
@@ -75,6 +81,46 @@ object EventStreams {
           Iterator.single(UserSessions(userId, folded.nSessions, folded.nEvents))
       }
       .toDF("user_id", "n_sessions", "n_events")
+  }
+
+  /** Streaming ordered funnel with custom state: the streaming form of
+    * EventOps.funnel — the same greedy strict-ts advance, folded per user
+    * across micro-batches (state = depth + per-step timestamps). Events are
+    * sorted by (ts, event_id) within each batch, so an in-order replay
+    * reproduces the batch funnel exactly; each batch emits the user's
+    * current funnel position (Update mode).
+    */
+  def funnelStateful(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val k = steps.length
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    val folded = events
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, UserFunnel](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val init = state.getOption.getOrElse(FunnelState(0, Seq.fill(k)(Long.MinValue)))
+          val out = sorted.foldLeft(init) { case (st, (_, ts, _, tpe)) =>
+            val t = micros(ts)
+            if (st.depth < k && stepIdx(tpe) == st.depth + 1 &&
+                (st.depth == 0 || t > st.ts(st.depth - 1)))
+              FunnelState(st.depth + 1, st.ts.updated(st.depth, t))
+            else st
+          }
+          state.update(out)
+          Iterator.single(UserFunnel(userId, out.depth, out.ts))
+      }
+      .toDF("user_id", "depth", "tsv")
+    folded.select(col("user_id") +: col("depth") +:
+      (0 until k).map(i =>
+        when(col("tsv")(i) =!= Long.MinValue, col("tsv")(i)).as(s"t${i + 1}_us")): _*)
   }
 
   /** Durable-sink variant: run a (stateless or append-safe) streaming

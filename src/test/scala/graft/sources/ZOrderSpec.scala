@@ -96,12 +96,13 @@ class ZOrderSpec extends SparkSpec {
     // predicate on y ALONE: the x-sorted layout cannot meaningfully skip
     // (nearly every file spans the full y domain — "nearly" because the
     // repartitionByRange sampling behind normalize(sortBy) occasionally
-    // leaves one small tail file with a narrow y range, so the control is a
-    // tolerance, not an absolute); the z-order layout must skip most files
+    // leaves a FEW small tail files with narrow y ranges; a 1-file
+    // tolerance still flaked, so the guard is proportional: at least 3/4
+    // of the files must be hit). The z-order layout must skip most files
     // AND beat the 1-D control by at least 2x — the comparative property is
     // the claim, the control bound just guards the fixture
     val yOnly = Map("y" -> (100L, 199L))
-    assert(boxHits(sDir, yOnly) >= ns - 1,
+    assert(boxHits(sDir, yOnly) * 4 >= ns * 3,
       s"x-sorted layout pruned on y far more than sampling noise allows: " +
         s"${boxHits(sDir, yOnly)} of $ns files hit")
     assert(boxHits(zDir, yOnly) * 2 <= boxHits(sDir, yOnly),

@@ -103,6 +103,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful streaming funnel equals the batch greedy funnel") {
+    val steps = Seq("view", "click", "purchase")
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.funnelStateful(df, steps),
+        OutputMode.Update, "spec_funnel")
+      .orderBy("user_id").collect()
+    val batch = EventOps.funnel(Tables.load(spark, sfDir, "events"), steps)
+      .orderBy("user_id").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming merge sink converges to the batch aggregate and is replay-safe") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
