@@ -92,6 +92,44 @@ object EventOps {
         steps.indices.map(i => unix_micros(col("f.ts")(i)).as(s"t${i + 1}_us")): _*)
   }
 
+  /** Gaps-and-islands: merge overlapping (or ≤ `gapSeconds`-separated)
+    * per-key intervals into maximal islands. The classic coalescing step
+    * for availability windows, session spans, and on-call schedules.
+    *
+    * Formulation: per key, sort by (lo, hi, tie); an interval starts a new
+    * island iff its lo exceeds the running max hi of all PRECEDING rows
+    * (plus the allowed gap); the island id is the running sum of those
+    * starts; islands aggregate to (min lo, max hi, n). Ties in lo cannot
+    * change the island partition (equal-lo intervals always overlap), so
+    * the result is deterministic for any tie order. One shuffle: both
+    * windows and the final aggregate share the key partitioning.
+    *
+    * Input columns must be timestamps; output bounds are epoch micros.
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, loCol: String,
+      hiCol: String, tieCol: String, gapSeconds: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(col(loCol), col(hiCol), col(tieCol))
+    val preceding = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val running = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("_new_island",
+        // first row per key: max over empty frame is null → comparison null
+        // → otherwise-0, i.e. island 0 — same as SQL CASE semantics
+        when(unix_micros(col(loCol)) >
+          max(unix_micros(col(hiCol))).over(preceding) + gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("_island", sum(col("_new_island")).over(running))
+      .groupBy(col(keyCol), col("_island").as("island"))
+      .agg(unix_micros(min(col(loCol))).as("start_us"),
+        unix_micros(max(col(hiCol))).as("end_us"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol), col("island").cast("int").as("island"),
+        col("start_us"), col("end_us"), col("n"))
+  }
+
   /** CDC changelog → SCD type-2 dimension: collapse consecutive repeats of
     * `stateCol` per key (change detection via lag), then close each retained
     * version's validity interval with the next version's start (lead).

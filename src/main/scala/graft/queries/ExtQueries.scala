@@ -700,6 +700,78 @@ object ExtQueries {
           "coalesce(h.n, 0) AS n FROM axis a LEFT JOIN hourly h " +
           "ON a.user_id = h.user_id AND a.hour = h.hour ORDER BY 1, 2")),
 
+    // gaps-and-islands: each event opens a 30-minute activity window;
+    // overlapping windows coalesce into maximal per-user islands
+    DeclaredQuery(
+      "q_ext_evt4",
+      (s, d) =>
+        EventOps.mergeIntervals(
+            Tables.load(s, d, "events")
+              .select(col("user_id"), col("ts").as("lo"),
+                (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"), col("event_id")),
+            "user_id", "lo", "hi", "event_id")
+          .orderBy("user_id", "island"),
+      Some(
+        "WITH iv AS (SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi, event_id FROM events), " +
+          "m AS (SELECT user_id, lo, hi, event_id, CASE WHEN epoch_us(lo) > max(epoch_us(hi)) OVER " +
+          "(PARTITION BY user_id ORDER BY lo, hi, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+          "THEN 1 ELSE 0 END AS ni FROM iv), " +
+          "g AS (SELECT user_id, lo, hi, sum(ni) OVER (PARTITION BY user_id ORDER BY lo, hi, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m) " +
+          "SELECT user_id, CAST(island AS INTEGER) AS island, " +
+          "CAST(epoch_us(min(lo)) AS BIGINT) AS start_us, CAST(epoch_us(max(hi)) AS BIGINT) AS end_us, " +
+          "count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // snapshot diff as a STORAGE AUDIT: reconcile a ParquetDatabase after an
+    // upsert batch against its before-image — the validation step of an
+    // incremental sync ("did the merge apply exactly the intended deltas").
+    // The after-image is read back from disk, so the oracle also re-proves
+    // the upsert semantics themselves.
+    DeclaredQuery(
+      "q_ext_diff2",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("prio"))
+        val before = base.where(col("o_orderkey") % 89 =!= 0)
+        val dir = s"target/tmp/q_ext_diff2/${java.util.UUID.randomUUID}"
+        val db = new graft.sources.ParquetDatabase(s, dir)
+        db.create(before)
+        // patch: bump price on %7 keys, restore the missing %89 keys
+        val patch = base
+          .where(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 89 === 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, col("price") + money(lit(5.0)))
+              .otherwise(col("price")).cast(DecimalType(18, 2)).as("price"),
+            col("prio"))
+        db.upsert(patch, "o_orderkey")
+        SnapshotDiff.diff(before, db.read(), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("status"), col("changed_cols"),
+            r4(col("old_price").cast("double")).as("old_price"),
+            r4(col("new_price").cast("double")).as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) price, o_orderpriority prio, 1 AS in_old " +
+          "FROM orders WHERE o_orderkey % 89 <> 0), " +
+          "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 5.00 " +
+          "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END price, o_orderpriority prio, 1 AS in_new FROM orders) " +
+          "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+          "CASE WHEN o.in_old IS NULL THEN 'added' WHEN n.in_new IS NULL THEN 'removed' " +
+          "WHEN NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) THEN 'changed' " +
+          "ELSE 'unchanged' END AS status, " +
+          "CASE WHEN o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "THEN array_to_string(list_filter([CASE WHEN NOT (o.price IS NOT DISTINCT FROM n.price) THEN 'price' END, " +
+          "CASE WHEN NOT (o.prio IS NOT DISTINCT FROM n.prio) THEN 'prio' END], x -> x IS NOT NULL), ',') " +
+          "ELSE '' END AS changed_cols, " +
+          "round(CAST(o.price AS DOUBLE), 4) AS old_price, round(CAST(n.price AS DOUBLE), 4) AS new_price " +
+          "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+          "WHERE NOT (o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "ORDER BY o_orderkey")),
+
     // ordered funnel (view → click → purchase): greedy per-user stage
     // timestamps in ONE shuffle (sorted-array HOF scan) vs the oracle's
     // k-stage self-join formulation — identical semantics, k× fewer passes

@@ -60,6 +60,33 @@ class EventOpsSpec extends SparkSpec {
       (2L, 1, "x", us(1), None, true)))
   }
 
+  test("mergeIntervals: overlapping and touching intervals coalesce; gaps split") {
+    // user 1: [0,10] [5,20] touch/overlap → one island; [40,50] separate
+    // user 2: single interval
+    val iv = Seq(
+      (1L, ts(0), ts(10), 1L), (1L, ts(5), ts(20), 2L), (1L, ts(10), ts(15), 3L),
+      (1L, ts(40), ts(50), 4L),
+      (2L, ts(0), ts(1), 5L)
+    ).toDF("user_id", "lo", "hi", "event_id")
+    val got = EventOps.mergeIntervals(iv, "user_id", "lo", "hi", "event_id")
+      .select("user_id", "island", "start_us", "end_us", "n")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (1L, 0, us(0), us(20), 3L),
+      (1L, 1, us(40), us(50), 1L),
+      (2L, 0, us(0), us(1), 1L)))
+  }
+
+  test("mergeIntervals: gapSeconds bridges near-adjacent intervals") {
+    val iv = Seq((1L, ts(0), ts(10), 1L), (1L, ts(12), ts(20), 2L))
+      .toDF("user_id", "lo", "hi", "event_id")
+    val split = EventOps.mergeIntervals(iv, "user_id", "lo", "hi", "event_id")
+      .collect()
+    val bridged = EventOps.mergeIntervals(iv, "user_id", "lo", "hi", "event_id",
+      gapSeconds = 5L).collect()
+    assert(split.length === 2 && bridged.length === 1)
+  }
+
   test("scd2Compact: one exchange — both window passes share partitioning and sort") {
     val plan = EventOps.scd2Compact(events).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
