@@ -812,6 +812,39 @@ object ExtQueries {
           "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
           "ORDER BY user_id, version")),
 
+    // SCD2 point-in-time lookup: every event joined to the dimension
+    // version in effect at its timestamp (equi-key on user + validity-range
+    // predicate — per-user version lists are small, so the range filter
+    // rides the hash join; no nested loop). Completes the CDC story:
+    // q_ext_cdc1 BUILDS the dimension, this query USES it.
+    DeclaredQuery(
+      "q_ext_cdc2",
+      (s, d) => {
+        val events = Tables.load(s, d, "events")
+        val dim = EventOps.scd2Compact(events).as("dv")
+        val facts = events
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .as("f")
+        facts.join(dim,
+            col("f.user_id") === col("dv.user_id") &&
+              col("f.ts_us") >= col("dv.valid_from_us") &&
+              (col("dv.valid_to_us").isNull || col("f.ts_us") < col("dv.valid_to_us")))
+          .select(col("f.event_id"), col("f.user_id"), col("dv.version"), col("dv.state"))
+          .orderBy("event_id")
+      },
+      Some(
+        "WITH m AS (SELECT user_id, event_type, ts, event_id, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+          "c AS (SELECT * FROM m WHERE prev IS DISTINCT FROM event_type), " +
+          "dim AS (SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version, event_type AS state, " +
+          "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us " +
+          "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+          "SELECT f.event_id, f.user_id, d.version, d.state " +
+          "FROM (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) ts_us FROM events) f " +
+          "JOIN dim d ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us " +
+          "AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us) " +
+          "ORDER BY f.event_id")),
+
     // edit-distance-≤1 similarity self-join via deletion neighborhoods —
     // the oracle brute-forces levenshtein over all pairs of the subset; the
     // Spark plan is an equi-join on deletion variants + exact verify (no
@@ -828,6 +861,23 @@ object ExtQueries {
           "SELECT a.k AS k1, b.k AS k2, a.s AS s1, b.s AS s2, " +
           "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist " +
           "FROM sub a, sub b WHERE a.k < b.k AND levenshtein(a.s, b.s) <= 1 " +
+          "ORDER BY k1, k2")),
+
+    // radius-2 variant of strsim1: 2-deletion neighborhoods (full SymSpell),
+    // candidates complete for dist ≤ 2, exact levenshtein verify — on a
+    // smaller keyed subset since the oracle brute-forces all pairs
+    DeclaredQuery(
+      "q_ext_strsim2",
+      (s, d) =>
+        StringSim.editDistanceJoin(
+            Tables.load(s, d, "customer").where(col("c_custkey") % 20 === 0),
+            "c_custkey", "c_name", maxDist = 2)
+          .orderBy("k1", "k2"),
+      Some(
+        "WITH sub AS (SELECT c_custkey k, c_name s FROM customer WHERE c_custkey % 20 = 0) " +
+          "SELECT a.k AS k1, b.k AS k2, a.s AS s1, b.s AS s2, " +
+          "CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist " +
+          "FROM sub a, sub b WHERE a.k < b.k AND levenshtein(a.s, b.s) <= 2 " +
           "ORDER BY k1, k2")),
 
     // snapshot reconciliation: added / removed / changed (+ which columns)

@@ -43,6 +43,32 @@ class StringSimSpec extends SparkSpec {
     assert(rows.size === rows.toSet.size)
   }
 
+  test("editDistanceJoin(maxDist=2) finds exactly the brute-force dist-≤2 pairs") {
+    val brute2 = names.as("a").crossJoin(names.as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), levenshtein(col("a.s"), col("b.s")).as("d"))
+      .where(col("d") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = StringSim.editDistanceJoin(names, "id", "s", maxDist = 2)
+      .select(col("k1"), col("k2"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute2)
+    assert(got.contains((2L, 3L, 2))) // sitten → kitten → kitte: sub + del
+    assert(got.size > brute.size) // radius 2 strictly widens the relation here
+  }
+
+  test("a hot variant group fails loudly instead of exploding quadratically") {
+    // 50 identical strings: the shared variants form groups of 50 > the cap
+    val hot = (1 to 50).map(i => (i.toLong, "same")).toDF("id", "s")
+    val e = intercept[Exception] {
+      StringSim.editDistance1Join(hot, "id", "s", maxVariantGroup = 10).collect()
+    }
+    assert(e.getMessage.contains("maxVariantGroup"))
+    // the same data passes with the cap above the group size, as exact dups
+    val ok = StringSim.editDistance1Join(hot, "id", "s", maxVariantGroup = 1000)
+    assert(ok.count() === 50L * 49 / 2)
+  }
+
   test("the plan is an equi-join on variants — no nested loop, no cartesian") {
     val plan = StringSim.editDistance1Join(names, "id", "s")
       .queryExecution.executedPlan.toString
