@@ -404,6 +404,49 @@ object IngestQueries {
         "SELECT count(*) AS n_rows, CAST(sum(n_nationkey) AS BIGINT) AS key_sum, " +
           "true AS rolled_back, true AS rolled_forward FROM nation")),
 
+    // snapshot / TIME TRAVEL on the store: tag the table, mutate it twice
+    // (scoped upsert + predicate delete — both would normally delete the
+    // superseded files), then read the table AS OF the tag. Snapshots are
+    // manifests, not copies: pinned files move to an archive instead of
+    // being deleted, so retention cost is exactly the pinned bytes. The
+    // drill also proves vacuum honors pins: a second snapshot is dropped
+    // and vacuumed, and the tagged read — the query's own output — must
+    // still resolve every file. Oracle = the ORIGINAL table.
+    DeclaredQuery(
+      "q_norm7",
+      (s, d) => {
+        val db = freshDb(s, "q_norm7")
+        val fs = new org.apache.hadoop.fs.Path(db.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        // snapshot manifests/archive live BESIDE the table dir and would
+        // collide across runs — clear them with the fixture
+        for (suffix <- Seq("__snapshots", "__archive"))
+          fs.delete(new org.apache.hadoop.fs.Path(db.dir + suffix), true)
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("prio"))
+        db.create(base)
+        db.normalize(maxRowsPerFile = 25000, sortBy = Seq("o_orderkey"))
+        db.snapshot("pre")
+        // mutate: price bump on %7 keys (scoped file patch) + delete %13 keys
+        db.upsert(base.where(col("o_orderkey") % 7 === 0)
+          .withColumn("price", (col("price") + money(lit(5.0)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), "o_orderkey")
+        db.deleteWhere(col("o_orderkey") % 13 === 0)
+        require(db.read().count() < base.count(), "q_norm7: delete did not shrink the table")
+        // vacuum drill: dropping an unrelated snapshot must not reclaim
+        // files the 'pre' tag still pins (the returned read proves it)
+        db.snapshot("tmp")
+        db.dropSnapshot("tmp")
+        db.vacuumSnapshots()
+        db.readSnapshot("pre")
+          .select(col("o_orderkey"), r4(col("price").cast("double")).as("price"), col("prio"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 4) AS price, " +
+          "o_orderpriority AS prio FROM orders ORDER BY o_orderkey")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

@@ -141,16 +141,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   private def rewriteWith(newData: DataFrame, options: Map[String, String] = Map.empty): Unit = {
     val tmp = s"${dir}__normalize_tmp"
     val old = s"${dir}__old"
+    // never start a swap over un-repaired debris from an interrupted one —
+    // recover() archives/restores it exactly; a blind delete here could
+    // destroy snapshot-pinned files
+    if (fs.exists(new Path(old)) || fs.exists(new Path(tmp))) recover()
     newData.write.mode("overwrite").options(options).parquet(tmp)
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
-    fs.delete(new Path(old), true)
     if (!fs.rename(new Path(dir), new Path(old)))
       throw new java.io.IOException(s"rewrite: failed to move $dir aside to $old; table untouched")
     if (!fs.rename(new Path(tmp), new Path(dir)))
       throw new java.io.IOException(
         s"rewrite: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
+    // the moved-aside tree IS the previous table version: park whatever a
+    // snapshot still references in the archive before dropping the rest
+    archiveReferenced(new Path(old), p => relativize(old, p))
     fs.delete(new Path(old), true)
   }
 
@@ -248,8 +254,9 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // partition value for any concurrent reader of the table
     val tmp = new Path(s"${dir}__patch_tmp")
     val old = new Path(s"${dir}__patch_old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
+    // interrupted-swap debris is repaired (snapshot-aware), never blindly
+    // deleted — a previous crash's moved-aside originals may be pinned
+    if (fs.exists(tmp) || fs.exists(old)) recover()
     newData.write.mode("overwrite").parquet(tmp.toString)
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     fs.mkdirs(old)
@@ -272,6 +279,10 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         throw new java.io.IOException(s"patch: failed to move $f into $targetDir; originals " +
           s"preserved in $old, rewrite in $tmp — run recover()")
     }
+    // moved-aside originals a snapshot still pins go to the archive (they
+    // sat at old/<basename>; their table-relative home is under targetDir)
+    val relPrefix = if (targetDir == dir) "" else relativize(dir, new Path(targetDir)) + "/"
+    archiveReferenced(old, p => relPrefix + p.getName)
     fs.delete(old, true)
     fs.delete(tmp, true)
   }
@@ -321,7 +332,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         if (!fs.rename(nTmp, new Path(dir)))
           throw new java.io.IOException(s"recover: failed to move $nTmp into place")
         actions += s"completed interrupted rewrite: $nTmp -> $dir"
-        if (fs.exists(nOld)) { fs.delete(nOld, true); actions += s"dropped $nOld" }
+        if (fs.exists(nOld)) {
+          val a = archiveReferenced(nOld, p => relativize(nOld.toString, p))
+          if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $nOld"
+          fs.delete(nOld, true); actions += s"dropped $nOld"
+        }
       } else if (fs.exists(nOld)) {
         // rewrite incomplete — roll back the original
         if (!fs.rename(nOld, new Path(dir)))
@@ -330,7 +345,12 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         if (fs.exists(nTmp)) { fs.delete(nTmp, true); actions += s"dropped incomplete $nTmp" }
       }
     } else {
-      // live dir healthy: any rewrite leftovers are droppable debris
+      // live dir healthy: any rewrite leftovers are droppable debris —
+      // except files a snapshot pins (nOld held the previous table version)
+      if (fs.exists(nOld)) {
+        val a = archiveReferenced(nOld, p => relativize(nOld.toString, p))
+        if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $nOld"
+      }
       for (p <- Seq(nTmp, nOld) if fs.exists(p)) {
         fs.delete(p, true); actions += s"dropped leftover $p"
       }
@@ -341,15 +361,32 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         val lines = readTextFile(manifest).linesIterator.filter(_.nonEmpty).toSeq
         lines.collect { case l if l.startsWith("new\t") => new Path(l.stripPrefix("new\t")) }
           .foreach { p => if (fs.exists(p)) { fs.delete(p, false); actions += s"removed replacement $p" } }
-        lines.collect { case l if l.startsWith("touched\t") => new Path(l.stripPrefix("touched\t")) }
-          .foreach { orig =>
-            val aside = new Path(pOld, orig.getName)
-            if (fs.exists(aside) && !fs.exists(orig)) {
+        val touched = lines.collect {
+          case l if l.startsWith("touched\t") => new Path(l.stripPrefix("touched\t"))
+        }
+        touched.foreach { orig =>
+          val aside = new Path(pOld, orig.getName)
+          // a crash mid-archive may have parked the original already —
+          // restore from wherever it sits (table / aside / archive is an
+          // exactly-one-of invariant for every byte)
+          val archived = new Path(archiveRoot, relativize(dir, orig))
+          if (!fs.exists(orig)) {
+            if (fs.exists(aside)) {
               if (!fs.rename(aside, orig))
                 throw new java.io.IOException(s"recover: failed to restore $aside -> $orig")
               actions += s"restored $orig"
+            } else if (fs.exists(archived)) {
+              if (!fs.rename(archived, orig))
+                throw new java.io.IOException(s"recover: failed to restore $archived -> $orig")
+              actions += s"restored $orig from archive"
             }
           }
+        }
+        // anything still aside that a snapshot pins is archived, not dropped
+        val origByName = touched.map(p => p.getName -> p).toMap
+        val a = archiveReferenced(pOld, p =>
+          relativize(dir, origByName.getOrElse(p.getName, new Path(s"$dir/${p.getName}"))))
+        if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $pOld"
       }
       fs.delete(pOld, true); actions += s"dropped $pOld"
     }
@@ -469,4 +506,129 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
 
   /** Physical layout stats (ParquetDB P7 introspection). */
   def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir, hconf)
+
+  // ---- snapshots / time travel -----------------------------------------
+  //
+  // A snapshot is a MANIFEST (the table-relative parquet file list at tag
+  // time), not a copy: parquet files are immutable once written, so a name
+  // identifies its bytes forever (part-file names carry fresh UUIDs). The
+  // mutation paths normally delete superseded files; while any snapshot
+  // references them they are MOVED into `<dir>__archive` instead (same
+  // relative layout), so a snapshot read resolves each manifest entry
+  // against the live dir first and the archive second. Retention cost is
+  // exactly the bytes a snapshot pins — nothing is copied, ever.
+
+  private def snapshotsRoot = new Path(s"${dir}__snapshots")
+  private[sources] def archiveRoot = new Path(s"${dir}__archive")
+
+  private def relativize(root: String, p: Path): String = {
+    // qualify both sides: `dir` may be a relative working-dir path while
+    // filesystem listings come back as absolute URIs
+    val r = fs.makeQualified(new Path(root)).toUri.getPath
+    val f = fs.makeQualified(p).toUri.getPath
+    require(f.startsWith(r + "/"), s"$p is not under $root")
+    f.stripPrefix(r + "/")
+  }
+
+  /** Every parquet file under `root`, recursively (partition subdirs too). */
+  private def walkParquet(root: Path): Seq[Path] =
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val st = fs.listStatus(root).toIndexedSeq
+      st.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).map(_.getPath) ++
+        st.filter(_.isDirectory).flatMap(s => walkParquet(s.getPath))
+    }
+
+  /** Record the live table's file list under `tag`. O(listing) — no data
+    * is read or copied; the files are pinned against deletion instead.
+    */
+  def snapshot(tag: String): Unit = {
+    require(tag.nonEmpty && !tag.contains("/"), s"bad snapshot tag '$tag'")
+    val m = new Path(snapshotsRoot, tag)
+    require(!fs.exists(m), s"snapshot '$tag' already exists (snapshots are immutable)")
+    val rels = walkParquet(new Path(dir)).map(p => relativize(dir, p))
+    require(rels.nonEmpty, s"snapshot('$tag'): table $dir is empty")
+    fs.mkdirs(snapshotsRoot)
+    writeTextFile(m, rels.mkString("\n"))
+  }
+
+  def snapshots: Seq[String] =
+    if (!fs.exists(snapshotsRoot)) Nil
+    else fs.listStatus(snapshotsRoot).toIndexedSeq.map(_.getPath.getName).sorted
+
+  private def snapshotRels(tag: String): Seq[String] = {
+    val m = new Path(snapshotsRoot, tag)
+    require(fs.exists(m), s"no snapshot '$tag' on $dir (have: ${snapshots.mkString(", ")})")
+    readTextFile(m).linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Table-relative paths some snapshot still references. */
+  private def referencedRels: Set[String] =
+    snapshots.flatMap(snapshotRels).toSet
+
+  /** Time-travel read: the table exactly as of `snapshot(tag)`. Files are
+    * resolved live-first then archive; both roots share the relative
+    * layout, so directory-encoded partition columns survive via basePath.
+    */
+  def readSnapshot(tag: String): DataFrame = {
+    val rels = snapshotRels(tag)
+    val (live, gone) = rels.partition(r => fs.exists(new Path(s"$dir/$r")))
+    val (arch, missing) = gone.partition(r => fs.exists(new Path(archiveRoot, r)))
+    require(missing.isEmpty,
+      s"snapshot '$tag' is unreadable — ${missing.size} file(s) gone (vacuumed after " +
+        s"dropSnapshot, or archive deleted?): ${missing.take(3).mkString(", ")}")
+    def part(root: String, rs: Seq[String]) =
+      spark.read.option("mergeSchema", "true").option("basePath", root)
+        .parquet(rs.map(r => s"$root/$r"): _*)
+    if (arch.isEmpty) part(dir, live)
+    else if (live.isEmpty) part(archiveRoot.toString, arch)
+    else part(dir, live).unionByName(part(archiveRoot.toString, arch),
+      allowMissingColumns = true)
+  }
+
+  /** Forget `tag`. Pinned bytes are reclaimed by [[vacuumSnapshots]]. */
+  def dropSnapshot(tag: String): Unit = {
+    val m = new Path(snapshotsRoot, tag)
+    require(fs.exists(m), s"no snapshot '$tag' on $dir")
+    fs.delete(m, false)
+  }
+
+  /** Delete archived files no remaining snapshot references; returns the
+    * number removed. Files a live snapshot still pins are kept.
+    */
+  def vacuumSnapshots(): Int = {
+    val refs = referencedRels
+    var removed = 0
+    walkParquet(archiveRoot).foreach { p =>
+      if (!refs.contains(relativize(archiveRoot.toString, p))) {
+        fs.delete(p, false); removed += 1
+      }
+    }
+    if (fs.exists(archiveRoot) && walkParquet(archiveRoot).isEmpty)
+      fs.delete(archiveRoot, true)
+    removed
+  }
+
+  /** Move every snapshot-referenced parquet file under `root` into the
+    * archive before `root` is deleted; `relOf` maps each file to its
+    * table-relative path. Files already present in the archive (same
+    * immutable name) are simply dropped from `root`. Returns moved count.
+    */
+  private def archiveReferenced(root: Path, relOf: Path => String): Int = {
+    val refs = referencedRels
+    if (refs.isEmpty) return 0
+    var moved = 0
+    walkParquet(root).foreach { p =>
+      val rel = relOf(p)
+      if (refs.contains(rel)) {
+        val dest = new Path(archiveRoot, rel)
+        fs.mkdirs(dest.getParent)
+        if (fs.exists(dest)) fs.delete(p, false)
+        else if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"archive: failed to move $p -> $dest")
+        moved += 1
+      }
+    }
+    moved
+  }
 }

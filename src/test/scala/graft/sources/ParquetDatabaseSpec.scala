@@ -213,7 +213,7 @@ class ParquetDatabaseSpec extends SparkSpec {
 
     // rewrite ROLLBACK: crash after the live dir moved aside, rewrite
     // incomplete (no _SUCCESS in the tmp dir) -> original comes back
-    val db = freshDb("recover_rw")
+    val db = freshDbClean("recover_rw")
     db.create(spark.range(100).toDF("id"))
     fs.mkdirs(P(db.dir + "__normalize_tmp")) // partial rewrite, no _SUCCESS
     assert(fs.rename(P(db.dir), P(db.dir + "__old")))
@@ -232,7 +232,7 @@ class ParquetDatabaseSpec extends SparkSpec {
 
     // patch ROLLBACK mid-move: one original moved aside, one replacement
     // moved in, manifest present -> byte-exact original table restored
-    val db2 = freshDb("recover_patch")
+    val db2 = freshDbClean("recover_patch")
     db2.create(spark.range(50).toDF("id").repartition(1))
     db2.create(spark.range(50, 60).toDF("id").repartition(1))
     val files = ParquetStats.listParquetFiles(db2.dir).map(_.toString).sorted
@@ -291,6 +291,95 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(replica.read().orderBy("id").collect().toSeq ===
       db.read().orderBy("id").collect().toSeq)
     assert(replica.nRows === 2L)
+  }
+
+  /** freshDb plus its snapshot/archive/swap siblings — snapshot manifests
+    * persist OUTSIDE the table dir and would collide across reruns.
+    */
+  private def freshDbClean(name: String): ParquetDatabase = {
+    val db = freshDb(name)
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    for (suffix <- Seq("__snapshots", "__archive", "__patch_old", "__patch_tmp", "__old", "__normalize_tmp"))
+      fs.delete(new org.apache.hadoop.fs.Path(db.dir + suffix), true)
+    db
+  }
+
+  test("snapshot + upsert: time travel reads the pre-patch table exactly") {
+    val db = freshDbClean("snap_upsert")
+    val base = spark.range(1000).select(col("id"), (col("id") % 10).as("v"))
+    db.create(base)
+    db.normalize(maxRowsPerFile = 200, sortBy = Seq("id"))
+    db.snapshot("pre")
+    db.upsert(Seq((5L, 99L), (2000L, 1L)).toDF("id", "v"), "id")
+    // current state sees the patch
+    val cur = db.read().where(col("id") === 5L || col("id") === 2000L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(cur === Seq((5L, 99L), (2000L, 1L)))
+    // the snapshot does not
+    val snap = db.readSnapshot("pre")
+    assert(snap.count() === 1000L)
+    assert(snap.where(col("id") === 5L).as[(Long, Long)].collect().toSeq === Seq((5L, 5L)))
+    assert(snap.where(col("id") === 2000L).count() === 0L)
+  }
+
+  test("snapshot survives a full rewrite and a delete; vacuum respects pins") {
+    val db = freshDbClean("snap_rewrite")
+    db.create(spark.range(500).select(col("id"), (col("id") * 2).as("v")))
+    db.snapshot("v1")
+    db.deleteWhere(col("id") < 100) // scoped or full rewrite — either path archives
+    db.normalize(maxRowsPerFile = 100) // full rewrite: whole previous tree archived
+    assert(db.read().count() === 400L)
+    assert(db.readSnapshot("v1").count() === 500L)
+    // a second snapshot of the current state, then vacuum: v1's pins survive
+    db.snapshot("v2")
+    db.dropSnapshot("v2")
+    db.vacuumSnapshots()
+    assert(db.readSnapshot("v1").count() === 500L)
+    // dropping the last pin reclaims the archive entirely
+    db.dropSnapshot("v1")
+    db.vacuumSnapshots()
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(db.archiveRoot), "archive should be empty and removed after last drop")
+    intercept[IllegalArgumentException](db.readSnapshot("v1"))
+  }
+
+  test("snapshot on a partitioned table keeps directory-encoded columns") {
+    val db = freshDbClean("snap_part")
+    db.create(spark.range(300).select(col("id"), (col("id") % 3).cast("string").as("part")),
+      partitionBy = Seq("part"))
+    db.snapshot("p1")
+    db.deleteWhere(col("part") === "1") // partitioned → full-rewrite path
+    assert(db.read().count() === 200L)
+    val snap = db.readSnapshot("p1")
+    assert(snap.count() === 300L)
+    assert(snap.select("part").distinct().count() === 3L)
+  }
+
+  test("recover() restores a crash-archived original exactly (no loss, no dup)") {
+    val db = freshDbClean("snap_recover")
+    db.create(spark.range(100).select(col("id"), col("id").as("v")))
+    db.normalize(maxRowsPerFile = 100, sortBy = Seq("id")) // one file, ranged
+    db.snapshot("pin")
+    db.upsert(Seq((5L, 50L)).toDF("id", "v"), "id") // original archived (pinned)
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // stage the crash recover() must untangle: the swap's manifest exists,
+    // the replacement file is live, the original sits in the ARCHIVE (the
+    // crash hit after archiving but before the patch-old cleanup finished)
+    val liveFile = ParquetStats.listParquetFiles(db.dir).head
+    val archived = ParquetStats.listParquetFiles(db.archiveRoot.toString).head
+    val pOld = new org.apache.hadoop.fs.Path(db.dir + "__patch_old")
+    fs.mkdirs(pOld)
+    val manifest = s"touched\t${db.dir}/${archived.getName}\nnew\t${db.dir}/${liveFile.getName}"
+    val out = fs.create(new org.apache.hadoop.fs.Path(pOld, "_manifest"), true)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+    val actions = db.recover()
+    assert(actions.exists(_.contains("from archive")), actions.mkString("; "))
+    // rolled back: the original content, exactly once
+    val rows = db.read().orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(rows === (0L until 100L).map(i => (i, i)))
   }
 
   test("normalizeToBytes converts a byte target into a row bound from footer stats") {
