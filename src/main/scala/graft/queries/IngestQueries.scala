@@ -447,6 +447,55 @@ object IngestQueries {
         "SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 4) AS price, " +
           "o_orderpriority AS prio FROM orders ORDER BY o_orderkey")),
 
+    // "what changed since the tag": snapshot time travel composed with the
+    // reconciliation diff — the incremental-audit primitive ("diff prod
+    // against yesterday's tag") in one plan: readSnapshot(pre) vs the
+    // current table through one full-outer key join
+    DeclaredQuery(
+      "q_norm8",
+      (s, d) => {
+        val db = freshDb(s, "q_norm8")
+        val fs = new org.apache.hadoop.fs.Path(db.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        for (suffix <- Seq("__snapshots", "__archive"))
+          fs.delete(new org.apache.hadoop.fs.Path(db.dir + suffix), true)
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("prio"))
+        db.create(base)
+        db.normalize(maxRowsPerFile = 25000, sortBy = Seq("o_orderkey"))
+        db.snapshot("pre")
+        db.upsert(base.where(col("o_orderkey") % 7 === 0)
+          .withColumn("price", (col("price") + money(lit(5.0)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), "o_orderkey")
+        db.deleteWhere(col("o_orderkey") % 13 === 0)
+        graft.operators.SnapshotDiff.diff(db.readSnapshot("pre"), db.read(), Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("status"), col("changed_cols"),
+            r4(col("old_price").cast("double")).as("old_price"),
+            r4(col("new_price").cast("double")).as("new_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "WITH o AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) price, o_orderpriority prio, 1 AS in_old " +
+          "FROM orders), " +
+          "n AS (SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 5.00 " +
+          "ELSE CAST(o_totalprice AS DECIMAL(18,2)) END price, o_orderpriority prio, 1 AS in_new " +
+          "FROM orders WHERE o_orderkey % 13 <> 0) " +
+          "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, " +
+          "CASE WHEN o.in_old IS NULL THEN 'added' WHEN n.in_new IS NULL THEN 'removed' " +
+          "WHEN NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) THEN 'changed' " +
+          "ELSE 'unchanged' END AS status, " +
+          "CASE WHEN o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND NOT (o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "THEN array_to_string(list_filter([CASE WHEN NOT (o.price IS NOT DISTINCT FROM n.price) THEN 'price' END, " +
+          "CASE WHEN NOT (o.prio IS NOT DISTINCT FROM n.prio) THEN 'prio' END], x -> x IS NOT NULL), ',') " +
+          "ELSE '' END AS changed_cols, " +
+          "round(CAST(o.price AS DOUBLE), 4) AS old_price, round(CAST(n.price AS DOUBLE), 4) AS new_price " +
+          "FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey " +
+          "WHERE NOT (o.in_old IS NOT NULL AND n.in_new IS NOT NULL " +
+          "AND o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
+          "ORDER BY o_orderkey")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

@@ -56,7 +56,8 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_cdc1" -> "epoch_us (Spark: unix_micros)",
     "q_ext_cdc2" -> "epoch_us (Spark: unix_micros)",
     "q_ext_diff1" -> "list_filter/array_to_string (Spark: filter HOF/array_join)",
-    "q_ext_diff2" -> "list_filter/array_to_string (Spark: filter HOF/array_join)")
+    "q_ext_diff2" -> "list_filter/array_to_string (Spark: filter HOF/array_join)",
+    "q_norm8" -> "list_filter/array_to_string (Spark: filter HOF/array_join)")
 
   /** Structural equality with float tolerance: Spark SQL and the DataFrame
     * API may aggregate in different orders, so doubles compare at 1e-6
