@@ -57,15 +57,19 @@ object EventOps {
     * One shuffle total: events are grouped per user, time-sorted with
     * `sort_array`, and the greedy scan runs as a single `aggregate` HOF over
     * the per-user array — no per-stage self-join (the k-join formulation
-    * shuffles the events table k times). Per-user arrays bound the memory:
-    * the buffer is one user's step-relevant events, the same bound
-    * sessionization already carries.
+    * shuffles the events table k times). The buffer is one user's
+    * step-relevant events; `maxEventsPerUser` turns the one pathological
+    * key (a bot with tens of millions of events) from a silent straggler /
+    * OOM into a named error, the same loud-guard pattern RangeJoin and
+    * StringSim carry — the check is embedded in the scanned expression, so
+    * Catalyst cannot prune it.
     *
     * Output: userCol, depth, t1_us … tk_us (epoch micros, null past depth).
     */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "ts", tieCol: String = "event_id"): DataFrame = {
+      tsCol: String = "ts", tieCol: String = "event_id",
+      maxEventsPerUser: Int = 10000000): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
     val idxCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
@@ -75,7 +79,10 @@ object EventOps {
     // id strictly after the previous step's timestamp
     val scan =
       s"""aggregate(
-         |  evs,
+         |  IF(size(evs) <= $maxEventsPerUser, evs,
+         |     raise_error(concat('EventOps.funnel: user group of ', CAST(size(evs) AS STRING),
+         |                        ' events exceeds maxEventsPerUser=$maxEventsPerUser — ',
+         |                        'pre-filter the bot key or raise the bound'))),
          |  named_struct('depth', 0, 'ts', array($nulls)),
          |  (st, e) -> IF(e.step = st.depth + 1 AND IF(st.depth = 0, true, e.ts > st.ts[st.depth - 1]),
          |                named_struct('depth', st.depth + 1,

@@ -33,6 +33,17 @@ class EventOpsSpec extends SparkSpec {
     assert(got(4L) === ((0, None, None, None)))
   }
 
+  test("funnel: a bot-sized user group fails loudly instead of buffering unbounded") {
+    val e = intercept[Exception] {
+      EventOps.funnel(events, Seq("view", "click", "purchase"),
+        maxEventsPerUser = 2).collect()
+    }
+    assert(e.getMessage.contains("maxEventsPerUser"))
+    // same data passes with the bound above the largest group
+    assert(EventOps.funnel(events, Seq("view", "click", "purchase"),
+      maxEventsPerUser = 10).count() === 4L)
+  }
+
   test("funnel: purchase before click never counts even when both exist") {
     val ev = Seq(
       (9L, "view", ts(1), 901L), (9L, "purchase", ts(2), 902L), (9L, "click", ts(3), 903L)
