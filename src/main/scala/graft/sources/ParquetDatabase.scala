@@ -609,6 +609,31 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     removed
   }
 
+  /** Retention: keep the `keepLast` most recent snapshots (by manifest
+    * creation time), drop the rest, and vacuum unpinned archive bytes in
+    * one pass. Returns the dropped tags — the lifecycle hook a deployment
+    * calls after each tag ("keep a week of dailies").
+    */
+  def pruneSnapshots(keepLast: Int): Seq[String] = {
+    require(keepLast >= 0, s"pruneSnapshots: keepLast must be >= 0, got $keepLast")
+    if (!fs.exists(snapshotsRoot)) return Nil
+    val byAge = fs.listStatus(snapshotsRoot).toIndexedSeq
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val drop = byAge.dropRight(keepLast).map(_.getPath.getName)
+    drop.foreach(dropSnapshot)
+    vacuumSnapshots()
+    drop
+  }
+
+  /** Replicate the table AS OF `tag` into `destDir` (the time-travel form
+    * of [[exportTo]]): a distributed read+write of the pinned file list —
+    * the "reproduce last week's training corpus" hook.
+    */
+  def exportSnapshot(tag: String, destDir: String): ParquetDatabase = {
+    readSnapshot(tag).write.mode("overwrite").parquet(destDir)
+    new ParquetDatabase(spark, destDir)
+  }
+
   /** Move every snapshot-referenced parquet file under `root` into the
     * archive before `root` is deleted; `relOf` maps each file to its
     * table-relative path. Files already present in the archive (same

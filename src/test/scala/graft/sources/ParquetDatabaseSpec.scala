@@ -357,6 +357,39 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(snap.select("part").distinct().count() === 3L)
   }
 
+  test("pruneSnapshots keeps the newest tags and reclaims unpinned bytes") {
+    val db = freshDbClean("snap_prune")
+    db.create(spark.range(200).select(col("id"), col("id").as("v")))
+    db.snapshot("t1")
+    db.deleteWhere(col("id") < 50)
+    Thread.sleep(5) // manifest mtimes order the tags
+    db.snapshot("t2")
+    db.deleteWhere(col("id") < 100)
+    Thread.sleep(5)
+    db.snapshot("t3")
+    val dropped = db.pruneSnapshots(keepLast = 2)
+    assert(dropped === Seq("t1"))
+    assert(db.snapshots === Seq("t2", "t3"))
+    assert(db.readSnapshot("t2").count() === 150L)
+    assert(db.readSnapshot("t3").count() === 100L)
+    intercept[IllegalArgumentException](db.readSnapshot("t1"))
+    // dropping everything reclaims the archive
+    assert(db.pruneSnapshots(keepLast = 0).sorted === Seq("t2", "t3"))
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(db.archiveRoot))
+  }
+
+  test("exportSnapshot replicates the as-of table into a fresh store") {
+    val db = freshDbClean("snap_export")
+    db.create(spark.range(100).select(col("id"), (col("id") * 3).as("v")))
+    db.snapshot("gold")
+    db.upsert(Seq((7L, -1L)).toDF("id", "v"), "id")
+    val replica = db.exportSnapshot("gold", s"target/tmp/pqdb/snap_export_replica")
+    assert(replica.read().orderBy("id").as[(Long, Long)].collect().toSeq ===
+      (0L until 100L).map(i => (i, i * 3)))
+  }
+
   test("recover() restores a crash-archived original exactly (no loss, no dup)") {
     val db = freshDbClean("snap_recover")
     db.create(spark.range(100).select(col("id"), col("id").as("v")))
