@@ -64,6 +64,31 @@ object SubqueryQueries {
           "WHERE o2.o_custkey = o.o_custkey),4) AS diff_from_cust_max " +
           "FROM orders o ORDER BY o_orderkey")),
 
+    // RECURSIVE CTE (Spark 4 WITH RECURSIVE — same text on both engines):
+    // transitive closure over a halving-derived hierarchy, each node
+    // reached exactly once via its unique parent; depth < 15 covers keys
+    // to ~229k, far beyond every test scale. The iterative-join execution
+    // is the standard recursive-CTE shape (one shuffle join per level,
+    // level count = hierarchy depth, not data size).
+    DeclaredQuery(
+      "q_sub5",
+      sql(Seq("customer"),
+        "WITH RECURSIVE anc AS (" +
+          "SELECT c_custkey AS node, c_custkey AS root, 0 AS depth FROM customer WHERE c_custkey BETWEEN 1 AND 7 " +
+          "UNION ALL " +
+          "SELECT c.c_custkey, a.root, a.depth + 1 " +
+          "FROM customer c JOIN anc a ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = a.node " +
+          "WHERE a.depth < 15 AND c.c_custkey >= 8) " +
+          "SELECT node, root, CAST(depth AS INTEGER) AS depth FROM anc ORDER BY node"),
+      Some(
+        "WITH RECURSIVE anc AS (" +
+          "SELECT c_custkey AS node, c_custkey AS root, 0 AS depth FROM customer WHERE c_custkey BETWEEN 1 AND 7 " +
+          "UNION ALL " +
+          "SELECT c.c_custkey, a.root, a.depth + 1 " +
+          "FROM customer c JOIN anc a ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = a.node " +
+          "WHERE a.depth < 15 AND c.c_custkey >= 8) " +
+          "SELECT node, root, CAST(depth AS INTEGER) AS depth FROM anc ORDER BY node")),
+
     // lateral join: top-2 orders per customer by price
     DeclaredQuery(
       "q_lat1",
