@@ -994,6 +994,28 @@ object ExtQueries {
           "FROM base b LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id) " +
           "ORDER BY user_id")),
 
+    // streaming SCD2 dimension maintenance — the streaming form of
+    // q_ext_cdc1: per-user change-point state (bounded by state CHANGES,
+    // not events), Update-mode emission because a new version retracts the
+    // previous one's open valid_to; bounded replay equals the batch SCD2,
+    // so the same window-SQL oracle applies
+    DeclaredQuery(
+      "q_ext_stream8",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, EventStreams.scd2Stateful,
+            OutputMode.Update, "stream_scd2")
+          .orderBy("user_id", "version"),
+      Some(
+        "WITH m AS (SELECT user_id, event_type, ts, event_id, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+          "c AS (SELECT * FROM m WHERE prev IS DISTINCT FROM event_type) " +
+          "SELECT user_id, CAST(row_number() OVER w AS INTEGER) AS version, event_type AS state, " +
+          "CAST(epoch_us(ts) AS BIGINT) AS valid_from_us, " +
+          "CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to_us, " +
+          "lead(ts) OVER w IS NULL AS is_current " +
+          "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
+          "ORDER BY user_id, version")),
+
     // stream-stream interval join (watermarks bound the join state on both
     // sides); on a bounded replay the output equals the batch equi+range
     // join exactly — a full oracle, not just rows

@@ -18,6 +18,13 @@ final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 final case class FunnelState(depth: Int, ts: Seq[Long])
 final case class UserFunnel(user_id: Long, depth: Int, ts: Seq[Long])
 
+/** Per-user SCD2 state for EventStreams.scd2Stateful: the compacted
+  * change-point list (state value, epoch micros, tie-break id).
+  */
+final case class CdcState(points: Seq[(String, Long, Long)])
+final case class CdcVersion(user_id: Long, version: Int, state: String,
+    valid_from_us: Long, valid_to_us: Option[Long], is_current: Boolean)
+
 /** Structured Streaming variants of the event operators (SURVEY.md §7 M5):
   * `readStream` over the parquet dir → watermark + windowed aggregation /
   * custom state → sink. The declared-query harness drives them with
@@ -121,6 +128,42 @@ object EventStreams {
     folded.select(col("user_id") +: col("depth") +:
       (0 until k).map(i =>
         when(col("tsv")(i) =!= Long.MinValue, col("tsv")(i)).as(s"t${i + 1}_us")): _*)
+  }
+
+  /** Streaming SCD2 dimension maintenance with custom state: the streaming
+    * form of EventOps.scd2Compact. State is the compacted per-user
+    * change-point list (bounded by the number of STATE CHANGES, not events
+    * — the chatty-changelog bulk never enters state); each batch folds its
+    * time-sorted events in and emits the user's full version list (Update
+    * mode — a new change point retracts the previous version's open
+    * valid_to, which append-only emission cannot express). An in-order
+    * replay reproduces the batch SCD2 exactly.
+    */
+  def scd2Stateful(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcState, CdcVersion](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[CdcState]) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          val init = state.getOption.getOrElse(CdcState(Seq.empty))
+          val points = sorted.foldLeft(init.points) { case (ps, (_, ts, id, tpe)) =>
+            if (ps.nonEmpty && ps.last._1 == tpe) ps
+            else ps :+ ((tpe, micros(ts), id))
+          }
+          state.update(CdcState(points))
+          points.zipWithIndex.iterator.map { case ((tpe, ts, _), i) =>
+            val to = if (i + 1 < points.length) Some(points(i + 1)._2) else None
+            CdcVersion(userId, i + 1, tpe, ts, to, to.isEmpty)
+          }
+      }
+      .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us", "is_current")
   }
 
   /** Durable-sink variant: run a (stateless or append-safe) streaming

@@ -114,6 +114,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful streaming SCD2 equals the batch compaction") {
+    val streamed = EventStreams.runToMemory(spark, sfDir, EventStreams.scd2Stateful,
+        OutputMode.Update, "spec_scd2")
+      .orderBy("user_id", "version").collect()
+    val batch = EventOps.scd2Compact(Tables.load(spark, sfDir, "events"))
+      .orderBy("user_id", "version").collect()
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("streaming merge sink converges to the batch aggregate and is replay-safe") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
