@@ -71,6 +71,9 @@ object EventOps {
       tsCol: String = "ts", tieCol: String = "event_id",
       maxEventsPerUser: Int = 10000000): DataFrame = {
     require(steps.nonEmpty, "funnel: at least one step")
+    require(steps.distinct == steps,
+      s"funnel: duplicate step types in ${steps.mkString("[", ", ", "]")} — " +
+        "each occurrence would silently map to its last position")
     val idxCol = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
     }
@@ -155,7 +158,10 @@ object EventOps {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     events
       .select(col(keyCol), col(stateCol), col(tsCol), col(tieCol))
-      .withColumn("chg", !(lag(col(stateCol), 1).over(w) <=> col(stateCol)))
+      // first row per key is explicit: with a null initial state,
+      // `null <=> null` is true and the lag test alone would drop version 1
+      .withColumn("chg", row_number().over(w) === 1 ||
+        !(lag(col(stateCol), 1).over(w) <=> col(stateCol)))
       .where(col("chg"))
       .withColumn("version", row_number().over(w).cast("int"))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))

@@ -216,7 +216,9 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val id = tag(off)
       val size = bb.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return null
+      // bound check in Long: a size near Int.MaxValue overflows `off + 8 + size`
+      // to negative in int arithmetic and would bypass the check
+      if (size < 0 || off + 8L + size > bytes.length) return null
       if (id == "fmt " && size >= 16) {
         channels = bb.getShort(off + 10).toInt
         rate = bb.getInt(off + 12)

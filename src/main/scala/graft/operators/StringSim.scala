@@ -79,7 +79,7 @@ object StringSim {
       .withColumn("_vdf", count(lit(1)).over(byVariant))
       .withColumn("v", when(col("_vdf") <= maxVariantGroup, col("v"))
         .otherwise(raise_error(concat(
-          lit(s"StringSim.editDistance1Join: variant group exceeds maxVariantGroup=$maxVariantGroup for variant '"),
+          lit(s"StringSim.editDistanceJoin(maxDist=$maxDist): variant group exceeds maxVariantGroup=$maxVariantGroup for variant '"),
           col("v"), lit("' — cap, pre-filter, or shard the hot value")))))
       .drop("_vdf")
     val left = guarded.select(col("k").as("k1"), col("s").as("s1"), col("v"))

@@ -386,10 +386,21 @@ object ExtQueries {
           Tables.load(s, d, "documents"), "doc_id", 8, dir)
         val back = s.read.parquet(dir).groupBy("shard")
           .agg(sum(col("n_chars")).as("chars"), min(col("doc_id")).as("first_doc"))
-        manifest.join(back, "shard")
+        val joined = manifest.join(back, "shard")
           .select(col("shard").cast("int").as("shard"), col("n_rows"),
             col("chars"), col("first_doc"))
           .orderBy("shard")
+        // materialize the 8-row comparison (one row per shard — metadata-
+        // sized), then remove the export: repeated bench/verify runs must
+        // not accumulate unbounded UUID dirs on disk. The returned frame is
+        // the collected rows, so downstream evaluation never touches `dir`.
+        val rows = joined.collect().toIndexedSeq
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          joined.schema).orderBy("shard")
       },
       Some(
         "SELECT CAST((ascii(substr(md5(CAST(doc_id AS STRING)),1,1))*256 " +
@@ -1086,7 +1097,7 @@ object ExtQueries {
         import org.apache.spark.sql.types.DecimalType
         val root = "target/tmp/stream_merge"
         val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
         // stage the RAW events (nanos ts as long — the stream applies the
         // shared DIV-1000 conversion) into 4 chunk files = 4 micro-batches
         s.read.schema(Tables.eventsRawSchema).parquet(s"$d/events.parquet")
@@ -1099,7 +1110,7 @@ object ExtQueries {
         // the merge marker records the LAST merged batchId — ≥ 1 proves the
         // replay spanned multiple micro-batches (ids start at 0)
         val mk = new org.apache.hadoop.fs.Path(s"$root/ck", "_graft_last_merged")
-        val fs = mk.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = mk.getFileSystem(s.sessionState.newHadoopConf())
         val buf = new Array[Byte](fs.getFileStatus(mk).getLen.toInt)
         val in = fs.open(mk)
         try in.readFully(buf) finally in.close()

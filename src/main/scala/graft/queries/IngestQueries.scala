@@ -64,7 +64,7 @@ object IngestQueries {
   private def freshDb(spark: SparkSession, name: String): ParquetDatabase = {
     val dir = s"target/tmp/ingest/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     new ParquetDatabase(spark, dir)
   }
 
@@ -178,7 +178,7 @@ object IngestQueries {
         val db = freshDb(s, "q_norm2")
         db.create(Tables.load(s, d, "lineitem"))
         db.normalizeToBytes(targetBytesPerFile = 512 * 1024, sortBy = Seq("l_orderkey"))
-        val ranges = graft.sources.ParquetStats.columnRanges(db.dir, "l_orderkey")
+        val ranges = graft.sources.ParquetStats.columnRanges(db.dir, "l_orderkey", s.sessionState.newHadoopConf())
         require(ranges.nonEmpty, "q_norm2: no l_orderkey footer stats after normalize")
         // sorted-by-min ranges may touch at a boundary key (maxRecordsPerFile
         // can split one key across files) but must never interleave
@@ -191,7 +191,7 @@ object IngestQueries {
         require(scan.dataFilters.exists(_.references.exists(_.name == "l_orderkey")),
           s"q_norm2: l_orderkey filter not pushed to the scan (dataFilters=${scan.dataFilters})")
         pruned.agg(count(lit(1)).as("n_under"))
-          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir)))
+          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir, s.sessionState.newHadoopConf())))
           .withColumn("ranges_disjoint", lit(disjoint))
           .select(col("n_total"), col("n_under"), col("ranges_disjoint"))
       },
@@ -216,7 +216,7 @@ object IngestQueries {
         db.normalizeZOrder(maxRowsPerFile = 8192, zCols = Seq("l_partkey", "l_suppkey"))
         val (pLo, pHi, sLo, sHi) = (100L, 300L, 10L, 30L)
         def hits(column: String, lo: Long, hi: Long): Set[String] =
-          graft.sources.ParquetStats.fileKeyRanges(db.dir, column).collect {
+          graft.sources.ParquetStats.fileKeyRanges(db.dir, column, s.sessionState.newHadoopConf()).collect {
             // a file without usable stats could hold matching rows — count
             // it as hit (conservative, same rule as the scoped upsert)
             case (p, None) => p
@@ -236,7 +236,7 @@ object IngestQueries {
           require(scan.dataFilters.exists(_.references.exists(_.name == c)),
             s"q_norm3: $c filter not pushed to the scan (dataFilters=${scan.dataFilters})")
         pruned.agg(count(lit(1)).as("n_match"))
-          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir)))
+          .withColumn("n_total", lit(graft.sources.ParquetStats.totalRows(db.dir, s.sessionState.newHadoopConf())))
           .select(col("n_total"), col("n_match"))
       },
       Some(
@@ -265,9 +265,9 @@ object IngestQueries {
             .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice").as("l_extendedprice"))
             .repartition(1))
         def snapshot(): Map[String, Long] = {
-          val fs = new org.apache.hadoop.fs.Path(db.dir)
-            .getFileSystem(new org.apache.hadoop.conf.Configuration())
-          graft.sources.ParquetStats.listParquetFiles(db.dir)
+          val hconf = s.sessionState.newHadoopConf()
+          val fs = new org.apache.hadoop.fs.Path(db.dir).getFileSystem(hconf)
+          graft.sources.ParquetStats.listParquetFiles(db.dir, hconf)
             .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
         }
         val before = snapshot()

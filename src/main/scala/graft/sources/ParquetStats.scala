@@ -14,6 +14,11 @@ import scala.jdk.CollectionConverters._
   *
   * Footer-only reads — no data pages touched, so this is metadata-cheap even
   * on a directory of thousands of files.
+  *
+  * Every method takes an explicit Hadoop `Configuration` (no defaults):
+  * callers must route the SESSION conf (`spark.sessionState.newHadoopConf()`)
+  * so session-configured filesystems resolve — a bare `new Configuration()`
+  * silently reads none of the session's fs settings.
   */
 object ParquetStats {
 
@@ -26,7 +31,7 @@ object ParquetStats {
     def numRows: Long = rowsPerGroup.sum
   }
 
-  def listParquetFiles(dir: String, conf: Configuration = new Configuration()): Seq[Path] = {
+  def listParquetFiles(dir: String, conf: Configuration): Seq[Path] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
@@ -36,7 +41,7 @@ object ParquetStats {
         .map(_.getPath)
   }
 
-  def fileStats(dir: String, conf: Configuration = new Configuration()): Seq[FileStats] =
+  def fileStats(dir: String, conf: Configuration): Seq[FileStats] =
     listParquetFiles(dir, conf).map { p =>
       val fs = p.getFileSystem(conf)
       val len = fs.getFileStatus(p).getLen
@@ -48,7 +53,7 @@ object ParquetStats {
       } finally reader.close()
     }
 
-  def totalRows(dir: String, conf: Configuration = new Configuration()): Long =
+  def totalRows(dir: String, conf: Configuration): Long =
     fileStats(dir, conf).map(_.numRows).sum
 
   /** Per-FILE merged (min, max) footer statistics of an integral column —
@@ -62,7 +67,7 @@ object ParquetStats {
     * float/double min/max would truncate and make pruning UNSOUND.
     */
   def fileKeyRanges(dir: String, column: String,
-      conf: Configuration = new Configuration()): Seq[(String, Option[(Long, Long)])] = {
+      conf: Configuration): Seq[(String, Option[(Long, Long)])] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{INT32, INT64}
     listParquetFiles(dir, conf).map { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -92,7 +97,7 @@ object ParquetStats {
     * consults. Footer-only; row groups without usable stats are omitted.
     */
   def columnRanges(dir: String, column: String,
-      conf: Configuration = new Configuration()): Seq[(Long, Long)] = {
+      conf: Configuration): Seq[(Long, Long)] = {
     listParquetFiles(dir, conf).flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try reader.getFooter.getBlocks.asScala.toIndexedSeq.flatMap { b =>

@@ -137,7 +137,7 @@ class SimilaritySpec extends SparkSpec {
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.delete(p, true)
     def centroidMtimes: Set[Long] =
-      graft.sources.ParquetStats.listParquetFiles(s"$dir/centroids")
+      graft.sources.ParquetStats.listParquetFiles(s"$dir/centroids", spark.sessionState.newHadoopConf())
         .map(f => fs.getFileStatus(f).getModificationTime).toSet
     Similarity.ensureIvfIndex(spark, dir, df, "vec_id", "embedding", numCentroids = 4)
     val built = centroidMtimes

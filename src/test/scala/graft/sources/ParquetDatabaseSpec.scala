@@ -43,7 +43,7 @@ class ParquetDatabaseSpec extends SparkSpec {
     db.create(spark.range(10000)
       .select((col("id") * 2654435761L % 10000).as("id")))
     db.normalize(maxRowsPerFile = 2500, sortBy = Seq("id"))
-    val files = ParquetStats.listParquetFiles(db.dir).map(_.toString)
+    val files = ParquetStats.listParquetFiles(db.dir, spark.sessionState.newHadoopConf()).map(_.toString)
     assert(files.size >= 4)
     val ranges = files.map { f =>
       val r = spark.read.parquet(f)
@@ -80,7 +80,7 @@ class ParquetDatabaseSpec extends SparkSpec {
     def snapshot(): Map[String, Long] = {
       val fs = new org.apache.hadoop.fs.Path(db.dir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      ParquetStats.listParquetFiles(db.dir)
+      ParquetStats.listParquetFiles(db.dir, spark.sessionState.newHadoopConf())
         .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
     }
     val before = snapshot()
@@ -117,7 +117,7 @@ class ParquetDatabaseSpec extends SparkSpec {
     def snapshot(): Map[String, Long] = {
       val fs = new org.apache.hadoop.fs.Path(db.dir)
         .getFileSystem(new org.apache.hadoop.conf.Configuration())
-      ParquetStats.listParquetFiles(db.dir)
+      ParquetStats.listParquetFiles(db.dir, spark.sessionState.newHadoopConf())
         .map(p => p.toString -> fs.getFileStatus(p).getModificationTime).toMap
     }
     // one healthy file + a tail of six tiny append files
@@ -235,10 +235,10 @@ class ParquetDatabaseSpec extends SparkSpec {
     val db2 = freshDbClean("recover_patch")
     db2.create(spark.range(50).toDF("id").repartition(1))
     db2.create(spark.range(50, 60).toDF("id").repartition(1))
-    val files = ParquetStats.listParquetFiles(db2.dir).map(_.toString).sorted
+    val files = ParquetStats.listParquetFiles(db2.dir, spark.sessionState.newHadoopConf()).map(_.toString).sorted
     val checksum = db2.read().agg(sum("id")).head().getLong(0)
     spark.range(1000, 1010).toDF("id").write.parquet(db2.dir + "__patch_tmp")
-    val newFiles = ParquetStats.listParquetFiles(db2.dir + "__patch_tmp")
+    val newFiles = ParquetStats.listParquetFiles(db2.dir + "__patch_tmp", spark.sessionState.newHadoopConf())
     fs.mkdirs(P(db2.dir + "__patch_old"))
     val manifest = (files.map(p => s"touched\t$p") ++
       newFiles.map(f => s"new\t${db2.dir}/${f.getName}")).mkString("\n")
@@ -401,8 +401,8 @@ class ParquetDatabaseSpec extends SparkSpec {
     // stage the crash recover() must untangle: the swap's manifest exists,
     // the replacement file is live, the original sits in the ARCHIVE (the
     // crash hit after archiving but before the patch-old cleanup finished)
-    val liveFile = ParquetStats.listParquetFiles(db.dir).head
-    val archived = ParquetStats.listParquetFiles(db.archiveRoot.toString).head
+    val liveFile = ParquetStats.listParquetFiles(db.dir, spark.sessionState.newHadoopConf()).head
+    val archived = ParquetStats.listParquetFiles(db.archiveRoot.toString, spark.sessionState.newHadoopConf()).head
     val pOld = new org.apache.hadoop.fs.Path(db.dir + "__patch_old")
     fs.mkdirs(pOld)
     val manifest = s"touched\t${db.dir}/${archived.getName}\nnew\t${db.dir}/${liveFile.getName}"

@@ -69,7 +69,7 @@ class ZOrderSpec extends SparkSpec {
   /** Files whose footer [min,max] rectangles intersect the predicate box. */
   private def boxHits(dir: String, box: Map[String, (Long, Long)]): Int =
     box.map { case (c, (lo, hi)) =>
-      ParquetStats.fileKeyRanges(dir, c).collect {
+      ParquetStats.fileKeyRanges(dir, c, spark.sessionState.newHadoopConf()).collect {
         case (p, None) => p
         case (p, Some((mn, mx))) if mx >= lo && mn <= hi => p
       }.toSet
