@@ -14,6 +14,11 @@ run / fork := true
 // Forked run output goes straight to stdout (no sbt "[info]" prefix) so the
 // one-line JSON emitted by Bench/Verify stays machine-parseable.
 run / outputStrategy := Some(StdoutOutput)
+// No "[success] Total time…" footer: the round driver keeps only the last
+// ~2000 chars of stdout, and the footer would evict the head of Bench's
+// final JSON line from that window. Errors still print.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,16 @@
 package graft
 
 object Bench {
+
+  /** Serialize a Double without scientific notation, 3-decimal cap. */
+  private def d3(v: Double): String = {
+    val r = math.rint(v * 1000) / 1000
+    if (r == r.toLong) r.toLong.toString else BigDecimal(r).bigDecimal.toPlainString
+  }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -27,13 +37,16 @@ object Bench {
       // fast successes in the emitted JSON
       if (ok) sec else -sec
     }
-    // Fixed name order × 3 interleaved rounds, per-query MEDIAN: a single
-    // run carries ±20%+ scheduler/GC noise, and whichever queries run while
-    // the session is still cold (file listing, JIT, codegen) absorb seconds
-    // that aren't theirs. Interleaving whole rounds (not back-to-back
-    // repeats) means cold costs land in round 1 only and the median reflects
-    // the session-steady-state cost; the fixed order makes rounds comparable
-    // across versions. A failure on ANY run keeps the negative marker — a
+    // Fixed name order × 3 interleaved rounds, per-query MEDIAN + MIN: a
+    // single run carries ±20%+ scheduler/GC noise, and whichever queries run
+    // while the session is still cold (file listing, JIT, codegen) absorb
+    // seconds that aren't theirs. Interleaving whole rounds (not
+    // back-to-back repeats) means cold costs land in round 1 only and the
+    // median reflects the session-steady-state cost; the fixed order makes
+    // rounds comparable across versions. The per-query MIN is emitted
+    // alongside: one externally-loaded round can inflate a median-of-3, and
+    // the min is the evidence that separates "the plan regressed" from "the
+    // host was busy". A failure on ANY run keeps the negative marker — a
     // median over the surviving runs would smuggle a flaky query in as a
     // success.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -41,21 +54,56 @@ object Bench {
     val samples = (1 to rounds).map { _ =>
       ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
     }
-    val results = ordered.map { case (name, _) =>
+    def stat(name: String, pick: Seq[Double] => Double): Double = {
       val runs = samples.map(_(name))
-      val med =
-        if (runs.exists(_ < 0)) runs.min // most-negative = failed marker
-        else runs.sorted.apply(rounds / 2)
-      name -> med
+      if (runs.exists(_ < 0)) runs.min // most-negative = failed marker
+      else pick(runs)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = ordered.map { case (n, _) => n -> stat(n, rs => rs.sorted.apply(rounds / 2)) }
+    val mins = ordered.map { case (n, _) => n -> stat(n, _.min) }
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    val totalMin = mins.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median","sf":"$sfDir"}""")
+
+    // FULL artifact (full names, full precision, median + min + raw rounds)
+    // → a file, because the round driver retains only the last ~2000 chars
+    // of stdout. This is what BENCH_local_r{N}.json is copied from.
+    def qmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
+        s""""queries":${qmap(medians)},"queries_min":${qmap(mins)},""" +
+        s""""samples":[${samples.map(m => qmap(ordered.map { case (n, _) => n -> m(n) })).mkString(",")}],""" +
+        s""""errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median","sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    // COMPACT final line, sized for the driver's 2000-char stdout tail: all
+    // query keys must be parseable from the captured artifact itself.
+    // "queries" keys drop the "q_" prefix, "queries_ext" keys drop the
+    // "q_ext_" prefix (restore: name = prefix + key, prefixes are in the
+    // line); values are integer centiseconds (restore: sec = v / 100;
+    // negative = failed). If an unusually slow host pushes the line past
+    // the window, values degrade to deciseconds ("q_unit":"ds",
+    // sec = v / 10) rather than lose keys off the front. Full precision,
+    // full names, and per-round samples live in the side artifact.
+    def compact(div: Double, unit: String): String = {
+      def m(xs: Seq[(String, Double)], pre: String) = xs.map { case (k, v) =>
+        "\"" + k.stripPrefix(pre) + "\":" + math.round(v / div) }.mkString("{", ",", "}")
+      val (ext, plain) = medians.partition(_._1.startsWith("q_ext_"))
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_min":${d3(totalMin)},""" +
+        s""""n_failed":${errors.size},"rounds":$rounds,"stat":"median","q_unit":"$unit",""" +
+        s""""q_prefix":"q_","ext_prefix":"q_ext_","sf":"${new java.io.File(sfDir).getName}",""" +
+        s""""queries":${m(plain, "q_")},"queries_ext":${m(ext, "q_ext_")}}"""
+    }
+    val line = {
+      val cs = compact(0.01, "cs")
+      if (cs.length <= 1985) cs else compact(0.1, "ds")
+    }
+    if (errors.nonEmpty)
+      Console.err.println(s"""[bench] errors: $errJson""")
+    println(line)
     spark.stop()
   }
 }

@@ -1095,7 +1095,10 @@ object ExtQueries {
       "q_ext_stream5",
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
-        val root = "target/tmp/stream_merge"
+        // RAM-backed per-process scratch: staged source chunks, table, and
+        // checkpoint all live in tmpfs so the replay's measured wall clock
+        // is the merge pipeline, not the host's disk queue
+        val root = graft.Scratch.dir("stream_merge")
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
         // stage the RAW events (nanos ts as long — the stream applies the

@@ -371,6 +371,12 @@ object EventStreams {
     // because the conf is restored immediately.
     val partKey = "spark.sql.shuffle.partitions"
     val oldParts = spark.conf.get(partKey)
+    // RAM-backed checkpoint (graft.Scratch): a bounded replay's wall clock
+    // otherwise tracks the host's disk load through checkpoint fsyncs —
+    // measured time should reflect the plan, not a busy neighbor. Fresh per
+    // start (a reused checkpoint would resume, not replay) and deleted
+    // right after termination.
+    val ck = graft.Scratch.fresh(s"ck_$name")
     val q =
       try {
         spark.conf.set(partKey, "8")
@@ -378,11 +384,13 @@ object EventStreams {
           .writeStream
           .format("memory")
           .queryName(name)
+          .option("checkpointLocation", ck)
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
       } finally spark.conf.set(partKey, oldParts)
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally graft.Scratch.delete(ck)
     // Update-mode memory sinks APPEND each micro-batch's emissions: with
     // more than one batch the table would hold stale rows alongside final
     // ones. The single-batch assumption must fail loudly, not silently.
