@@ -1027,6 +1027,30 @@ object ExtQueries {
           "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
           "ORDER BY user_id, version")),
 
+    // streaming interval coalescing — the streaming form of q_ext_evt4:
+    // per-user O(1) state (closed-island count + the one open island),
+    // closed islands emitted final the moment the greedy scan passes them,
+    // the open island re-emitted per batch for a keyed sink to upsert.
+    // Bounded replay equals the batch gaps-and-islands, so the SAME window
+    // SQL is the oracle
+    DeclaredQuery(
+      "q_ext_stream9",
+      (s, d) =>
+        EventStreams.runToMemory(s, d,
+            df => EventStreams.mergeIntervalsStateful(df, lengthMinutes = 30),
+            OutputMode.Update, "stream_islands")
+          .orderBy("user_id", "island"),
+      Some(
+        "WITH iv AS (SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi, event_id FROM events), " +
+          "m AS (SELECT user_id, lo, hi, event_id, CASE WHEN epoch_us(lo) > max(epoch_us(hi)) OVER " +
+          "(PARTITION BY user_id ORDER BY lo, hi, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+          "THEN 1 ELSE 0 END AS ni FROM iv), " +
+          "g AS (SELECT user_id, lo, hi, sum(ni) OVER (PARTITION BY user_id ORDER BY lo, hi, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m) " +
+          "SELECT user_id, CAST(island AS INTEGER) AS island, " +
+          "CAST(epoch_us(min(lo)) AS BIGINT) AS start_us, CAST(epoch_us(max(hi)) AS BIGINT) AS end_us, " +
+          "count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // stream-stream interval join (watermarks bound the join state on both
     // sides); on a bounded replay the output equals the batch equi+range
     // join exactly — a full oracle, not just rows

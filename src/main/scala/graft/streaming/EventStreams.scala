@@ -18,6 +18,15 @@ final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 final case class FunnelState(depth: Int, ts: Seq[Long])
 final case class UserFunnel(user_id: Long, depth: Int, ts: Seq[Long])
 
+/** Per-user interval-coalescing state for EventStreams.mergeIntervalsStateful:
+  * the number of islands already closed plus the one OPEN island (start/end
+  * epoch micros, member count; startUs = Long.MinValue when none is open).
+  * O(1) per key — closed islands leave state the moment they close.
+  */
+final case class IslandState(closed: Int, startUs: Long, endUs: Long, n: Long)
+final case class UserIsland(user_id: Long, island: Int, start_us: Long,
+    end_us: Long, n: Long)
+
 /** Per-user SCD2 state for EventStreams.scd2Stateful: the compacted
   * change-point list (state value, epoch micros, tie-break id).
   */
@@ -164,6 +173,60 @@ object EventStreams {
           }
       }
       .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us", "is_current")
+  }
+
+  /** Streaming gaps-and-islands — the streaming form of
+    * [[graft.operators.EventOps.mergeIntervals]]: each event opens a
+    * `lengthMinutes` interval; per user, intervals that overlap (or sit
+    * within `gapSeconds`) coalesce into maximal islands.
+    *
+    * State per key is O(1): the count of islands already closed plus the
+    * single OPEN island. The within-batch greedy scan runs over
+    * (lo, hi, tie)-sorted intervals — the same order as the batch window
+    * formulation — closing an island (and emitting it, final) whenever the
+    * next interval starts strictly past the open end plus the gap, exactly
+    * the batch predicate. The open island is (re-)emitted at the end of
+    * each batch: it is the one row a later batch may still widen, so a
+    * keyed sink upserts it by (user_id, island) while closed islands never
+    * change. On a bounded single-batch replay the emission set IS the batch
+    * result; like the other stateful forms, cross-batch correctness assumes
+    * per-key in-order delivery (a replayed log / time-ordered file feed).
+    */
+  def mergeIntervalsStateful(events: DataFrame, lengthMinutes: Int = 30,
+                             gapSeconds: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lenUs = lengthMinutes * 60L * 1000000L
+    val gapUs = gapSeconds * 1000000L
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[IslandState, UserIsland](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[IslandState]) =>
+          val ivs = rows.map { case (_, ts, id) =>
+            val lo = micros(ts); (lo, lo + lenUs, id)
+          }.toSeq.sorted
+          var st = state.getOption.getOrElse(IslandState(0, Long.MinValue, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserIsland]
+          ivs.foreach { case (lo, hi, _) =>
+            if (st.startUs == Long.MinValue)
+              st = IslandState(st.closed, lo, hi, 1L)
+            else if (lo > st.endUs + gapUs) {
+              out += UserIsland(userId, st.closed, st.startUs, st.endUs, st.n)
+              st = IslandState(st.closed + 1, lo, hi, 1L)
+            } else
+              st = IslandState(st.closed, st.startUs, math.max(st.endUs, hi), st.n + 1L)
+          }
+          state.update(st)
+          if (st.startUs != Long.MinValue)
+            out += UserIsland(userId, st.closed, st.startUs, st.endUs, st.n)
+          out.iterator
+      }
+      .toDF("user_id", "island", "start_us", "end_us", "n")
   }
 
   /** Durable-sink variant: run a (stateless or append-safe) streaming

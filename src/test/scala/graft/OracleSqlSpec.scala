@@ -54,6 +54,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_evt4" -> "epoch_us (Spark: unix_micros)",
     "q_ext_stream7" -> "epoch_us (Spark: unix_micros)",
     "q_ext_stream8" -> "epoch_us (Spark: unix_micros)",
+    "q_ext_stream9" -> "epoch_us (Spark: unix_micros)",
     "q_ext_cdc1" -> "epoch_us (Spark: unix_micros)",
     "q_ext_cdc2" -> "epoch_us (Spark: unix_micros)",
     "q_ext_diff1" -> "list_filter/array_to_string (Spark: filter HOF/array_join)",

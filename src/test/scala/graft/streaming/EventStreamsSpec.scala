@@ -114,6 +114,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("stateful streaming interval coalescing equals the batch gaps-and-islands") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.mergeIntervalsStateful(df, lengthMinutes = 30),
+        OutputMode.Update, "spec_islands")
+      .orderBy("user_id", "island").collect()
+    val batch = EventOps.mergeIntervals(
+        Tables.load(spark, sfDir, "events")
+          .select(col("user_id"), col("ts").as("lo"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"), col("event_id")),
+        "user_id", "lo", "hi", "event_id")
+      .orderBy("user_id", "island").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    assert(batch.length > 1, "fixture degenerate: one island total")
+    // islands per user must genuinely coalesce (fewer islands than events)
+    assert(batch.map(_.getLong(4)).exists(_ > 1L), "no interval ever merged")
+  }
+
   test("stateful streaming SCD2 equals the batch compaction") {
     val streamed = EventStreams.runToMemory(spark, sfDir, EventStreams.scd2Stateful,
         OutputMode.Update, "spec_scd2")
