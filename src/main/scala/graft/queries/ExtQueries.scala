@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EventOps, Multimodal, Similarity, SnapshotDiff, StringSim, TextAnalysis}
+import graft.operators.{Dedup, EventOps, HeavyHitters, Multimodal, Similarity, SnapshotDiff, StringSim, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -732,6 +732,49 @@ object ExtQueries {
           "SELECT user_id, CAST(island AS INTEGER) AS island, " +
           "CAST(epoch_us(min(lo)) AS BIGINT) AS start_us, CAST(epoch_us(max(hi)) AS BIGINT) AS end_us, " +
           "count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // ---- heavy hitters ----
+    // exact global top-k by frequency: count-per-item (one shuffle,
+    // map-side combined) into the bounded-buffer TopKAgg (≤ k rows per
+    // partition reach the final merge) — ORDER BY n DESC LIMIT k with no
+    // global sort. Deterministic tie-break toward the smaller id → full
+    // hash oracle
+    DeclaredQuery(
+      "q_ext_hh1",
+      (s, d) =>
+        HeavyHitters.exact(Tables.load(s, d, "events"), "user_id", 15)
+          .orderBy("rank"),
+      Some(
+        "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1), " +
+          "r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rank FROM c) " +
+          "SELECT CAST(rank AS INTEGER) AS rank, user_id, n FROM r WHERE rank <= 15 ORDER BY rank")),
+
+    // count-min sketched frequencies for the same top items: the sketch is
+    // a depth×width counter matrix built with bounded shuffle volume
+    // (map-side partial aggregation collapses the per-row explode to ≤
+    // depth·width cells per partition), estimates join back broadcast.
+    // xxhash64-based → not expressible in DuckDB (rows-only);
+    // HeavyHittersSpec carries the error-bound and mergeability checks.
+    // The never-undercounts CM guarantee is asserted IN-PLAN (raise_error
+    // embedded in the output column, so Catalyst cannot prune it) at every
+    // scale factor.
+    DeclaredQuery(
+      "q_ext_hh2",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val top = HeavyHitters.exact(ev, "user_id", 10)
+        val sk = HeavyHitters.countMinSketch(ev, "user_id", depth = 5, width = 256)
+        val est = HeavyHitters.estimate(top.select("user_id"), sk, "user_id",
+          depth = 5, width = 256)
+        top.join(est, "user_id")
+          .select(col("rank"), col("user_id"), col("n"),
+            when(col("est") < col("n"), raise_error(concat(
+              lit("q_ext_hh2: count-min undercounted user "), col("user_id"),
+              lit(" — sketch/estimate hash mismatch")))).otherwise(col("est")).as("est"))
+          .withColumn("overcount", col("est") - col("n"))
+          .orderBy("rank")
+      },
+      None),
 
     // snapshot diff as a STORAGE AUDIT: reconcile a ParquetDatabase after an
     // upsert batch against its before-image — the validation step of an

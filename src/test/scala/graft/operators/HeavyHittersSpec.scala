@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class HeavyHittersSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def events = Tables.load(spark, sfDir, "events")
+
+  test("exact top-k equals the window row_number formulation") {
+    val got = HeavyHitters.exact(events, "user_id", 7)
+      .orderBy("rank").collect().toSeq
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val want = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 7)
+      .select("rank", "user_id", "n")
+      .orderBy("rank").collect().toSeq
+    assert(got === want)
+    assert(got.size === 7)
+  }
+
+  test("exact with k beyond the key space ranks every item once") {
+    val nKeys = events.select("user_id").distinct().count()
+    val all = HeavyHitters.exact(events, "user_id", (nKeys + 50).toInt).collect()
+    assert(all.length.toLong === nKeys)
+    assert(all.map(_.getLong(1)).distinct.length.toLong === nKeys)
+    // counts are non-increasing down the ranking
+    val ns = all.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
+  }
+
+  test("count-min never undercounts and stays inside the classical bound") {
+    val depth = 5; val width = 256
+    val sk = HeavyHitters.countMinSketch(events, "user_id", depth, width)
+    // sketch never exceeds its fixed cell budget, and each row's cells sum
+    // to the full stream length (every row increments one cell per row)
+    val cells = sk.collect()
+    assert(cells.length <= depth * width)
+    val n = events.count()
+    val perRow = cells.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perRow.values.toSet === Set(n))
+    // estimate EVERY distinct item: est >= exact always (structural CM
+    // guarantee), and for this fixed deterministic dataset the worst
+    // overcount sits within the 2·e/width·N Markov bound
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val est = HeavyHitters.estimate(exact.select("user_id"), sk, "user_id", depth, width)
+    val joined = exact.join(est, "user_id")
+      .select(col("user_id"), col("n"), col("est")).collect()
+    assert(joined.forall(r => r.getLong(2) >= r.getLong(1)), "CM undercounted")
+    val bound = math.ceil(2.0 * math.E / width * n).toLong
+    val worst = joined.map(r => r.getLong(2) - r.getLong(1)).max
+    assert(worst <= bound, s"worst overcount $worst exceeds bound $bound")
+  }
+
+  test("sketches merge cell-wise: sketch(a ∪ b) = sketch(a) + sketch(b)") {
+    val a = events.where(col("event_id") % 2 === 0)
+    val b = events.where(col("event_id") % 2 =!= 0)
+    val whole = HeavyHitters.countMinSketch(events, "user_id", 3, 64)
+    val merged = HeavyHitters.countMinSketch(a, "user_id", 3, 64)
+      .unionByName(HeavyHitters.countMinSketch(b, "user_id", 3, 64))
+      .groupBy("d", "idx").agg(sum("cnt").as("cnt"))
+    val diff = whole.join(merged, Seq("d", "idx"), "full_outer")
+      .where(not(whole("cnt") <=> merged("cnt")))
+    assert(diff.count() === 0L)
+  }
+}
