@@ -496,6 +496,60 @@ object IngestQueries {
           "AND o.price IS NOT DISTINCT FROM n.price AND o.prio IS NOT DISTINCT FROM n.prio) " +
           "ORDER BY o_orderkey")),
 
+    // snapshot RETENTION POLICY: max-age and max-count auto-vacuum on the
+    // tag lifecycle. Four dailies accumulate across three mutations; an
+    // age policy (cutoff injected from the real manifest mtimes, so the
+    // property is run-relative, not wall-clock-dependent) reaps d1, then
+    // the auto-vacuum snapshot overload enforces maxCount=2 and reaps d2.
+    // The oracle reads d3 — a snapshot whose pinned files are PARTLY IN
+    // ARCHIVE after the later mutation, i.e. exactly the bytes two policy
+    // vacuums could have bitten — and must get the as-of table exactly.
+    DeclaredQuery(
+      "q_norm9",
+      (s, d) => {
+        val db = freshDb(s, "q_norm9")
+        val hfs = new org.apache.hadoop.fs.Path(db.dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        for (suffix <- Seq("__snapshots", "__archive"))
+          hfs.delete(new org.apache.hadoop.fs.Path(db.dir + suffix), true)
+        val base = Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), money(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("prio"))
+        db.create(base)
+        db.normalize(maxRowsPerFile = 25000, sortBy = Seq("o_orderkey"))
+        db.snapshot("d1")
+        db.upsert(base.where(col("o_orderkey") % 7 === 0)
+          .withColumn("price", (col("price") + money(lit(5.0)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), "o_orderkey")
+        db.snapshot("d2")
+        db.deleteWhere(col("o_orderkey") % 13 === 0)
+        db.snapshot("d3")
+        // a third mutation parks d3-pinned files in the archive
+        db.upsert(db.read().where(col("o_orderkey") % 5 === 0)
+          .withColumn("price", (col("price") + money(lit(1.0)))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))), "o_orderkey")
+        def mtime(tag: String) = hfs.getFileStatus(
+          new org.apache.hadoop.fs.Path(db.dir + "__snapshots", tag)).getModificationTime
+        require(mtime("d2") > mtime("d1"),
+          "q_norm9 fixture: d1/d2 manifest mtimes collided within one millisecond")
+        // age policy: everything strictly older than d2 is over-age
+        val aged = db.applyRetention(maxAgeMillis = 1000L,
+          nowMillis = mtime("d1") + 1 + 1000L)
+        require(aged == Seq("d1"), s"q_norm9: age policy dropped $aged, want [d1]")
+        // count policy via the auto-vacuum snapshot overload
+        val reaped = db.snapshot("d4", maxCount = 2)
+        require(reaped == Seq("d2"), s"q_norm9: count policy dropped $reaped, want [d2]")
+        require(db.snapshots == Seq("d3", "d4"),
+          s"q_norm9: surviving tags ${db.snapshots}, want [d3, d4]")
+        db.readSnapshot("d3")
+          .select(col("o_orderkey"), r4(col("price").cast("double")).as("price"), col("prio"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        "SELECT o_orderkey, round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + " +
+          "CASE WHEN o_orderkey % 7 = 0 THEN 5.00 ELSE 0.00 END AS DOUBLE), 4) AS price, " +
+          "o_orderpriority AS prio FROM orders WHERE o_orderkey % 13 <> 0 ORDER BY o_orderkey")),
+
     // upsert + predicate delete (the underlying ParquetDB store's
     // update/delete surface): anti-join + union + crash-safe rewrite, then
     // a filtered rewrite; the oracle is the expected final table

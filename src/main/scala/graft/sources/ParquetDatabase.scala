@@ -625,6 +625,42 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     drop
   }
 
+  /** Policy retention on top of [[pruneSnapshots]]: drop every snapshot
+    * that is beyond the `maxCount` newest OR older than `maxAgeMillis`
+    * (manifest creation time), then vacuum unpinned archive bytes — the
+    * "keep 7 dailies, nothing older than a month" lifecycle rule a table
+    * owner sets once instead of hand-dropping tags. Either bound defaults
+    * to unbounded; `nowMillis` is injectable so policies are testable and
+    * replayable. Returns the dropped tags. Snapshots the policy RETAINS
+    * stay fully readable — vacuum honors their pins.
+    */
+  def applyRetention(maxCount: Int = Int.MaxValue,
+      maxAgeMillis: Long = Long.MaxValue,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    require(maxCount >= 0, s"applyRetention: maxCount must be >= 0, got $maxCount")
+    require(maxAgeMillis >= 0, s"applyRetention: maxAgeMillis must be >= 0, got $maxAgeMillis")
+    if (!fs.exists(snapshotsRoot)) return Nil
+    val byAge = fs.listStatus(snapshotsRoot).toIndexedSeq
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val overCount = byAge.dropRight(maxCount).map(_.getPath.getName).toSet
+    val cutoff = nowMillis - maxAgeMillis
+    val overAge = byAge.filter(_.getModificationTime < cutoff)
+      .map(_.getPath.getName).toSet
+    val drop = byAge.map(_.getPath.getName).filter(t => overCount(t) || overAge(t))
+    drop.foreach(dropSnapshot)
+    vacuumSnapshots()
+    drop
+  }
+
+  /** Tag a snapshot and apply the retention policy in one call — the
+    * auto-vacuum form: `db.snapshot(today, maxCount = 7)` keeps a rolling
+    * week without a separate lifecycle job. Returns the dropped tags.
+    */
+  def snapshot(tag: String, maxCount: Int, maxAgeMillis: Long = Long.MaxValue): Seq[String] = {
+    snapshot(tag)
+    applyRetention(maxCount, maxAgeMillis)
+  }
+
   /** Replicate the table AS OF `tag` into `destDir` (the time-travel form
     * of [[exportTo]]): a distributed read+write of the pinned file list —
     * the "reproduce last week's training corpus" hook.
