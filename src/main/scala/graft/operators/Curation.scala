@@ -152,6 +152,25 @@ object Curation {
     df.filter(uniformBucket16(col(keyCol)) < math.round(fraction * 65536))
   }
 
+  /** Stratified [[sampleByWeight]]: one md5-bucket threshold per stratum
+    * value (unlisted strata fall to `defaultFraction`). Same properties as
+    * the flat form — deterministic across runs/repartitioning, nested in
+    * each fraction, pure pushdown-friendly expression filter, and (unlike
+    * seeded `df.stat.sampleBy`, whose survivors are an RNG artifact of
+    * split/iteration order) reproducible by ANY engine that can evaluate
+    * md5 on the key — which is what makes it oracle-checkable.
+    */
+  def sampleByStrata(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"sampleByStrata: fraction must be in [0, 1], got $f"))
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * 65536)): Column) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(math.round(f * 65536))).otherwise(acc)
+    }
+    df.filter(uniformBucket16(col(keyCol)) < thr)
+  }
+
   /** Mix corpora at per-corpus weights into one relation (union by name,
     * missing columns null-filled — corpora rarely share exact schemas).
     * Each corpus is [[sampleByWeight]]-ed independently, so the mixture is

@@ -282,19 +282,29 @@ object MiscQueries {
           "FROM customer ORDER BY c_custkey")),
 
     // stratified sampling: per-segment fractions with a fixed seed
-    // (deterministic within Spark; not expressible in DuckDB → rows-only,
-    // stratum proportions asserted in the suite)
+    // stratified sampling via per-stratum md5-bucket thresholds (the
+    // Curation machinery): fully deterministic — across runs, partitioning,
+    // AND engines — so unlike seeded sampleBy (an RNG artifact of split
+    // order) it carries a full hash oracle
     DeclaredQuery(
       "q_samp2",
       (s, d) =>
-        Tables.load(s, d, "customer")
-          .stat.sampleBy("c_mktsegment",
+        graft.operators.Curation.sampleByStrata(
+            Tables.load(s, d, "customer"), "c_custkey", "c_mktsegment",
             Map("AUTOMOBILE" -> 0.5, "BUILDING" -> 0.2, "FURNITURE" -> 0.1,
-              "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.0),
-            seed = 42L)
+              "HOUSEHOLD" -> 0.05, "MACHINERY" -> 0.0))
           .select("c_custkey", "c_mktsegment")
           .orderBy("c_custkey"),
-      None),
+      Some {
+        def dv(k: Int) =
+          s"(ascii(substr(md5(CAST(c_custkey AS STRING)),$k,1)) - " +
+            s"CASE WHEN ascii(substr(md5(CAST(c_custkey AS STRING)),$k,1)) >= 97 THEN 87 ELSE 48 END)"
+        val bucket = s"(${dv(1)}*4096 + ${dv(2)}*256 + ${dv(3)}*16 + ${dv(4)})"
+        "SELECT c_custkey, c_mktsegment FROM customer " +
+          s"WHERE $bucket < CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 32768 " +
+          "WHEN 'BUILDING' THEN 13107 WHEN 'FURNITURE' THEN 6554 " +
+          "WHEN 'HOUSEHOLD' THEN 3277 ELSE 0 END ORDER BY c_custkey"
+      }),
 
     // deterministic hash-bucket sampling (reproducible across engines,
     // unlike TABLESAMPLE): Knuth multiplicative hash of the key, mod 100

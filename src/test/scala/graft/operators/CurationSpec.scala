@@ -120,6 +120,30 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Curation.sampleByWeight(docs, "doc_id", 1.5) }
   }
 
+  test("sampleByStrata honors per-stratum rates, nests, and defaults unlisted strata") {
+    val docs = spark.range(6000).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("stratum"))
+    def keep(f0: Double, f1: Double): Map[String, Set[Long]] =
+      Curation.sampleByStrata(docs, "doc_id", "stratum", Map("0" -> f0, "1" -> f1))
+        .collect().groupMap(_.getString(1))(_.getLong(0)).view.mapValues(_.toSet).toMap
+    val k = keep(0.5, 0.1)
+    // 2000 rows per stratum; binomial sd ≈ 22 at f=0.5, ≈ 13 at f=0.1
+    assert(math.abs(k("0").size - 1000) < 120, s"stratum 0 kept ${k("0").size}")
+    assert(math.abs(k("1").size - 200) < 80, s"stratum 1 kept ${k("1").size}")
+    // unlisted stratum falls to the 0.0 default
+    assert(!k.contains("2"))
+    // per-stratum nesting: raising one stratum's rate only adds ITS rows
+    val up = keep(0.8, 0.1)
+    assert(k("0").subsetOf(up("0")) && k("1") === up("1"), "strata not independently nested")
+    // within a stratum the flat machinery and the stratified one agree
+    val flat = Curation.sampleByWeight(docs.where(col("stratum") === "0"), "doc_id", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(k("0") === flat)
+    intercept[IllegalArgumentException] {
+      Curation.sampleByStrata(docs, "doc_id", "stratum", Map("0" -> 2.0))
+    }
+  }
+
   test("mixCorpora unions weighted samples by name with null-fill") {
     val a = spark.range(100).select(col("id").as("doc_id"), lit("a").as("src"))
     val b = spark.range(100, 200).select(col("id").as("doc_id"), lit(5.0).as("score"))
