@@ -566,17 +566,27 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   private def referencedRels: Set[String] =
     snapshots.flatMap(snapshotRels).toSet
 
-  /** Time-travel read: the table exactly as of `snapshot(tag)`. Files are
-    * resolved live-first then archive; both roots share the relative
-    * layout, so directory-encoded partition columns survive via basePath.
+  /** Resolve `tag`'s pinned table-relative paths against the live dir then
+    * the archive: (live rels, archived rels). Fails loudly on files neither
+    * root holds. Shared by [[readSnapshot]] and the `graft-snapshot` V2
+    * read-option source.
     */
-  def readSnapshot(tag: String): DataFrame = {
+  private[sources] def resolveSnapshot(tag: String): (Seq[String], Seq[String]) = {
     val rels = snapshotRels(tag)
     val (live, gone) = rels.partition(r => fs.exists(new Path(s"$dir/$r")))
     val (arch, missing) = gone.partition(r => fs.exists(new Path(archiveRoot, r)))
     require(missing.isEmpty,
       s"snapshot '$tag' is unreadable — ${missing.size} file(s) gone (vacuumed after " +
         s"dropSnapshot, or archive deleted?): ${missing.take(3).mkString(", ")}")
+    (live, arch)
+  }
+
+  /** Time-travel read: the table exactly as of `snapshot(tag)`. Files are
+    * resolved live-first then archive; both roots share the relative
+    * layout, so directory-encoded partition columns survive via basePath.
+    */
+  def readSnapshot(tag: String): DataFrame = {
+    val (live, arch) = resolveSnapshot(tag)
     def part(root: String, rs: Seq[String]) =
       spark.read.option("mergeSchema", "true").option("basePath", root)
         .parquet(rs.map(r => s"$root/$r"): _*)

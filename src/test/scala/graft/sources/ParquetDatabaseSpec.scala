@@ -415,6 +415,45 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(rows === (0L until 100L).map(i => (i, i)))
   }
 
+  test("graft-snapshot read-option source time-travels without the Scala API") {
+    val db = freshDbClean("v2source")
+    db.create(spark.range(2000).select(col("id"), (col("id") % 5).as("v")))
+    db.snapshot("pre")
+    db.upsert(spark.range(500).select(col("id"), (col("id") + 100).as("v")), "id")
+    db.deleteWhere(col("id") >= 1500)
+    // the live table moved on; the tagged read must not have
+    val asof = spark.read.format("graft-snapshot")
+      .option("snapshot", "pre").load(db.dir)
+    val want = (0L until 2000L).map(i => (i, i % 5))
+    assert(asof.orderBy("id").as[(Long, Long)].collect().toSeq === want)
+    assert(db.read().count() === 1500L)
+    // scan exactly the pinned list: every scanned file is snapshot-pinned
+    // (live or archive), and pushdown reaches the delegated parquet scan
+    val pruned = asof.filter(col("id") <= 10).select("id")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.headOption.getOrElse(fail("no BatchScanExec in graft-snapshot plan"))
+    val scanDesc = scan.scan.description()
+    assert(scanDesc.contains("id") && scanDesc.toLowerCase.contains("pushedfilters"),
+      s"filter not pushed into the delegated scan: $scanDesc")
+    // pure SQL surface
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW v2source_asof USING `graft-snapshot` " +
+      s"OPTIONS (path '${db.dir}', snapshot 'pre')")
+    assert(spark.table("v2source_asof").count() === 2000L)
+    assert(spark.sql("SELECT sum(v) FROM v2source_asof").head().getLong(0) ===
+      want.map(_._2).sum)
+    // matches the Scala API exactly
+    assert(asof.orderBy("id").collect().toSeq ===
+      db.readSnapshot("pre").orderBy("id").collect().toSeq)
+    // loud errors: unknown tag, missing tag option
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").option("snapshot", "nope").load(db.dir).schema
+    }
+    intercept[Exception] {
+      spark.read.format("graft-snapshot").load(db.dir).schema
+    }
+  }
+
   test("normalizeToBytes converts a byte target into a row bound from footer stats") {
     val db = freshDb("normbytes")
     db.create(spark.range(20000).select(col("id"),
