@@ -63,4 +63,43 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct") / col("n_words"), 4).as("dup_frac"),
         round(col("top_cnt") / col("n_words"), 4).as("top_frac"))
   }
+
+  /** Train/eval n-gram decontamination — which training documents contain
+    * any word n-gram that also appears in the (much smaller) eval/test set,
+    * and how much of each document is contaminated. The GPT-3-style overlap
+    * check, shaped for a 100 TB train side:
+    *
+    *  - the eval side collapses to its DISTINCT n-grams once (small by
+    *    assumption — eval sets are thousands of docs, not billions);
+    *  - the train side explodes to per-doc distinct n-grams (linear scan,
+    *    no pairwise anything) and is BLOOM-PREFILTERED on the eval n-gram
+    *    set before its shuffle ([[BloomJoin]]), so the join's exchange
+    *    carries ~hits + fpp·N rows instead of every n-gram of the corpus;
+    *  - the exact inner join then removes bloom false positives, and since
+    *    the eval side is distinct, each surviving train n-gram matches
+    *    exactly one row — per-pair fan-out cannot blow up.
+    *
+    * Output per contaminated train doc: n-gram hit count, the doc's total
+    * distinct n-grams, the contamination share, and the alphabetically
+    * first hit (deterministic evidence row). Clean docs are absent.
+    */
+  def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, expectedEvalNgrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val evalNgrams = eval
+      .select(explode(TextFunctions.shingles(col(textCol), shingleN)).as("ev_tok"))
+      .distinct()
+    val trainTok = train.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleN))).as("tok"))
+    val perDoc = trainTok.groupBy(col(idCol)).agg(count(lit(1)).as("n_ngrams"))
+    val hits = BloomJoin
+      .reducedJoin(trainTok, evalNgrams, "tok", "ev_tok", expectedEvalNgrams, fpp,
+        joinType = "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("tok")).as("first_hit"))
+    hits.join(perDoc, idCol)
+      .select(col(idCol), col("n_hits"), col("n_ngrams"),
+        round(col("n_hits") / col("n_ngrams"), 4).as("contamination"),
+        col("first_hit"))
+  }
 }

@@ -264,6 +264,35 @@ object ExtQueries {
           "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
           "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.6 ORDER BY 1,2")),
 
+    // train/eval n-gram DECONTAMINATION (GPT-3-style overlap check): which
+    // train-side documents contain any eval-set 3-gram, and how much of
+    // each is contaminated. The train explode is bloom-prefiltered on the
+    // eval n-gram set before its shuffle (BloomJoin), so the exchange
+    // carries ~hits, not the corpus; the exact join removes false
+    // positives → the oracle is the plain exact-overlap SQL.
+    DeclaredQuery(
+      "q_ext_decon1",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        TextAnalysis.ngramContamination(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", shingleN = 3, expectedEvalNgrams = 200000L)
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+          "tok AS (SELECT doc_id, unnest(list_distinct(list_transform(" +
+          "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS tok FROM words), " +
+          "ev AS (SELECT DISTINCT tok FROM tok WHERE doc_id % 10 = 0), " +
+          "tr AS (SELECT doc_id, tok FROM tok WHERE doc_id % 10 <> 0), " +
+          "sz AS (SELECT doc_id, count(*) n_ngrams FROM tr GROUP BY 1), " +
+          "h AS (SELECT tr.doc_id, count(*) n_hits, min(tr.tok) first_hit " +
+          "FROM tr JOIN ev ON tr.tok = ev.tok GROUP BY 1) " +
+          "SELECT h.doc_id, n_hits, n_ngrams, " +
+          "round(CAST(n_hits AS DOUBLE)/n_ngrams, 4) AS contamination, first_hit " +
+          "FROM h JOIN sz ON h.doc_id = sz.doc_id ORDER BY h.doc_id")),
+
     // incremental dedup via the persisted MinHash store: the corpus side
     // (doc_id % 10 <> 0) is signed ONCE into a band/signature store; the
     // incoming batch (doc_id % 10 = 0) dedups against the store without

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("ngram decontamination equals the plain exact-overlap join (bloom is sound)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val got = TextAnalysis.ngramContamination(train, eval, "doc_id", "text",
+        shingleN = 3, expectedEvalNgrams = 50000L)
+      .orderBy("doc_id").collect().toSeq
+    // reference computation with NO bloom prefilter: plain exact join
+    val evTok = eval.select(explode(TextFunctions.shingles(col("text"), 3)).as("tok")).distinct()
+    val trTok = train.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 3))).as("tok"))
+    val sz = trTok.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+    val want = trTok.join(evTok, "tok")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"), min(col("tok")).as("first_hit"))
+      .join(sz, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
+        round(col("n_hits") / col("n_ngrams"), 4).as("contamination"), col("first_hit"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture degenerate: no contaminated docs")
+    // contamination is a share: (0, 1]; hit counts never exceed the doc size
+    assert(got.forall(r => r.getLong(1) <= r.getLong(2)))
+    // the fixture must exercise the interesting region (partial overlap)
+    assert(got.exists(r => r.getLong(1) < r.getLong(2)), "all docs fully contaminated")
+    // clean docs are absent, not zero-rowed
+    assert(got.size < train.count())
+  }
+}
