@@ -62,6 +62,38 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Space-Saving summary fold — the bounded-memory streaming heavy-hitter
+    * kernel (Metwally et al.): at most `m` tracked (item, count, err)
+    * triples. A tracked item increments; an untracked one, with the summary
+    * full, REPLACES the minimum-count entry, inheriting its count as both
+    * floor and error bound. Guarantees after N insertions: every tracked
+    * count overestimates the true frequency by at most its `err` ≤ N/m, and
+    * any item with true frequency > N/m is tracked. With `m` at least the
+    * distinct-item count nothing is ever evicted and the summary is exact.
+    *
+    * Deterministic: eviction breaks count ties toward the LARGEST item id,
+    * the returned summary sorts by (count desc, item asc). Pure function of
+    * (init, insertion order) — the streaming state transition.
+    */
+  def spaceSavingFold(init: Seq[(Long, Long, Long)], xs: Iterator[Long],
+      m: Int): Seq[(Long, Long, Long)] = {
+    require(m > 0, s"spaceSavingFold: m must be positive, got $m")
+    val cnt = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    init.foreach { case (i, c, e) => cnt(i) = (c, e) }
+    xs.foreach { x =>
+      cnt.get(x) match {
+        case Some((c, e)) => cnt(x) = (c + 1, e)
+        case None if cnt.size < m => cnt(x) = (1L, 0L)
+        case None =>
+          val (mi, (mc, _)) = cnt.minBy { case (i, (c, _)) => (c, -i) }
+          cnt -= mi
+          cnt(x) = (mc + 1, mc)
+      }
+    }
+    cnt.iterator.map { case (i, (c, e)) => (i, c, e) }.toSeq
+      .sortBy { case (i, c, _) => (-c, i) }
+  }
+
   /** Point-estimate item frequencies from a sketch built with the same
     * (depth, width): per item, min over the depth rows of the addressed
     * cell. `candidates` must carry `itemCol`; output appends `est`.

@@ -1099,6 +1099,28 @@ object ExtQueries {
           "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) " +
           "ORDER BY user_id, version")),
 
+    // streaming heavy hitters — sharded Space-Saving state re-emitting each
+    // shard's top-k per batch; the global top-15 is a bounded re-rank over
+    // the ≤ shards·k sink rows. m ≥ distinct items here, so the summary is
+    // exact and the SAME SQL as q_ext_hh1 is the oracle
+    DeclaredQuery(
+      "q_ext_stream10",
+      (s, d) => {
+        val sink = EventStreams.runToMemory(s, d,
+          df => EventStreams.heavyHittersStateful(df, m = 65536, k = 15),
+          OutputMode.Update, "stream_hh")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("user_id"))
+        sink.withColumn("rank", row_number().over(w).cast("int"))
+          .where(col("rank") <= 15)
+          .select("rank", "user_id", "n")
+          .orderBy("rank")
+      },
+      Some(
+        "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1), " +
+          "r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rank FROM c) " +
+          "SELECT CAST(rank AS INTEGER) AS rank, user_id, n FROM r WHERE rank <= 15 ORDER BY rank")),
+
     // streaming interval coalescing — the streaming form of q_ext_evt4:
     // per-user O(1) state (closed-island count + the one open island),
     // closed islands emitted final the moment the greedy scan passes them,

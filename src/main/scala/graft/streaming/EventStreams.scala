@@ -27,6 +27,12 @@ final case class IslandState(closed: Int, startUs: Long, endUs: Long, n: Long)
 final case class UserIsland(user_id: Long, island: Int, start_us: Long,
     end_us: Long, n: Long)
 
+/** Per-shard Space-Saving summary for EventStreams.heavyHittersStateful:
+  * (item, count, err) triples, at most m per shard.
+  */
+final case class SSState(items: Seq[(Long, Long, Long)])
+final case class SSItem(user_id: Long, n: Long)
+
 /** Per-user SCD2 state for EventStreams.scd2Stateful: the compacted
   * change-point list (state value, epoch micros, tie-break id).
   */
@@ -173,6 +179,40 @@ object EventStreams {
           }
       }
       .toDF("user_id", "version", "state", "valid_from_us", "valid_to_us", "is_current")
+  }
+
+  /** Streaming heavy hitters with SHARDED Space-Saving state — the
+    * streaming form of [[graft.operators.HeavyHitters.exact]]: items hash
+    * to `numShards` state keys, each shard folds its stream through a
+    * bounded m-entry Space-Saving summary
+    * ([[graft.operators.HeavyHitters.spaceSavingFold]]) and re-emits its
+    * current top `k` each batch (Update mode — counts only grow, so a
+    * keyed sink upserts). Sharding is what scales: state and per-batch
+    * work hash-partition instead of funneling the stream through one
+    * global summary task, and since an item's counts live wholly in its
+    * shard, the global top-k is exactly the best k of the ≤ shards·k
+    * emitted rows — a bounded sink-side re-rank.
+    *
+    * With m ≥ a shard's distinct items the summary is exact (the declared
+    * query's configuration — full hash oracle); undersized m degrades
+    * gracefully to the classical ≤ N/m overcount, spec-asserted on the
+    * kernel.
+    */
+  def heavyHittersStateful(events: DataFrame, itemCol: String = "user_id",
+      m: Int = 65536, k: Int = 10, numShards: Int = 8): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(itemCol)).as[Long]
+      .groupByKey(x => math.floorMod(java.lang.Long.hashCode(x), numShards))
+      .flatMapGroupsWithState[SSState, SSItem](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[SSState]) =>
+          val summary = graft.operators.HeavyHitters.spaceSavingFold(
+            state.getOption.map(_.items).getOrElse(Seq.empty), rows, m)
+          state.update(SSState(summary))
+          summary.take(k).iterator.map { case (i, c, _) => SSItem(i, c) }
+      }
+      .toDF(itemCol, "n")
   }
 
   /** Streaming gaps-and-islands — the streaming form of

@@ -55,6 +55,31 @@ class HeavyHittersSpec extends SparkSpec {
     assert(worst <= bound, s"worst overcount $worst exceeds bound $bound")
   }
 
+  test("space-saving kernel: exact when m covers the key space, bounded when not") {
+    val heavy = Seq.fill(1000)(7L)
+    val tail = (0 until 100).flatMap(i => Seq.fill(5)(1000L + i))
+    val xs = new scala.util.Random(42).shuffle(heavy ++ tail)
+    val n = xs.length.toLong
+    // m >= distinct: exact counts, zero error
+    val exact = HeavyHitters.spaceSavingFold(Nil, xs.iterator, m = 256)
+    assert(exact.size === 101)
+    assert(exact.head === ((7L, 1000L, 0L)))
+    assert(exact.forall(_._3 == 0L))
+    // m = 8: summary bounded, counts conserve N, every error <= N/m, and
+    // the one genuinely heavy item (freq > N/m) is tracked on top
+    val m = 8
+    val small = HeavyHitters.spaceSavingFold(Nil, xs.iterator, m)
+    assert(small.size === m)
+    assert(small.map(_._2).sum === n, "space-saving must conserve total count")
+    assert(small.forall(_._3 <= n / m), s"err beyond N/m: $small")
+    assert(small.head._1 === 7L && small.head._2 >= 1000L &&
+      small.head._2 - small.head._3 <= 1000L)
+    // folding in two chunks equals the streaming multi-batch transition
+    val (a, b) = xs.splitAt(600)
+    assert(HeavyHitters.spaceSavingFold(
+      HeavyHitters.spaceSavingFold(Nil, a.iterator, m), b.iterator, m) === small)
+  }
+
   test("sketches merge cell-wise: sketch(a ∪ b) = sketch(a) + sketch(b)") {
     val a = events.where(col("event_id") % 2 === 0)
     val b = events.where(col("event_id") % 2 =!= 0)

@@ -114,6 +114,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("sharded space-saving streaming heavy hitters equal the batch exact top-k") {
+    import org.apache.spark.sql.functions._
+    val sink = EventStreams.runToMemory(spark, sfDir,
+      df => EventStreams.heavyHittersStateful(df, m = 65536, k = 12),
+      OutputMode.Update, "spec_hh")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("user_id"))
+    val streamed = sink.withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= 12).select("rank", "user_id", "n")
+      .orderBy("rank").collect()
+    val batch = graft.operators.HeavyHitters
+      .exact(Tables.load(spark, sfDir, "events"), "user_id", 12)
+      .orderBy("rank").collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // genuinely sharded: emissions span multiple state keys (bounded sink)
+    assert(sink.count() <= 8L * 12)
+  }
+
   test("stateful streaming interval coalescing equals the batch gaps-and-islands") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.runToMemory(spark, sfDir,
