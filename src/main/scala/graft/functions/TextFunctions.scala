@@ -106,4 +106,26 @@ object TextFunctions {
       when(size(toks) < n, array().cast("array<string>")).otherwise(
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))))
+
+  /** Overlapping fixed-size token chunks — the pretraining/RAG chunker:
+    * windows of `chunkSize` tokens advancing by `chunkSize - overlap`, so
+    * consecutive chunks share `overlap` tokens; every token is covered and
+    * the final chunk may run short. Returns array<struct<chunk, n_toks>>
+    * (pair with `posexplode` for a 1-based chunk index).
+    *
+    * Same lambda-binding discipline as [[shingles]]: the token array binds
+    * once per row, and the whole thing is a codegen'd column program — a
+    * 100 TB corpus chunks as a scan, no shuffle, no UDF.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0, s"chunkTokens: chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkTokens: overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    flatten(transform(array(tokens(text)), toks =>
+      transform(sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step)),
+        s => struct(
+          concat_ws(" ", slice(toks, s, lit(chunkSize))).as("chunk"),
+          least(lit(chunkSize), size(toks) - s + 1).cast("int").as("n_toks")))))
+  }
 }

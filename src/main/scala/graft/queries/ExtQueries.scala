@@ -762,6 +762,25 @@ object ExtQueries {
           "CAST(epoch_us(min(lo)) AS BIGINT) AS start_us, CAST(epoch_us(max(hi)) AS BIGINT) AS end_us, " +
           "count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // fixed-size overlapping token chunking (the pretraining/RAG chunker):
+    // a pure codegen'd column program — chunks as a scan, no shuffle
+    DeclaredQuery(
+      "q_ext_chunk1",
+      (s, d) =>
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(TextFunctions.chunkTokens(col("text"), chunkSize = 4, overlap = 1)))
+          .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+            col("col.chunk").as("chunk"), col("col.n_toks").as("n_toks"))
+          .orderBy("doc_id", "chunk_idx"),
+      Some(
+        "WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+          "s AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-1,1), 3)) AS st FROM words) " +
+          "SELECT doc_id, CAST((st-1)//3 + 1 AS INTEGER) AS chunk_idx, " +
+          "array_to_string(list_slice(w, st, least(st+3, len(w))), ' ') AS chunk, " +
+          "CAST(least(4, len(w)-st+1) AS INTEGER) AS n_toks " +
+          "FROM s ORDER BY doc_id, chunk_idx")),
+
     // ---- heavy hitters ----
     // exact global top-k by frequency: count-per-item (one shuffle,
     // map-side combined) into the bounded-buffer TopKAgg (≤ k rows per

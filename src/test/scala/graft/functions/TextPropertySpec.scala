@@ -41,6 +41,33 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens: full coverage, overlap stitching, short tail, short doc") {
+    val rows = samples(sentence, 60).map(ws => (ws.size.max(1), ws.mkString(" ")))
+    val df = rows.toDF("n", "text")
+    val out = df.select(col("n"), col("text"),
+        TextFunctions.chunkTokens(col("text"), chunkSize = 5, overlap = 2).as("cs"))
+      .collect()
+    out.foreach { r =>
+      val n = r.getInt(0)
+      val text = r.getString(1)
+      val chunks = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(chunks.nonEmpty, "every doc gets at least one chunk")
+      // expected chunk count: ceil(max(n - overlap, 1) / step)
+      assert(chunks.size === (math.max(n - 2, 1) + 2) / 3, s"n=$n got ${chunks.size}")
+      // all but the last are full; the last covers through the final token
+      chunks.init.foreach(c => assert(c.getInt(1) === 5))
+      val words = text.split(" ", -1).toSeq
+      // stitching: dropping each chunk's first `overlap` tokens (except the
+      // first chunk) reconstructs the document exactly
+      val stitched = chunks.head.getString(0).split(" ", -1).toSeq ++
+        chunks.tail.flatMap(_.getString(0).split(" ", -1).toSeq.drop(2))
+      assert(stitched === words, s"coverage broken for n=$n")
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkTokens(col("text"), chunkSize = 3, overlap = 3)
+    }
+  }
+
   test("qualityScore stays within [0, 1]; ratios within [0, 1]") {
     val rows = samples(sentence, 60).map(_.mkString(" ")).filter(_.nonEmpty)
     val out = rows.toDF("text").select(
