@@ -285,6 +285,55 @@ object Similarity {
     }
   }
 
+  /** Incrementally add vectors to a PERSISTED index — the per-ingest-tick
+    * maintenance path (the IVF sibling of the MinHash store's
+    * `appendToMinHashStore`): new vectors are assigned to the EXISTING
+    * centroids (one scan against the broadcast centroid set) and appended
+    * into the cell-partitioned `assigned` store, so a corpus that grows by
+    * batches never re-runs k-means or rewrites the index. The classical
+    * IVF trade rides along: cells stay anchored to the original centroid
+    * geometry, so recall degrades only as the ingest distribution drifts —
+    * at which point a rebuild (drop the dir, `ensureIvfIndex`) re-anchors.
+    *
+    * The corpus identity fingerprint is updated COMPOSITIONALLY — the id
+    * XOR is combinable, so the new fingerprint is (n + n_batch,
+    * xor ^ xor_batch) without re-scanning the existing corpus — and a later
+    * `ensureIvfIndex` over the grown corpus recognizes the appended index
+    * as current instead of rebuilding. Returns the rows appended.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
+    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(fpPath),
+      s"appendToIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
+    val buf = new Array[Byte](fs.getFileStatus(fpPath).getLen.toInt)
+    val in = fs.open(fpPath)
+    try in.readFully(buf) finally in.close()
+    val fields = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split('|').toSeq
+    val kv = fields.collect { case f if f.contains("=") =>
+      val Array(k, v) = f.split("=", 2); k -> v
+    }.toMap
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
+      .create(assignCells(spread(newVectors), idCol, vecCol, centroids),
+        partitionBy = Seq("cell"))
+    val idRow = newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
+    val nBatch = idRow.getLong(0)
+    val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
+    val fp = fields.map {
+      case f if f.startsWith("n=") => s"n=${kv("n").toLong + nBatch}"
+      case f if f.startsWith("xor=") => s"xor=${kv("xor").toLong ^ xorBatch}"
+      case f => f
+    }.mkString("|")
+    val out = fs.create(fpPath, true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    nBatch
+  }
+
   /** Reopen a persisted index (for [[ivfSelfTopK]] or ad-hoc probing).
     * `assigned` keeps its cell-partitioned layout, so any filter on `cell`
     * prunes directories.

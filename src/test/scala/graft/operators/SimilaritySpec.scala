@@ -153,6 +153,56 @@ class SimilaritySpec extends SparkSpec {
       "changed corpus must rebuild the persisted assignment")
   }
 
+  test("appendToIvfIndex grows the index incrementally without a rebuild") {
+    import org.apache.spark.sql.functions._
+    val all = blockClustered(clusters = 4, per = 25, dim = 16, jitter = 0.05)
+      .toDF("vec_id", "embedding")
+    val base = all.filter($"vec_id" < 80L)
+    val batch = all.filter($"vec_id" >= 80L)
+    val dir = "target/tmp/ivf/append_spec"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
+    def centroidMtimes: Set[Long] =
+      graft.sources.ParquetStats.listParquetFiles(s"$dir/centroids", spark.sessionState.newHadoopConf())
+        .map(f => fs.getFileStatus(f).getModificationTime).toSet
+    val built = centroidMtimes
+    assert(Similarity.appendToIvfIndex(spark, dir, batch, "vec_id", "embedding") === 20L)
+    // centroids untouched; assignment grew by the batch, in cell= dirs
+    assert(centroidMtimes === built, "append must not touch the centroids")
+    val idx = Similarity.loadIvfIndex(spark, dir)
+    assert(idx.assigned.count() === 100L)
+    // appended rows equal a same-centroid assignment of the batch
+    val want = Similarity.assignCells(batch, "vec_id", "embedding", idx.centroids)
+      .orderBy("nid").collect().toSeq
+    val got = idx.assigned.filter($"nid" >= 80L)
+      .select("nid", "nv", "cell").orderBy("nid").collect().toSeq
+    assert(got === want)
+    // probing the appended index = probing an index with the SAME centroids
+    // assigned over the full corpus (deterministic equality, not recall)
+    val q = all.filter($"vec_id" % 10 === 0L)
+    val probed = Similarity.ivfTopKPersisted(spark, dir, q, "vec_id", "embedding",
+        k = 3, nprobe = 2)
+      .orderBy("qid", "rn").collect().toSeq
+    val reference = Similarity.ivfTopK(
+        Similarity.IvfIndex(idx.centroids,
+          Similarity.assignCells(all, "vec_id", "embedding", idx.centroids)),
+        q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .orderBy("qid", "rn").collect().toSeq
+    assert(probed === reference)
+    // the compositional fingerprint makes ensureIvfIndex over the grown
+    // corpus a no-op (no rebuild) — the whole point of the append path
+    Thread.sleep(5)
+    Similarity.ensureIvfIndex(spark, dir, all, "vec_id", "embedding", numCentroids = 4)
+    assert(centroidMtimes === built, "grown corpus with updated fingerprint must not rebuild")
+    // an index that was never fingerprinted refuses the append loudly
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, "target/tmp/ivf/nonexistent", batch,
+        "vec_id", "embedding")
+    }
+  }
+
   test("ivfSelfTopK approximates the exact k-NN graph on clustered data") {
     val df = blockClustered(clusters = 4, per = 20, dim = 16, jitter = 0.05)
       .toDF("vec_id", "embedding")

@@ -454,6 +454,49 @@ class ParquetDatabaseSpec extends SparkSpec {
     }
   }
 
+  test("graft-snapshot source keeps partition columns and errors on the mixed shape") {
+    val db = freshDbClean("v2part")
+    db.create(spark.range(300).select(col("id"), (col("id") % 3).as("p")),
+      partitionBy = Seq("p"))
+    db.snapshot("pre")
+    // fully-live partitioned snapshot: basePath = table dir, partition
+    // column recovered from the directory names
+    val live = spark.read.format("graft-snapshot")
+      .option("snapshot", "pre").load(db.dir)
+    assert(live.columns.toSet === Set("id", "p"))
+    // partition values come back via directory-name inference (int)
+    assert(live.groupBy(col("p").cast("long").as("p")).count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((0L, 100L), (1L, 100L), (2L, 100L)))
+    // full rewrite parks EVERY pinned file in the archive -> single-root
+    // (archive) scan still carries the partition column
+    db.deleteWhere(col("id") >= 200)
+    val arch = spark.read.format("graft-snapshot")
+      .option("snapshot", "pre").load(db.dir)
+    assert(arch.count() === 300L)
+    assert(arch.columns.toSet === Set("id", "p"))
+    assert(arch.orderBy("id").collect().toSeq ===
+      db.readSnapshot("pre").orderBy("id").collect().toSeq)
+    // mixed live+archive partitioned shape — per-leaf compaction rewrites
+    // ONLY the partition with a packable tail, archiving its pinned file
+    // while the other partitions' pinned files stay live: loud error
+    // pointing at the API that can express it
+    val db2 = freshDbClean("v2part_mixed")
+    db2.create(spark.range(300).select(col("id"), (col("id") % 3).as("p"))
+      .repartition(1), partitionBy = Seq("p"))
+    db2.snapshot("mid")
+    db2.create(spark.range(300L, 302L).select(col("id"), lit(1L).as("p"))
+      .repartition(1), partitionBy = Seq("p"))
+    val packed = db2.compactSmallFiles(targetBytesPerFile = 10L * 1024 * 1024)
+    assert(packed >= 2, s"fixture: expected only the p=1 leaf to pack, packed=$packed")
+    val mixedErr = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("snapshot", "mid").load(db2.dir).schema
+    }
+    assert(mixedErr.getMessage.contains("readSnapshot"), mixedErr.getMessage)
+    // ...while the Scala API still reads it exactly
+    assert(db2.readSnapshot("mid").count() === 300L)
+  }
+
   test("normalizeToBytes converts a byte target into a row bound from footer stats") {
     val db = freshDb("normbytes")
     db.create(spark.range(20000).select(col("id"),
