@@ -270,6 +270,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL pixel-statistics feature extraction: decode the payload
+    * (ImageIO) and walk the raster accumulating per-channel INTEGER sums
+    * plus the pixel count — exact image features with no float drift, so
+    * on the closed-form generated PNGs the whole decode→extract path is
+    * oracle-checkable pixel-for-pixel. Null for non-image payloads (the
+    * decodeImage contract). The model-embedding forward pass remains
+    * [[stubFeatures]]; this is the real statistics tier below it.
+    */
+  def colorStats(bytes: Array[Byte]): Row = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        rs += (rgb >> 16) & 255; gs += (rgb >> 8) & 255; bs += rgb & 255
+        x += 1
+      }
+      y += 1
+    }
+    Row(rs, gs, bs, img.getWidth.toLong * img.getHeight)
+  }
+
+  val colorSchema: StructType = StructType(Seq(
+    StructField("r_sum", LongType), StructField("g_sum", LongType),
+    StructField("b_sum", LongType), StructField("n_px", LongType)))
+
+  /** Distributed color-stats extraction over the payload column
+    * (mapPartitions, the decodeImages shape): original row plus a `color`
+    * struct, null where the payload doesn't decode.
+    */
+  def imageColorStats(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("color", colorSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ colorStats(r.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(enc)
+  }
+
   /** STUB feature extraction: fixed-length deterministic pseudo-embedding
     * from payload bytes (stands in for a model forward pass). Pure column
     * expression — scales as a scan.

@@ -630,6 +630,30 @@ object ExtQueries {
           "CAST(greatest(CAST(floor((8 + CAST(floor(doc_id / 16) AS BIGINT) % 16) / 2) AS BIGINT), 1) AS INTEGER) AS height " +
           "FROM documents ORDER BY doc_id")),
 
+    // REAL feature extraction from decoded pixels: per-channel INTEGER
+    // sums + pixel count via an ImageIO decode + raster walk — exact, so
+    // the full encode→decode→extract path is oracle-checked against the
+    // generator's closed-form pixels ((id*31 + p) & 0xFFFFFF at p = y·w+x)
+    DeclaredQuery(
+      "q_ext_mm6",
+      (s, d) =>
+        Multimodal.imageColorStats(
+            Multimodal.withGeneratedPngPayload(
+              Tables.load(s, d, "documents").select(col("doc_id")), "doc_id"))
+          .select(col("doc_id"),
+            col("color.r_sum").as("r_sum"), col("color.g_sum").as("g_sum"),
+            col("color.b_sum").as("b_sum"), col("color.n_px").as("n_px"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH d AS (SELECT doc_id, CAST(8 + doc_id % 16 AS BIGINT) AS w, " +
+          "CAST(8 + CAST(floor(doc_id / 16) AS BIGINT) % 16 AS BIGINT) AS h FROM documents), " +
+          "px AS (SELECT doc_id, unnest(generate_series(0, w*h - 1)) AS p FROM d), " +
+          "c AS (SELECT doc_id, ((doc_id*31 + p) & 16777215) AS rgb FROM px) " +
+          "SELECT doc_id, CAST(sum((rgb >> 16) & 255) AS BIGINT) AS r_sum, " +
+          "CAST(sum((rgb >> 8) & 255) AS BIGINT) AS g_sum, " +
+          "CAST(sum(rgb & 255) AS BIGINT) AS b_sum, count(*) AS n_px " +
+          "FROM c GROUP BY 1 ORDER BY 1")),
+
     // audio modality, REAL container round-trip: deterministic RIFF/PCM WAV
     // blobs generated distributed, then decoded back by walking the chunk
     // list (WAV is a trivial binary layout — no external codec needed, so

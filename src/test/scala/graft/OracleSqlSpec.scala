@@ -48,6 +48,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_pii1" -> "regexp_matches (Spark: RLIKE; DuckDB lacks the keyword)",
     "q_ext_sim1" -> "unnest (Spark: explode)",
     "q_ext_mm1" -> "CAST AS BLOB (Spark: BINARY)",
+    "q_ext_mm6" -> "unnest(generate_series) (Spark: explode(sequence))",
     "q_ext_mm3" -> "CAST AS BLOB (Spark: BINARY)",
     "q_ext_evt1" -> "epoch() (Spark: unix_timestamp)",
     "q_ext_evt3" -> "unnest + epoch",

@@ -51,6 +51,22 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(3).getAs[Array[Byte]]("payload").toSeq === truncated.toSeq)
   }
 
+  test("imageColorStats sums decoded pixels exactly; bad payloads yield null") {
+    val png = Multimodal.encodePng(width = 4, height = 3, seed = 9L)
+    val rows = Seq((1L, png), (2L, "nope".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]), (4L, png.take(30)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.imageColorStats(rows).orderBy("doc_id").collect()
+    val c = out(0).getStruct(out(0).fieldIndex("color"))
+    // scala reference straight from the generator's closed form
+    val px = (0 until 12).map(p => (9L * 31 + p) & 0xFFFFFF)
+    assert(c.getLong(0) === px.map(v => (v >> 16) & 255).sum.toLong)
+    assert(c.getLong(1) === px.map(v => (v >> 8) & 255).sum.toLong)
+    assert(c.getLong(2) === px.map(v => v & 255).sum.toLong)
+    assert(c.getLong(3) === 12L)
+    (1 to 3).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("color")), s"row $i"))
+  }
+
   test("withGeneratedPngPayload + resizeImages halve real dimensions") {
     val ids = Seq(Tuple1(0L), Tuple1(20L), Tuple1(255L)).toDF("doc_id")
     val decoded = Multimodal.decodeImages(spark,
