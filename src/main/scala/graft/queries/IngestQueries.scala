@@ -115,6 +115,34 @@ object IngestQueries {
           "('mp-1', false, false, CAST(NULL AS DOUBLE), CAST(1.1 AS DOUBLE), 2)) " +
           "t(source_id, sym_null, struct_null, bgi, etot, n_species) ORDER BY source_id")),
 
+    // delimited-text (CSV) ingestion round-trip: stage orders as CSV,
+    // re-read with an explicit schema (no inference at scale), conform into
+    // a ParquetDatabase, and aggregate the stored table. Spark's CSV writer
+    // emits shortest-round-trip doubles, so the text round-trip is exact
+    // and the oracle is the same aggregate over the source table directly.
+    DeclaredQuery(
+      "q_ing3",
+      (s, d) => {
+        val stage = graft.Scratch.dir("csv_ing")
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(s.sessionState.newHadoopConf()).delete(sp, true)
+        val src = Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        src.write.option("header", "true").mode("overwrite").csv(stage)
+        val db = freshDb(s, "q_ing3")
+        db.create(s.read.option("header", "true").schema(src.schema).csv(stage))
+        val back = db.read()
+        back.agg(count(lit(1)).as("n"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            dsum(col("o_totalprice")).as("total"),
+            min(col("o_orderpriority")).as("first_prio"))
+          .select("n", "n_keys", "total", "first_prio")
+      },
+      Some(
+        "SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys, " +
+          "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total, " +
+          "min(o_orderpriority) AS first_prio FROM orders")),
+
     // partitioned table + partition pruning: write orders hive-partitioned
     // by year, read back with a partition filter. The plan must prune at
     // the directory level (asserted: the scan reads only the matching
