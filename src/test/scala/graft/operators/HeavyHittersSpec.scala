@@ -80,6 +80,45 @@ class HeavyHittersSpec extends SparkSpec {
       HeavyHitters.spaceSavingFold(Nil, a.iterator, m), b.iterator, m) === small)
   }
 
+  test("space-saving invariants hold on generated skewed streams (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // zipf-ish streams: a few heavy items + a long tail, shuffled
+    val streamGen: Gen[List[Long]] = for {
+      nHeavy <- Gen.choose(1, 4)
+      heavy <- Gen.listOfN(nHeavy, Gen.choose(50, 400).map(_.toLong))
+      tail <- Gen.choose(50, 300)
+    } yield {
+      val hs = heavy.zipWithIndex.flatMap { case (c, i) => List.fill(c.toInt)(i.toLong) }
+      val ts = (0 until tail).flatMap(i => List.fill(1 + i % 3)(100L + i))
+      new scala.util.Random(hs.length * 31 + ts.length).shuffle(hs ++ ts.toList)
+    }
+    (0 until 25).foreach { i =>
+      val xs = streamGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val n = xs.length.toLong
+      val m = 4 + i % 13
+      val summary = HeavyHitters.spaceSavingFold(Nil, xs.iterator, m)
+      val exact = xs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      // bounded size, conservation, per-entry bounds
+      assert(summary.size <= m)
+      assert(summary.map(_._2).sum === n, s"seed $i: counts not conserved")
+      summary.foreach { case (item, c, e) =>
+        assert(e <= n / m, s"seed $i: err $e beyond N/m=${n / m}")
+        val t = exact.getOrElse(item, 0L)
+        assert(c >= t && c - e <= t, s"seed $i item $item: count $c err $e true $t")
+      }
+      // anything with true frequency > N/m must be tracked
+      val tracked = summary.map(_._1).toSet
+      exact.foreach { case (item, t) =>
+        if (t > n / m) assert(tracked(item), s"seed $i: heavy item $item (freq $t) evicted")
+      }
+      // chunked fold equals the one-shot fold (streaming state transition)
+      val (a, b) = xs.splitAt(xs.length / 3)
+      assert(HeavyHitters.spaceSavingFold(
+        HeavyHitters.spaceSavingFold(Nil, a.iterator, m), b.iterator, m) === summary)
+    }
+  }
+
   test("sketches merge cell-wise: sketch(a ∪ b) = sketch(a) + sketch(b)") {
     val a = events.where(col("event_id") % 2 === 0)
     val b = events.where(col("event_id") % 2 =!= 0)

@@ -415,6 +415,30 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(rows === (0L until 100L).map(i => (i, i)))
   }
 
+  test("applyRetention edges: no snapshots, age-only, maxCount=0 wipes and vacuums") {
+    val db = freshDbClean("retention_edges")
+    db.create(spark.range(100).select(col("id"), (col("id") % 7).as("v")))
+    // policy on a table with no snapshots is a no-op, not an error
+    assert(db.applyRetention(maxCount = 3) === Nil)
+    db.snapshot("a")
+    db.upsert(spark.range(10).select(col("id"), (col("id") + 50).as("v")), "id")
+    db.snapshot("b")
+    // age-only policy with everything inside the horizon drops nothing
+    assert(db.applyRetention(maxAgeMillis = Long.MaxValue / 2) === Nil)
+    assert(db.snapshots === Seq("a", "b"))
+    // maxCount=0 is "retain nothing": every tag dropped, archive vacuumed away
+    val dropped = db.applyRetention(maxCount = 0)
+    assert(dropped.toSet === Set("a", "b"))
+    assert(db.snapshots === Nil)
+    val fs = new org.apache.hadoop.fs.Path(db.dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(db.archiveRoot), "unpinned archive must be reclaimed")
+    // the live table is untouched by snapshot lifecycle operations
+    assert(db.read().count() === 100L)
+    intercept[IllegalArgumentException] { db.applyRetention(maxCount = -1) }
+    intercept[IllegalArgumentException] { db.applyRetention(maxAgeMillis = -1L) }
+  }
+
   test("graft-snapshot read-option source time-travels without the Scala API") {
     val db = freshDbClean("v2source")
     db.create(spark.range(2000).select(col("id"), (col("id") % 5).as("v")))
