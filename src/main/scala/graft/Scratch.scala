@@ -29,7 +29,10 @@ object Scratch {
           }
         }
         new java.io.File(shm, s"graft-scratch-${ProcessHandle.current().pid()}")
-      } else new java.io.File("target/tmp/scratch")
+      } else
+        // the fallback is pid-scoped too: a shared dir plus this root's
+        // shutdown-hook delete would race concurrent sbt processes
+        new java.io.File(s"target/tmp/scratch-${ProcessHandle.current().pid()}")
     base.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(base)))
     base.getAbsolutePath
