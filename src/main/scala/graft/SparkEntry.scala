@@ -15,7 +15,7 @@ object SparkEntry {
   def registry: Seq[DeclaredQuery] =
     ScanQueries.all ++ JoinQueries.all ++ AggQueries.all ++
       WindowQueries.all ++ SetQueries.all ++ NestedQueries.all ++ ExtQueries.all ++
-      IngestQueries.all ++ SubqueryQueries.all ++ MiscQueries.all
+      IngestQueries.all ++ SubqueryQueries.all ++ MiscQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -171,6 +171,27 @@ object Curation {
     df.filter(uniformBucket16(col(keyCol)) < thr)
   }
 
+  /** Fixed-SIZE per-stratum sample: exactly `min(k, |stratum|)` rows per
+    * stratum, chosen as the k smallest md5(key) digests (ties broken by the
+    * key itself). The rate-based forms above can't promise a row COUNT;
+    * eval-set construction ("exactly 500 docs per language") needs one.
+    *
+    * Determinism story matches [[sampleByWeight]]: the md5 order is a
+    * property of the key, not of partitioning or RNG state, so the same k
+    * rows survive any repartition/re-ingest and any md5-capable engine
+    * reproduces them. Scale: one window shuffle partitioned by stratum;
+    * rank-k per partition never materializes more than the stratum's rows.
+    */
+  def sampleFixedPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sampleFixedPerStratum: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Mix corpora at per-corpus weights into one relation (union by name,
     * missing columns null-filled — corpora rarely share exact schemas).
     * Each corpus is [[sampleByWeight]]-ed independently, so the mixture is

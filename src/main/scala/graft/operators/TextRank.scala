@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval scoring over a document corpus: BM25 ranking for a
+  * fixed term set and per-document TF-IDF top terms.
+  *
+  * Complements the vector-similarity family (`Similarity`): a real corpus
+  * pipeline needs BOTH dense (embedding) and sparse (lexical) retrieval, and
+  * BM25 is the standard sparse baseline.
+  *
+  * Scale design: everything stays in-plan — corpus statistics (N, avgdl) are
+  * a 1-row aggregate crossJoined (auto-broadcast) rather than collected to
+  * the driver; document frequencies are a terms-sized frame (broadcast);
+  * the only data-sized shuffles are the two per-document groupBys. Token
+  * explosion is a flatMap (no shuffle). At 100 TB the per-doc length table
+  * and term-frequency table partition by doc id and never concentrate.
+  */
+object TextRank {
+
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  /** BM25 top-k documents for `terms`.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene non-negative
+    * variant). N and avgdl are computed over documents with ≥1 token.
+    *
+    * Output: (idCol, score DOUBLE rounded to 4) — ordered by the rounded
+    * score descending then id, so ranking is deterministic across engines.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "TextRank.bm25: terms must be non-empty")
+    val toks = tokens(docs, idCol, textCol)
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+    val idf: Column = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm: Column = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(df), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(idCol)
+      .agg(round(sum(idf * col("tf") * (k1 + 1.0) / norm), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /** Top-`k` TF-IDF terms per document: tfidf = tf · ln(N/df), ties broken
+    * by term text ascending. Output (idCol, tok, rank INT, tfidf rounded 4).
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(docs, idCol, textCol)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("tok"), col("rank"),
+        round(col("tfidf"), 4).as("tfidf"))
+      .orderBy(col(idCol), col("rank"))
+  }
+}

@@ -143,6 +143,33 @@ object IngestQueries {
           "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total, " +
           "min(o_orderpriority) AS first_prio FROM orders")),
 
+    // columnar-sibling (ORC) ingestion round-trip: stage part as ORC,
+    // re-read, conform into a ParquetDatabase, aggregate the stored table.
+    // ORC is lossless for these types, so the oracle is the same aggregate
+    // over the source parquet directly — proving the engine can ingest the
+    // other mainstream columnar format without a row of glue.
+    DeclaredQuery(
+      "q_ing4",
+      (s, d) => {
+        val stage = graft.Scratch.dir("orc_ing")
+        val sp = new org.apache.hadoop.fs.Path(stage)
+        sp.getFileSystem(s.sessionState.newHadoopConf()).delete(sp, true)
+        val src = Tables.load(s, d, "part")
+        src.write.mode("overwrite").orc(stage)
+        val db = freshDb(s, "q_ing4")
+        db.create(s.read.orc(stage))
+        db.read()
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("p_partkey")).as("n_keys"),
+            dsum(col("p_retailprice")).as("total"),
+            min(col("p_name")).as("first_name"))
+          .select("n", "n_keys", "total", "first_name")
+      },
+      Some(
+        "SELECT count(*) AS n, count(DISTINCT p_partkey) AS n_keys, " +
+          "round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total, " +
+          "min(p_name) AS first_name FROM part")),
+
     // partitioned table + partition pruning: write orders hive-partitioned
     // by year, read back with a partition filter. The plan must prune at
     // the directory level (asserted: the scan reads only the matching

@@ -38,6 +38,12 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_txt4" -> "string_split/unnest + // integer division",
     "q_ext_txt5" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_lang1" -> "DuckDB list literal [..] syntax",
+    "q_ext_rank1" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_tfidf1" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_txt6" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_anom1" -> "quantile_cont (Spark: percentile)",
+    "q_ext_attr1" -> "IGNORE NULLS inside the call parens (Spark: last(expr) IGNORE NULLS)",
+    "q_ext_quant1" -> "list_transform/list_sum/len (DuckDB list functions)",
     "q_ext_dedup2" -> "string_split (Spark: split)",
     "q_ext_decon1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_chunk1" -> "string_split/unnest/list_slice + // integer division",
