@@ -192,6 +192,28 @@ object Curation {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic weight-PROPORTIONAL sampling without replacement
+    * (Efraimidis–Spirakis A-ES): top-k rows by the key u^(1/w) — computed
+    * in its monotone log form ln(u)/w with u = (uniformBucket16(key)+0.5)
+    * / 65536 — so longer/heavier rows are proportionally likelier while the
+    * output size is EXACTLY min(k, count). The rate-based samplers above
+    * honor a fraction; this honors per-row weights with a fixed budget (the
+    * "sample 50 docs, length-weighted" eval-set shape). Determinism story
+    * matches [[sampleByWeight]]: u is a property of the key, not RNG state,
+    * so the sample survives repartition/re-ingest and any md5-capable
+    * engine reproduces it. The score is rounded to 6 decimals BEFORE the
+    * rank (ties broken by key) so cross-engine libm last-ulp differences in
+    * `ln` can't flip ranks. Scale: orderBy+limit plans as TakeOrdered — a
+    * per-partition top-k into one k-sized merge, never a global sort.
+    */
+  def sampleWeighted(df: DataFrame, keyCol: String, weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"sampleWeighted: k must be >= 1, got $k")
+    val u = (uniformBucket16(col(keyCol)).cast("double") + 0.5) / 65536.0
+    df.withColumn("es_key", round(log(u) / weight, 6))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Mix corpora at per-corpus weights into one relation (union by name,
     * missing columns null-filled — corpora rarely share exact schemas).
     * Each corpus is [[sampleByWeight]]-ed independently, so the mixture is

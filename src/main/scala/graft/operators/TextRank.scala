@@ -52,6 +52,34 @@ object TextRank {
       .limit(topK)
   }
 
+  /** Per-document unigram language-model log-loss (cross-entropy in nats)
+    * — the corpus-likelihood quality score a pretraining pipeline ranks
+    * documents by (low = in-distribution text, high = noise/outliers):
+    *
+    *   p(tok) = corpus tf(tok) / total tokens
+    *   loss(doc) = Σ_tok −tf(doc,tok) · ln p(tok)  /  dl(doc)
+    *
+    * `keep` columns (functionally dependent on the id, e.g. a language
+    * label) ride through the grouping so no re-join is needed. Scale: the
+    * vocabulary joins back keyed on token — a vocab-sized shuffle with
+    * bounded fan-in, deliberately NOT a broadcast (a 100 TB corpus
+    * vocabulary isn't driver-sized); the total token count enters as a
+    * broadcast 1-row aggregate. Output: (idCol, keep…, dl, log_loss).
+    */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val keyCols = (idCol +: keep).map(col)
+    val toks = docs.select(keyCols :+ explode(split(col(textCol), " ")).as("tok"): _*)
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy(keyCols :+ col("tok"): _*).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("tok").agg(sum(col("tf")).as("ctf"))
+    val total = vocab.agg(sum(col("ctf")).cast("double").as("t"))
+    tf.join(vocab, "tok").crossJoin(broadcast(total))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("tf")).as("dl"),
+        (sum(-col("tf") * log(col("ctf") / col("t"))) / sum(col("tf"))).as("log_loss"))
+  }
+
   /** Top-`k` TF-IDF terms per document: tfidf = tf · ln(N/df), ties broken
     * by term text ascending. Output (idCol, tok, rank INT, tfidf rounded 4).
     */

@@ -139,6 +139,50 @@ object AnalyticsQueries {
           "FROM t WHERE event_type = 'purchase' AND last_touch IS NOT NULL " +
           "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // ---- linear multi-touch attribution ---------------------------------
+    // each purchase splits one credit (and its revenue) across its preceding
+    // touches PROPORTIONALLY to per-type counts — computed with one window
+    // pass of 4 conditional running sums (the touch alphabet is fixed), so
+    // no self-join and no history list: the 100 TB-shaped formulation.
+    DeclaredQuery(
+      "q_ext_attr2",
+      (s, d) => {
+        val types = Seq("click", "error", "signup", "view")
+        val ev = Tables.load(s, d, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counted = types.foldLeft(ev) { (df, t) =>
+          df.withColumn(s"n_$t", sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w))
+        }
+        val tot = types.map(t => col(s"n_$t")).reduce(_ + _)
+        val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+        counted.filter(col("event_type") === "purchase" && tot > 0)
+          .withColumn("tot", tot.cast("double"))
+          .select(col("value"), col("tot"),
+            expr(s"stack(${types.size}, $stackArgs)").as(Seq("touch", "n_t")))
+          .groupBy("touch")
+          .agg(round(sum(col("n_t") / col("tot")), 4).as("credit"),
+            round(sum(col("value") * col("n_t") / col("tot")), 4).as("revenue"))
+          .orderBy("touch")
+      },
+      Some {
+        val types = Seq("click", "error", "signup", "view")
+        val sums = types.map(t =>
+          s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) OVER w AS n_$t").mkString(", ")
+        val tot = types.map(t => s"n_$t").mkString(" + ")
+        val arms = types.map(t => s"SELECT '$t' AS touch, n_$t AS n_t, value, tot FROM p")
+          .mkString(" UNION ALL ")
+        s"WITH t AS (SELECT event_type, value, $sums FROM events " +
+          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+          s"p AS (SELECT *, CAST($tot AS DOUBLE) AS tot FROM t " +
+          s"WHERE event_type = 'purchase' AND $tot > 0), " +
+          s"u AS ($arms) " +
+          "SELECT touch, round(sum(n_t / tot), 4) AS credit, " +
+          "round(sum(value * n_t / tot), 4) AS revenue " +
+          "FROM u GROUP BY 1 ORDER BY 1"
+      }),
+
     // ---- robust anomaly detection ---------------------------------------
     // per-type MAD z-score: |value − median| > 3 · 1.4826 · MAD. Median/MAD
     // are exact interpolated percentiles (identical semantics both engines);
@@ -197,6 +241,54 @@ object AnalyticsQueries {
           "round(count(*) / CAST(sum(f) AS DOUBLE), 6) AS ttr, " +
           "round(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio " +
           "FROM freq GROUP BY 1 ORDER BY 1")),
+
+    // ---- unigram LM quality scoring -------------------------------------
+    // corpus-likelihood cross-entropy per document, rolled up per language:
+    // the "is this text in-distribution" score a pretraining pipeline ranks
+    // and filters by before training.
+    DeclaredQuery(
+      "q_ext_txt7",
+      (s, d) =>
+        TextRank.unigramLogLoss(Tables.load(s, d, "documents"), "doc_id", "text",
+            keep = Seq("lang"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("log_loss")), 4).as("avg_loss"),
+            round(min(col("log_loss")), 4).as("min_loss"),
+            round(max(col("log_loss")), 4).as("max_loss"))
+          .orderBy("lang"),
+      Some(
+        "WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "t2 AS (SELECT doc_id, lang, tok FROM toks WHERE tok <> ''), " +
+          "tf AS (SELECT doc_id, lang, tok, count(*) AS tf FROM t2 GROUP BY 1, 2, 3), " +
+          "vocab AS (SELECT tok, sum(tf) AS ctf FROM tf GROUP BY 1), " +
+          "tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS t FROM vocab), " +
+          "doc AS (SELECT tf.doc_id, tf.lang, " +
+          "sum(-tf.tf * ln(vocab.ctf / tot.t)) / sum(tf.tf) AS log_loss " +
+          "FROM tf JOIN vocab ON tf.tok = vocab.tok CROSS JOIN tot GROUP BY 1, 2) " +
+          "SELECT lang, count(*) AS n_docs, round(avg(log_loss), 4) AS avg_loss, " +
+          "round(min(log_loss), 4) AS min_loss, round(max(log_loss), 4) AS max_loss " +
+          "FROM doc GROUP BY 1 ORDER BY 1")),
+
+    // ---- weight-proportional deterministic sampling ----------------------
+    // Efraimidis–Spirakis A-ES with an md5-derived uniform: length-weighted
+    // top-50 sample, exact budget, reproducible by any md5-capable engine.
+    DeclaredQuery(
+      "q_samp4",
+      (s, d) =>
+        Curation.sampleWeighted(Tables.load(s, d, "documents"), "doc_id",
+            length(col("text")).cast("double"), k = 50)
+          .select(col("doc_id"), col("lang"), col("es_key"))
+          .orderBy(col("es_key").desc, col("doc_id")),
+      Some {
+        def dv(k: Int) =
+          s"(ascii(substr(md5(CAST(doc_id AS STRING)),$k,1)) - " +
+            s"CASE WHEN ascii(substr(md5(CAST(doc_id AS STRING)),$k,1)) >= 97 THEN 87 ELSE 48 END)"
+        val bucket = s"(${dv(1)}*4096 + ${dv(2)}*256 + ${dv(3)}*16 + ${dv(4)})"
+        s"WITH sc AS (SELECT doc_id, lang, round(ln(($bucket + 0.5) / 65536.0) " +
+          "/ CAST(length(text) AS DOUBLE), 6) AS es_key FROM documents) " +
+          "SELECT doc_id, lang, es_key FROM sc ORDER BY es_key DESC, doc_id LIMIT 50"
+      }),
 
     // ---- fixed-size deterministic sampling -------------------------------
     DeclaredQuery(

@@ -1188,6 +1188,34 @@ object ExtQueries {
           "CAST(epoch_us(min(lo)) AS BIGINT) AS start_us, CAST(epoch_us(max(hi)) AS BIGINT) AS end_us, " +
           "count(*) AS n FROM g GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // streaming conversion attribution — the streaming form of q_ext_attr1:
+    // per-user state is the (first, last) preceding-touch markers plus the
+    // per-(last,first)-pair conversion totals — O(|touch alphabet|²), never
+    // event history; each batch re-emits the user's pair list for a keyed
+    // sink to upsert. Bounded replay equals the batch window attribution,
+    // so the SAME SQL is the oracle
+    DeclaredQuery(
+      "q_ext_stream11",
+      (s, d) =>
+        EventStreams.runToMemory(s, d, EventStreams.attributionStateful,
+            OutputMode.Update, "stream_attr")
+          .groupBy("last_touch", "first_touch")
+          .agg(sum(col("n_conv")).as("n_conv"),
+            round(sum(col("revenue")), 4).as("revenue"))
+          .orderBy("last_touch", "first_touch"),
+      Some(
+        "WITH t AS (SELECT event_type, value, " +
+          "last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch, " +
+          "first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch " +
+          "FROM events) " +
+          "SELECT last_touch, first_touch, count(*) AS n_conv, round(sum(value), 4) AS revenue " +
+          "FROM t WHERE event_type = 'purchase' AND last_touch IS NOT NULL " +
+          "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // stream-stream interval join (watermarks bound the join state on both
     // sides); on a bounded replay the output equals the batch equi+range
     // join exactly — a full oracle, not just rows

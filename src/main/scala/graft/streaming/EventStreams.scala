@@ -40,6 +40,16 @@ final case class CdcState(points: Seq[(String, Long, Long)])
 final case class CdcVersion(user_id: Long, version: Int, state: String,
     valid_from_us: Long, valid_to_us: Option[Long], is_current: Boolean)
 
+/** Per-user attribution state for EventStreams.attributionStateful: the
+  * first and most recent preceding non-purchase touch ("" = none yet) plus
+  * per-(last,first)-pair conversion totals — bounded by the touch-type
+  * alphabet squared, never by event volume.
+  */
+final case class AttrState(first: String, last: String,
+    pairs: Seq[(String, String, Long, Double)])
+final case class AttrConv(user_id: Long, last_touch: String,
+    first_touch: String, n_conv: Long, revenue: Double)
+
 /** Structured Streaming variants of the event operators (SURVEY.md §7 M5):
   * `readStream` over the parquet dir → watermark + windowed aggregation /
   * custom state → sink. The declared-query harness drives them with
@@ -267,6 +277,47 @@ object EventStreams {
           out.iterator
       }
       .toDF("user_id", "island", "start_us", "end_us", "n")
+  }
+
+  /** Streaming conversion attribution — the streaming form of the
+    * first/last-touch window attribution (q_ext_attr1). Per-user state is
+    * O(|touch types|²): the first and most recent preceding non-purchase
+    * touch plus per-(last,first)-pair running conversion totals; each batch
+    * folds its time-sorted events in and re-emits the user's full pair list
+    * (Update mode) for a keyed sink to upsert. A bounded in-order replay
+    * reproduces the batch window attribution exactly — at 100 TB the state
+    * never holds event history, only the pair matrix.
+    */
+  def attributionStateful(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttrState, AttrConv](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[AttrState]) =>
+          val sorted = rows.toSeq.sortBy(r => (micros(r._2), r._3))
+          var st = state.getOption.getOrElse(AttrState("", "", Nil))
+          sorted.foreach { case (_, _, _, tpe, value) =>
+            if (tpe != "purchase")
+              st = AttrState(if (st.first.isEmpty) tpe else st.first, tpe, st.pairs)
+            else if (st.last.nonEmpty) {
+              val i = st.pairs.indexWhere(p => p._1 == st.last && p._2 == st.first)
+              val pairs =
+                if (i < 0) st.pairs :+ ((st.last, st.first, 1L, value))
+                else st.pairs.updated(i, (st.last, st.first,
+                  st.pairs(i)._3 + 1L, st.pairs(i)._4 + value))
+              st = AttrState(st.first, st.last, pairs)
+            }
+          }
+          state.update(st)
+          st.pairs.iterator.map { case (l, f, n, rev) => AttrConv(userId, l, f, n, rev) }
+      }
+      .toDF("user_id", "last_touch", "first_touch", "n_conv", "revenue")
   }
 
   /** Durable-sink variant: run a (stateless or append-safe) streaming

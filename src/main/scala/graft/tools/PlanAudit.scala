@@ -17,10 +17,12 @@ object PlanAudit {
         // skip side-effecting/streaming/iterative queries (they execute
         // real jobs while the plan is being built)
         // (dedup3/pipe2 checkpoint candidate pairs at build; sim3 collects
-        // the k-means sample; dedup2 runs the cap's plan-time doc count)
+        // the k-means sample; dedup2 runs the cap's plan-time doc count;
+        // graph1 caches + counts each PageRank iteration at build)
         val sideEffecting = Set("q_scan2", "q_ext_dedup6", "q_ext_pipe1",
           "q_ext_pipe2", "q_ext_dedup2", "q_ext_dedup3", "q_ext_sim3",
-          "q_ext_sim4", "q_ext_dedup7", "q_ext_bucket1", "q_upd1")
+          "q_ext_sim4", "q_ext_dedup7", "q_ext_bucket1", "q_upd1",
+          "q_ext_graph1")
         if (q.name.startsWith("q_ing") || q.name.startsWith("q_norm") ||
             q.name.startsWith("q_ext_stream") || sideEffecting(q.name)) {
           println(f"${q.name}%-16s SKIP (side-effecting/streaming/iterative)")

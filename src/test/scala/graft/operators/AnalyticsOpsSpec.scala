@@ -101,6 +101,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(err(16) < err(4))
   }
 
+  // ---- TextRank.unigramLogLoss ----------------------------------------
+
+  test("unigramLogLoss matches the closed form and carries keep columns") {
+    val docs = Seq((1L, "en", "a a b"), (2L, "de", "b c")).toDF("doc_id", "lang", "text")
+    val out = TextRank.unigramLogLoss(docs, "doc_id", "text", keep = Seq("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getAs[Double]("log_loss"))).toMap
+    // corpus: a=2, b=2, c=1, T=5
+    assert(out(1L)._1 === "en")
+    assert(math.abs(out(1L)._2 - -math.log(2.0 / 5)) < 1e-12)          // all 3 toks have p=0.4
+    assert(math.abs(out(2L)._2 - (-math.log(2.0 / 5) - math.log(1.0 / 5)) / 2) < 1e-12)
+  }
+
+  // ---- Curation.sampleWeighted ----------------------------------------
+
+  test("sampleWeighted returns exactly k rows, stable under repartition, keys non-positive") {
+    val df = (1 to 200).map(i => (i.toLong, 10.0 + (i % 7))).toDF("id", "w")
+    val s1 = Curation.sampleWeighted(df, "id", col("w"), k = 25)
+    val rows = s1.collect()
+    assert(rows.length === 25)
+    assert(rows.forall(_.getAs[Double]("es_key") <= 0.0))
+    val s2 = Curation.sampleWeighted(df.repartition(11), "id", col("w"), k = 25)
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      s2.collect().map(_.getLong(0)).sorted.toSeq)
+    // k larger than the table: every row survives
+    assert(Curation.sampleWeighted(df, "id", col("w"), k = 500).count() === 200L)
+  }
+
+  test("sampleWeighted favors heavier rows at equal md5 draws") {
+    // two ids with the SAME uniform draw can't exist; instead verify the
+    // monotonicity contract directly: raising a row's weight never lowers
+    // its rank, by sampling the same ids under two weight assignments
+    val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("id", "w")
+    val flat = Curation.sampleWeighted(df, "id", col("w"), k = 100)
+      .collect().map(_.getLong(0)).toSeq
+    val boosted = Curation.sampleWeighted(
+        df.withColumn("w", when(col("id") === flat.last, lit(1000.0)).otherwise(col("w"))),
+        "id", col("w"), k = 100).collect().map(_.getLong(0)).toSeq
+    assert(boosted.indexOf(flat.last) < flat.indexOf(flat.last))
+  }
+
   // ---- Curation.sampleFixedPerStratum ---------------------------------
 
   test("sampleFixedPerStratum returns exactly min(k, |stratum|) rows, stable under repartition") {

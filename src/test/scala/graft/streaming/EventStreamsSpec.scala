@@ -194,4 +194,26 @@ class EventStreamsSpec extends SparkSpec {
     val n1 = snapshot.map(_.getLong(1)).sum
     assert(n1 === n0 + 50, s"incremental merge added ${n1 - n0} rows, want 50")
   }
+
+  test("stateful streaming attribution equals the batch window attribution") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        EventStreams.attributionStateful, OutputMode.Update, "spec_attr")
+      .groupBy("last_touch", "first_touch")
+      .agg(sum(col("n_conv")).as("n_conv"), round(sum(col("revenue")), 4).as("revenue"))
+      .orderBy("last_touch", "first_touch").collect()
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = Tables.load(spark, sfDir, "events")
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .groupBy("last_touch", "first_touch")
+      .agg(count(lit(1)).as("n_conv"), round(sum(col("value")), 4).as("revenue"))
+      .orderBy("last_touch", "first_touch").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
