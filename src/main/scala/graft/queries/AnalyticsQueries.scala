@@ -21,6 +21,28 @@ object AnalyticsQueries {
   /** Doubled CTE text for the BM25 oracle (terms are inlined). */
   private val bm25Terms = Seq("spark", "join", "hash")
 
+  /** Trade-flow edge list shared by the graph queries: customer nation →
+    * supplier nation, weight = lineitems shipped along the flow.
+    */
+  private def tradeFlowEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val li = Tables.load(s, d, "lineitem")
+    val o = Tables.load(s, d, "orders")
+    val c = Tables.load(s, d, "customer")
+    val su = Tables.load(s, d, "supplier")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Doubled CTE text for the graph oracles (the same 4-table flow join). */
+  private val tradeFlowEdgesSql =
+    "SELECT c_nationkey AS src, s_nationkey AS dst, CAST(count(*) AS DOUBLE) AS w " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey " +
+      "GROUP BY 1, 2"
+
   val all: Seq[DeclaredQuery] = Seq(
 
     // ---- sparse retrieval ------------------------------------------------
@@ -70,15 +92,7 @@ object AnalyticsQueries {
     DeclaredQuery(
       "q_ext_graph1",
       (s, d) => {
-        val li = Tables.load(s, d, "lineitem")
-        val o = Tables.load(s, d, "orders")
-        val c = Tables.load(s, d, "customer")
-        val su = Tables.load(s, d, "supplier")
-        val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-          .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
-          .groupBy(c("c_nationkey").as("src"), su("s_nationkey").as("dst"))
-          .agg(count(lit(1)).as("w"))
+        val edges = tradeFlowEdges(s, d)
         val pr = Graph.pageRank(edges, "src", "dst", "w", iterations = 5)
         pr.join(broadcast(Tables.load(s, d, "nation")),
             pr("node") === col("n_nationkey"))
@@ -107,6 +121,48 @@ object AnalyticsQueries {
           "FROM r5 JOIN nation n ON r5.node = n.n_nationkey " +
           "ORDER BY round(r5.rank, 6) DESC, nationkey"
       }),
+
+    // ---- graph structure: triangles + clustering ------------------------
+    // canonical-ordered (a<b<c) triangle enumeration over the undirected
+    // trade-flow graph — the degree-ordered two-join formulation, never an
+    // open wedge blow-up; exact integer arithmetic end to end, global
+    // clustering coefficient integer-scaled (·10⁶ DIV wedges) so the oracle
+    // is libm-free.
+    DeclaredQuery(
+      "q_ext_graph2",
+      (s, d) => {
+        val e = tradeFlowEdges(s, d)
+        val und = e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"))
+        val ab = und.select(col("a"), col("b"))
+        val bc = und.select(col("a").as("b2"), col("b").as("c"))
+        val ac = und.select(col("a").as("a3"), col("b").as("c3"))
+        val tri = ab.join(bc, col("b") === col("b2"))
+          .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nEdges = und.agg(count(lit(1)).as("n_edges"))
+        tri.crossJoin(broadcast(nEdges)).crossJoin(broadcast(wedges))
+          .select(col("n_triangles"), col("n_edges"), col("wedges"),
+            expr("n_triangles * 3 * 1000000 DIV wedges").as("clustering_x1e6"))
+      },
+      Some(
+        s"WITH e AS ($tradeFlowEdgesSql), " +
+          "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+          "FROM e WHERE src <> dst), " +
+          "deg AS (SELECT node, count(*) AS deg FROM " +
+          "(SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
+          "w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS wedges FROM deg), " +
+          "tri AS (SELECT count(*) AS n_triangles FROM und ab " +
+          "JOIN und bc ON ab.b = bc.a JOIN und ac ON ac.a = ab.a AND ac.b = bc.b), " +
+          "ne AS (SELECT count(*) AS n_edges FROM und) " +
+          "SELECT n_triangles, n_edges, wedges, " +
+          "n_triangles * 3 * 1000000 // wedges AS clustering_x1e6 " +
+          "FROM tri CROSS JOIN ne CROSS JOIN w")),
 
     // ---- conversion attribution -----------------------------------------
     // last-touch / first-touch: for each purchase, the nearest and the
@@ -182,6 +238,111 @@ object AnalyticsQueries {
           "round(sum(value * n_t / tot), 4) AS revenue " +
           "FROM u GROUP BY 1 ORDER BY 1"
       }),
+
+    // ---- cohort retention ------------------------------------------------
+    // users cohorted by first-activity week; retention = distinct active
+    // users at each week offset / cohort size. One window min + two
+    // distinct-aggregations + a weeks-cardinality broadcast join — the
+    // product-analytics staple, with integer week offsets (no date
+    // arithmetic ambiguity cross-engine).
+    DeclaredQuery(
+      "q_ext_coh1",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val wu = Window.partitionBy("user_id")
+        val co = ev
+          .withColumn("cohort_week", date_trunc("week", min(col("ts")).over(wu)))
+          .withColumn("offset_w",
+            ((unix_timestamp(date_trunc("week", col("ts"))) -
+              unix_timestamp(col("cohort_week"))) / 604800L).cast("int"))
+        val sizes = co.groupBy("cohort_week")
+          .agg(countDistinct(col("user_id")).as("cohort_n"))
+        co.groupBy("cohort_week", "offset_w")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week").cast("date").as("cohort_week"), col("offset_w"),
+            col("n_active"), col("cohort_n"),
+            round(col("n_active") / col("cohort_n").cast("double"), 4).as("retention"))
+          .orderBy("cohort_week", "offset_w")
+      },
+      Some(
+        "WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1), " +
+          "c AS (SELECT e.user_id, date_trunc('week', f.first_ts) AS cohort_week, " +
+          "CAST((epoch(date_trunc('week', e.ts)) - epoch(date_trunc('week', f.first_ts))) // 604800 AS INTEGER) AS offset_w " +
+          "FROM events e JOIN f ON e.user_id = f.user_id), " +
+          "sz AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_n FROM c GROUP BY 1), " +
+          "act AS (SELECT cohort_week, offset_w, count(DISTINCT user_id) AS n_active FROM c GROUP BY 1, 2) " +
+          "SELECT CAST(act.cohort_week AS DATE) AS cohort_week, offset_w, n_active, cohort_n, " +
+          "round(n_active / CAST(cohort_n AS DOUBLE), 4) AS retention " +
+          "FROM act JOIN sz ON act.cohort_week = sz.cohort_week ORDER BY 1, 2")),
+
+    // ---- time-series resample + forward fill -----------------------------
+    // per-user daily grid from first to last activity, value carried
+    // forward over gap days (last observation per day wins, deterministic
+    // by (ts, event_id)); rolled up to a per-day corpus curve: users on
+    // grid, users carried (no observation that day), forward-filled total.
+    // Scale: sequence explode is per-user-row (no shuffle), the fill is one
+    // window pass keyed by user — state never exceeds a partition.
+    DeclaredQuery(
+      "q_ext_ts1",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val wDay = Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val daily = ev.withColumn("day", to_date(col("ts")))
+          .withColumn("rn", row_number().over(wDay))
+          .filter(col("rn") === 1).select("user_id", "day", "value")
+        val grid = ev.groupBy("user_id")
+          .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+          .select(col("user_id"),
+            explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        val wFill = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("value_ff", last(col("value"), ignoreNulls = true).over(wFill))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_users"),
+            sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_carried"),
+            round(sum(col("value_ff")), 4).as("total_ff"))
+          .orderBy("day")
+      },
+      Some(
+        "WITH daily0 AS (SELECT user_id, CAST(ts AS DATE) AS day, value, " +
+          "row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn FROM events), " +
+          "d1 AS (SELECT user_id, day, value FROM daily0 WHERE rn = 1), " +
+          "span AS (SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS dmax FROM events GROUP BY 1), " +
+          "grid AS (SELECT user_id, CAST(unnest(generate_series(d0, dmax, INTERVAL 1 DAY)) AS DATE) AS day FROM span), " +
+          "j AS (SELECT g.user_id, g.day, d1.value FROM grid g LEFT JOIN d1 " +
+          "ON g.user_id = d1.user_id AND g.day = d1.day), " +
+          "f AS (SELECT user_id, day, value, last_value(value IGNORE NULLS) " +
+          "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff FROM j) " +
+          "SELECT day, count(*) AS n_users, " +
+          "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_carried, " +
+          "round(sum(value_ff), 4) AS total_ff FROM f GROUP BY 1 ORDER BY 1")),
+
+    // ---- behavior transition matrix --------------------------------------
+    // first-order Markov transitions between consecutive event types per
+    // user: one lag window pass, one groupBy, per-source probabilities from
+    // a window over the (|alphabet|²)-sized grouped frame.
+    DeclaredQuery(
+      "q_ext_evt5",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("curr"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob",
+            round(col("n") / sum(col("n")).over(Window.partitionBy("prev")).cast("double"), 4))
+          .orderBy("prev", "curr")
+      },
+      Some(
+        "WITH t AS (SELECT user_id, event_type, " +
+          "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+          "g AS (SELECT prev, event_type AS curr, count(*) AS n FROM t WHERE prev IS NOT NULL GROUP BY 1, 2) " +
+          "SELECT prev, curr, n, round(n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 4) AS prob " +
+          "FROM g ORDER BY 1, 2")),
 
     // ---- robust anomaly detection ---------------------------------------
     // per-type MAD z-score: |value − median| > 3 · 1.4826 · MAD. Median/MAD

@@ -45,6 +45,9 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_attr1" -> "IGNORE NULLS inside the call parens (Spark: last(expr) IGNORE NULLS)",
     "q_ext_stream11" -> "IGNORE NULLS inside the call parens (Spark: last(expr) IGNORE NULLS)",
     "q_ext_txt7" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_coh1" -> "epoch() + // integer division (Spark: unix_timestamp/DIV)",
+    "q_ext_ts1" -> "unnest(generate_series) + in-paren IGNORE NULLS",
+    "q_ext_graph2" -> "// integer division (Spark: DIV)",
     "q_ext_quant1" -> "list_transform/list_sum/len (DuckDB list functions)",
     "q_ext_dedup2" -> "string_split (Spark: split)",
     "q_ext_decon1" -> "string_split/unnest (Spark: split/explode)",
