@@ -37,4 +37,33 @@ object Quantize {
     df.withColumn("mean_abs_err",
       aggregate(absErr, lit(0.0), (acc, e) => acc + e) / size(col(vecCol)))
   }
+
+  /** Product-quantization-shaped reconstruction error: the vector splits
+    * into `m` contiguous subvectors of `subLen` elements and each subvector
+    * is min/max scalar-quantized INDEPENDENTLY at `levels` levels — the
+    * grid-codebook special case of PQ, which already captures PQ's defining
+    * property (per-subspace dynamic range: a vector with one wild dimension
+    * quantizes the other subspaces finely instead of stretching one global
+    * grid). Appends `pq_mean_abs_err` (mean |x − x̂| over all m·subLen
+    * elements). Caller asserts m·subLen = vector length (dims are a schema
+    * property). Same row-local/codegen story as [[reconstructionError]].
+    */
+  def subvectorReconstructionError(df: DataFrame, vecCol: String, m: Int,
+      subLen: Int, levels: Int = 16): DataFrame = {
+    require(m >= 1 && subLen >= 1 && levels >= 2,
+      s"Quantize.subvectorReconstructionError: bad shape m=$m subLen=$subLen levels=$levels")
+    val steps = lit((levels - 1).toDouble)
+    val v: Column = transform(col(vecCol), x => x.cast("double"))
+    val subErr = (0 until m).map { j =>
+      val sub = slice(v, j * subLen + 1, subLen)
+      val mn = array_min(sub)
+      val span = array_max(sub) - mn
+      val dequant: Column => Column = x =>
+        mn + round((x - mn) / span * steps) / steps * span
+      val absErr = transform(sub, x =>
+        when(span === 0.0, lit(0.0)).otherwise(abs(x - dequant(x))))
+      aggregate(absErr, lit(0.0), (acc, e) => acc + e)
+    }.reduce(_ + _)
+    df.withColumn("pq_mean_abs_err", subErr / lit((m * subLen).toDouble))
+  }
 }

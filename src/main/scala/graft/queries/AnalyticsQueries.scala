@@ -465,6 +465,74 @@ object AnalyticsQueries {
           "SELECT lang, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id " +
           "FROM rk WHERE sample_rank <= 5 ORDER BY 1, 2")),
 
+    // ---- referential-integrity audit ------------------------------------
+    // the data-quality gate a pipeline runs after every ingest: per FK edge,
+    // child row count and orphan count (left-anti against the distinct
+    // parent key). Each arm is one anti-join that Catalyst plans broadcast
+    // for dim parents and shuffle for fact parents; lazy end to end.
+    DeclaredQuery(
+      "q_ext_dq1",
+      (s, d) => {
+        def audit(edge: String, child: org.apache.spark.sql.DataFrame, key: String,
+            parent: org.apache.spark.sql.DataFrame, pk: String) = {
+          val orphans = child.select(col(key).as("k"))
+            .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+          child.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+            .select(lit(edge).as("fk"), col("n_rows"), col("n_orphans"))
+        }
+        val li = Tables.load(s, d, "lineitem"); val o = Tables.load(s, d, "orders")
+        val c = Tables.load(s, d, "customer"); val su = Tables.load(s, d, "supplier")
+        val p = Tables.load(s, d, "part"); val n = Tables.load(s, d, "nation")
+        val r = Tables.load(s, d, "region")
+        Seq(
+          audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+          audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+          audit("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+          audit("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+          audit("nation.n_regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+          audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+          audit("supplier.s_nationkey->nation", su, "s_nationkey", n, "n_nationkey")
+        ).reduce(_ union _).orderBy("fk")
+      },
+      Some {
+        def arm(edge: String, child: String, key: String, parent: String, pk: String) =
+          s"SELECT '$edge' AS fk, (SELECT count(*) FROM $child) AS n_rows, " +
+            s"(SELECT count(*) FROM $child ch WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM $parent pa WHERE pa.$pk = ch.$key)) AS n_orphans"
+        Seq(
+          arm("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+          arm("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          arm("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          arm("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          arm("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+          arm("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+          arm("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey")
+        ).mkString("", " UNION ALL ", " ORDER BY fk")
+      }),
+
+    // ---- rank-based normalization ---------------------------------------
+    // per-type value deciles (ntile over a deterministic (value, event_id)
+    // order): the rank-normalization a feature pipeline applies before
+    // mixing heterogeneous quality scores.
+    DeclaredQuery(
+      "q_ext_scale1",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        Tables.load(s, d, "events")
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy("event_type", "decile")
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("lo"), round(max(col("value")), 4).as("hi"))
+          .orderBy("event_type", "decile")
+      },
+      Some(
+        "WITH t AS (SELECT event_type, value, " +
+          "ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile FROM events) " +
+          "SELECT event_type, CAST(decile AS INTEGER) AS decile, count(*) AS n, " +
+          "round(min(value), 4) AS lo, round(max(value), 4) AS hi " +
+          "FROM t GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // ---- embedding quantization -----------------------------------------
     // int8 per-vector scalar quantization: reconstruction error per label
     // cohort, plus the theoretical half-step bound it must stay under
@@ -495,6 +563,38 @@ object AnalyticsQueries {
           "FROM embeddings) " +
           "SELECT label, count(*) AS n, round(avg(mean_abs_err), 6) AS avg_err, " +
           "round(max(mean_abs_err - half_step), 6) AS max_excess " +
-          "FROM q GROUP BY 1 ORDER BY 1"))
+          "FROM q GROUP BY 1 ORDER BY 1")),
+
+    // product-quantization-shaped variant: 4 independent 16-element
+    // subvectors at 16 levels (4-bit codes — the classic PQ budget), error
+    // aggregated per label cohort; per-subspace dynamic range is what PQ
+    // buys over one global grid, and this measures it with the same
+    // codegen'd HOF machinery.
+    DeclaredQuery(
+      "q_ext_quant2",
+      (s, d) =>
+        Quantize.subvectorReconstructionError(
+            Tables.load(s, d, "embeddings"), "embedding", m = 4, subLen = 16, levels = 16)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("pq_mean_abs_err")), 6).as("avg_err"),
+            round(max(col("pq_mean_abs_err")), 6).as("max_err"))
+          .orderBy("label"),
+      Some {
+        def sub(j: Int) = {
+          val (a, b) = (j * 16 + 1, j * 16 + 16)
+          val sl = s"embedding[$a:$b]"
+          s"list_sum(list_transform($sl, x -> CASE WHEN list_max($sl) = list_min($sl) THEN 0.0 " +
+            s"ELSE abs(CAST(x AS DOUBLE) - (CAST(list_min($sl) AS DOUBLE) + " +
+            s"round((CAST(x AS DOUBLE) - CAST(list_min($sl) AS DOUBLE)) / " +
+            s"(CAST(list_max($sl) AS DOUBLE) - CAST(list_min($sl) AS DOUBLE)) * 15.0) / 15.0 * " +
+            s"(CAST(list_max($sl) AS DOUBLE) - CAST(list_min($sl) AS DOUBLE)))) END))"
+        }
+        val total = (0 until 4).map(sub).mkString(" + ")
+        s"WITH q AS (SELECT label, ($total) / 64.0 AS pq_mean_abs_err FROM embeddings) " +
+          "SELECT label, count(*) AS n, round(avg(pq_mean_abs_err), 6) AS avg_err, " +
+          "round(max(pq_mean_abs_err), 6) AS max_err " +
+          "FROM q GROUP BY 1 ORDER BY 1"
+      })
   )
 }

@@ -1216,6 +1216,39 @@ object ExtQueries {
           "FROM t WHERE event_type = 'purchase' AND last_touch IS NOT NULL " +
           "GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // streaming per-type value histogram (bounded (bin,count) state — the
+    // sketch behind streaming quantiles): the fold IS the batch
+    // floor(value/25) groupBy, so the full SQL oracle applies; p50/p95
+    // estimated from cumulative bins with integer-exact comparisons
+    DeclaredQuery(
+      "q_ext_stream12",
+      (s, d) => {
+        val hist = EventStreams.runToMemory(s, d,
+          df => EventStreams.histogramStateful(df, binWidth = 25.0),
+          OutputMode.Update, "stream_hist")
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("bin")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wt = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        hist.withColumn("cum", sum(col("n")).over(wc))
+          .withColumn("tot", sum(col("n")).over(wt))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_bins"), max(col("tot")).as("n"),
+            min(when(col("cum") * 2 >= col("tot"), col("bin"))).as("p50_bin"),
+            min(when(col("cum") * 20 >= col("tot") * 19, col("bin"))).as("p95_bin"))
+          .orderBy("event_type")
+      },
+      Some(
+        "WITH h AS (SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n " +
+          "FROM events GROUP BY 1, 2), " +
+          "c AS (SELECT event_type, bin, n, " +
+          "sum(n) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "sum(n) OVER (PARTITION BY event_type) AS tot FROM h) " +
+          "SELECT event_type, count(*) AS n_bins, CAST(max(tot) AS BIGINT) AS n, " +
+          "min(CASE WHEN cum * 2 >= tot THEN bin END) AS p50_bin, " +
+          "min(CASE WHEN cum * 20 >= tot * 19 THEN bin END) AS p95_bin " +
+          "FROM c GROUP BY 1 ORDER BY 1")),
+
     // stream-stream interval join (watermarks bound the join state on both
     // sides); on a bounded replay the output equals the batch equi+range
     // join exactly — a full oracle, not just rows

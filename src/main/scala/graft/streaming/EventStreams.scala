@@ -50,6 +50,12 @@ final case class AttrState(first: String, last: String,
 final case class AttrConv(user_id: Long, last_touch: String,
     first_touch: String, n_conv: Long, revenue: Double)
 
+/** Per-type histogram state for EventStreams.histogramStateful: (bin, count)
+  * pairs — bounded by the value range / bin width, never by event volume.
+  */
+final case class HistState(bins: Seq[(Long, Long)])
+final case class HistBin(event_type: String, bin: Long, n: Long)
+
 /** Structured Streaming variants of the event operators (SURVEY.md §7 M5):
   * `readStream` over the parquet dir → watermark + windowed aggregation /
   * custom state → sink. The declared-query harness drives them with
@@ -318,6 +324,39 @@ object EventStreams {
           st.pairs.iterator.map { case (l, f, n, rev) => AttrConv(userId, l, f, n, rev) }
       }
       .toDF("user_id", "last_touch", "first_touch", "n_conv", "revenue")
+  }
+
+  /** Streaming fixed-width value histogram per event type — the bounded
+    * sketch behind streaming quantile estimates: state is the (bin, count)
+    * map, sized by the value range over `binWidth` regardless of event
+    * volume; each batch folds its values in and re-emits the type's full
+    * histogram (Update mode) for a keyed sink to upsert. Downstream,
+    * cumulative-sum windows over the bins give p50/p95 estimates with
+    * integer-exact arithmetic — and the fold is exactly the batch
+    * `floor(value/binWidth)` groupBy, so a full SQL oracle applies (not
+    * just an error bound).
+    */
+  def histogramStateful(events: DataFrame, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "histogramStateful: binWidth must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HistState, HistBin](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (tpe, rows, state: GroupState[HistState]) =>
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.bins.foreach { case (b, n) => m(b) = n })
+          rows.foreach { case (_, v) =>
+            val b = math.floor(v / binWidth).toLong
+            m(b) = m.getOrElse(b, 0L) + 1L
+          }
+          state.update(HistState(m.toSeq))
+          m.iterator.map { case (b, n) => HistBin(tpe, b, n) }
+      }
+      .toDF("event_type", "bin", "n")
   }
 
   /** Durable-sink variant: run a (stateless or append-safe) streaming

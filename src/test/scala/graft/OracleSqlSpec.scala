@@ -49,6 +49,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_ts1" -> "unnest(generate_series) + in-paren IGNORE NULLS",
     "q_ext_graph2" -> "// integer division (Spark: DIV)",
     "q_ext_quant1" -> "list_transform/list_sum/len (DuckDB list functions)",
+    "q_ext_quant2" -> "list slicing + list_transform/list_sum (DuckDB list functions)",
     "q_ext_dedup2" -> "string_split (Spark: split)",
     "q_ext_decon1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_chunk1" -> "string_split/unnest/list_slice + // integer division",

@@ -92,6 +92,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(byId(3L)._1 <= byId(3L)._2 + 1e-12)
   }
 
+  test("subvector (PQ) quantization beats one global grid on range-skewed vectors") {
+    // subvector 1 spans [0,1], subvector 2 spans [0,1000]: a global 16-level
+    // grid wrecks the small subspace; per-subvector grids keep both fine
+    val vecs = Seq((1L, Array(0.0f, 0.33f, 0.66f, 1.0f, 0.0f, 330.0f, 660.0f, 1000.0f)))
+      .toDF("id", "embedding")
+    val pq = Quantize.subvectorReconstructionError(vecs, "embedding", m = 2, subLen = 4,
+      levels = 16).head().getAs[Double]("pq_mean_abs_err")
+    val flat = Quantize.reconstructionError(vecs, "embedding", levels = 16)
+      .head().getAs[Double]("mean_abs_err")
+    assert(pq < flat)
+    // each subvector error respects its own half-step bound
+    assert(pq <= (1.0 / 30 + 1000.0 / 30) / 2 + 1e-12)
+  }
+
   test("quantization error shrinks as levels grow") {
     val vecs = Seq((1L, Array(0.13f, 0.57f, 0.91f, 0.04f))).toDF("id", "embedding")
     def err(levels: Int): Double =

@@ -195,6 +195,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(n1 === n0 + 50, s"incremental merge added ${n1 - n0} rows, want 50")
   }
 
+  test("stateful streaming histogram equals the batch binned groupBy") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStreams.runToMemory(spark, sfDir,
+        df => EventStreams.histogramStateful(df, binWidth = 25.0),
+        OutputMode.Update, "spec_hist")
+      .orderBy("event_type", "bin").collect()
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("event_type"), floor(col("value") / 25.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful streaming attribution equals the batch window attribution") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
