@@ -465,6 +465,93 @@ object AnalyticsQueries {
           "SELECT lang, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id " +
           "FROM rk WHERE sample_rank <= 5 ORDER BY 1, 2")),
 
+    // ---- A/B experiment analysis ----------------------------------------
+    // users deterministically assigned to two arms by md5-bucket parity
+    // (the engine-independent randomization a real experiment framework
+    // uses), conversion = any high-value purchase (>450 — every user has
+    // SOME purchase at this event density, so plain "any purchase" would
+    // degenerate to rate 1 and zero variance); two-proportion z-score,
+    // guarded for the all-or-none variance-0 edge. Every arithmetic step is
+    // an IEEE basic op (+,−,×,÷,sqrt — all correctly rounded by both
+    // engines), so the z-score is bit-identical cross-engine with NO
+    // rounding guard needed; rounded to 6 for display.
+    DeclaredQuery(
+      "q_ext_ab1",
+      (s, d) => {
+        val users = Tables.load(s, d, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 450.0, 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("arm", Curation.uniformBucket16(col("user_id")) % 2)
+        val arms = users.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+        val a = arms.filter(col("arm") === 0)
+          .select(col("n").as("n_a"), col("n_conv").as("conv_a"))
+        val b = arms.filter(col("arm") === 1)
+          .select(col("n").as("n_b"), col("n_conv").as("conv_b"))
+        val pa = col("conv_a") / col("n_a").cast("double")
+        val pb = col("conv_b") / col("n_b").cast("double")
+        val pp = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")).cast("double")
+        a.crossJoin(b).select(
+          col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+          round(when(pp > 0.0 && pp < 1.0,
+            (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 6).as("z"))
+      },
+      Some {
+        def dv(k: Int) =
+          s"(ascii(substr(md5(CAST(user_id AS STRING)),$k,1)) - " +
+            s"CASE WHEN ascii(substr(md5(CAST(user_id AS STRING)),$k,1)) >= 97 THEN 87 ELSE 48 END)"
+        val bucket = s"(${dv(1)}*4096 + ${dv(2)}*256 + ${dv(3)}*16 + ${dv(4)})"
+        s"WITH u AS (SELECT user_id, $bucket % 2 AS arm, " +
+          "max(CASE WHEN event_type = 'purchase' AND value > 450.0 THEN 1 ELSE 0 END) AS conv " +
+          "FROM events GROUP BY 1), " +
+          "arms AS (SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS n_conv FROM u GROUP BY 1), " +
+          "a AS (SELECT n AS n_a, n_conv AS conv_a FROM arms WHERE arm = 0), " +
+          "b AS (SELECT n AS n_b, n_conv AS conv_b FROM arms WHERE arm = 1), " +
+          "s AS (SELECT n_a, n_b, conv_a, conv_b, " +
+          "(conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pp FROM a CROSS JOIN b) " +
+          "SELECT n_a, n_b, conv_a, conv_b, " +
+          "round(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a, " +
+          "round(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b, " +
+          "round(CASE WHEN pp > 0.0 AND pp < 1.0 THEN " +
+          "(conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE)) / " +
+          "sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z " +
+          "FROM s"
+      }),
+
+    // ---- column profiling -------------------------------------------------
+    // the ANALYZE-style profile a pipeline records per ingest: per column,
+    // null count, exact distinct count, lexical min/max — only types whose
+    // string form is engine-stable (strings, integers, dates; doubles
+    // deliberately excluded: Double.toString differs across engines).
+    DeclaredQuery(
+      "q_ext_prof1",
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        def prof(name: String) =
+          o.agg(count(lit(1)).as("n"),
+            sum(when(col(name).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(name)).as("n_distinct"),
+            min(col(name).cast("string")).as("min_s"),
+            max(col(name).cast("string")).as("max_s"))
+            .select(lit(name).as("col_name"), col("n"), col("n_null"),
+              col("n_distinct"), col("min_s"), col("max_s"))
+        Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+          .map(prof).reduce(_ union _).orderBy("col_name")
+      },
+      Some {
+        def arm(name: String) =
+          s"SELECT '$name' AS col_name, count(*) AS n, " +
+            s"CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+            s"count(DISTINCT $name) AS n_distinct, " +
+            s"min(CAST($name AS STRING)) AS min_s, max(CAST($name AS STRING)) AS max_s " +
+            "FROM orders"
+        Seq("o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus")
+          .map(arm).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
     // ---- referential-integrity audit ------------------------------------
     // the data-quality gate a pipeline runs after every ingest: per FK edge,
     // child row count and orphan count (left-anti against the distinct
