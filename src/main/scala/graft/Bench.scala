@@ -11,6 +11,45 @@ object Bench {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
 
+  private val B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+  /** Front-code sorted (name, value) entries into one comma-joined string.
+    *
+    * Each entry is `B36(L) + suffix + ":" + value` where L (one base-36
+    * char, capped at 35) is the number of leading characters the name shares
+    * with the PREVIOUS entry's name — `name = prev_name[:L] + suffix`.
+    * Query names sort into dense prefix families (q_agg…, q_ext_stream…),
+    * so the shared-prefix char replaces most of each name; values are
+    * integers in the caller's unit (negative = failed run marker). The
+    * encoding is self-describing modulo this one rule, which the emitted
+    * line carries in its "enc" field.
+    */
+  def encodeEntries(entries: Seq[(String, Long)]): String = {
+    val sb = new StringBuilder
+    var prev = ""
+    entries.foreach { case (name, v) =>
+      val max = math.min(math.min(prev.length, name.length), 35)
+      var l = 0
+      while (l < max && prev(l) == name(l)) l += 1
+      if (sb.nonEmpty) sb += ','
+      sb += B36(l) ++= name.substring(l) += ':' ++= v.toString
+      prev = name
+    }
+    sb.result()
+  }
+
+  /** Inverse of [[encodeEntries]]; used by the spec and offline decoders. */
+  def decodeEntries(s: String): Seq[(String, Long)] = {
+    var prev = ""
+    s.split(',').toSeq.filter(_.nonEmpty).map { e =>
+      val cut = e.lastIndexOf(':')
+      val l = B36.indexOf(e.charAt(0))
+      val name = prev.substring(0, l) + e.substring(1, cut)
+      prev = name
+      name -> e.substring(cut + 1).toLong
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
@@ -81,21 +120,19 @@ object Bench {
 
     // COMPACT final line, sized for the driver's 2000-char stdout tail: all
     // query keys must be parseable from the captured artifact itself.
-    // "queries" keys drop the "q_" prefix, "queries_ext" keys drop the
-    // "q_ext_" prefix (restore: name = prefix + key, prefixes are in the
-    // line); values are integer centiseconds (restore: sec = v / 100;
-    // negative = failed). If an unusually slow host pushes the line past
-    // the window, values degrade to deciseconds ("q_unit":"ds",
+    // Per-query entries are FRONT-CODED (see encodeEntries) — ~7.4 chars per
+    // query at the 172-query inventory (1.5k chars total) vs ~13 for a plain
+    // JSON map, so the line holds ≤1985 chars out to ~235 queries in
+    // centiseconds; if an unusually slow host or a larger inventory pushes
+    // past the window, values degrade to deciseconds ("q_unit":"ds",
     // sec = v / 10) rather than lose keys off the front. Full precision,
     // full names, and per-round samples live in the side artifact.
     def compact(div: Double, unit: String): String = {
-      def m(xs: Seq[(String, Double)], pre: String) = xs.map { case (k, v) =>
-        "\"" + k.stripPrefix(pre) + "\":" + math.round(v / div) }.mkString("{", ",", "}")
-      val (ext, plain) = medians.partition(_._1.startsWith("q_ext_"))
+      val entries = medians.map { case (k, v) => k -> math.round(v / div) }
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_min":${d3(totalMin)},""" +
         s""""n_failed":${errors.size},"rounds":$rounds,"stat":"median","q_unit":"$unit",""" +
-        s""""q_prefix":"q_","ext_prefix":"q_ext_","sf":"${new java.io.File(sfDir).getName}",""" +
-        s""""queries":${m(plain, "q_")},"queries_ext":${m(ext, "q_ext_")}}"""
+        s""""enc":"entry=B36(L)+suffix:$unit, name=prev_name[:L]+suffix",""" +
+        s""""sf":"${new java.io.File(sfDir).getName}","qs":"${encodeEntries(entries)}"}"""
     }
     val line = {
       val cs = compact(0.01, "cs")

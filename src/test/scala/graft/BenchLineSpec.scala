@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The compact bench line is the only part of the per-round artifact the
+  * driver's ~2000-char stdout tail is guaranteed to retain, so its encoding
+  * has a hard budget: every declared query key must be decodable from the
+  * captured line itself (VERDICT r6 item 2).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  test("front-coding round-trips the real declared-query inventory") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val entries = names.zipWithIndex.map { case (n, i) => n -> (i.toLong * 37 - 500) }
+    assert(Bench.decodeEntries(Bench.encodeEntries(entries)) == entries)
+  }
+
+  test("compact line stays under the 1985-char tail budget at the current inventory") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst realistic case: every query at 4-digit centiseconds (10-99 s)
+    val entries = names.map(_ -> 9999L)
+    val qs = Bench.encodeEntries(entries)
+    val header = 230 // measured envelope of the non-qs fields
+    assert(qs.length + header <= 1985,
+      s"compact line would be ${qs.length + header} chars at ${names.size} queries; " +
+        "grow the deciseconds fallback or re-derive the encoding")
+  }
+
+  test("front-coding round-trips arbitrary sorted name lists") {
+    val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(cs => "q_" + cs.mkString.take(40))
+    val listGen = for {
+      names <- Gen.listOfN(60, nameGen)
+      vals <- Gen.listOfN(60, Gen.chooseNum(-99999L, 99999L))
+    } yield names.distinct.sorted.zip(vals)
+    (1 to 200).foreach { i =>
+      val entries = listGen(Gen.Parameters.default, Seed(i.toLong)).get
+      assert(Bench.decodeEntries(Bench.encodeEntries(entries)) == entries,
+        s"seed $i round-trip mismatch")
+    }
+  }
+
+  test("prefix sharing is capped at 35 chars so B36(L) stays one char") {
+    val long = "q_" + ("x" * 50)
+    val entries = Seq(long + "a" -> 1L, long + "b" -> 2L)
+    assert(Bench.decodeEntries(Bench.encodeEntries(entries)) == entries)
+  }
+}
