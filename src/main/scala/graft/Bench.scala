@@ -13,6 +13,15 @@ object Bench {
 
   private val B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
 
+  /** Entries per restart point: every Nth entry carries its FULL name
+    * (L forced to 0) so a head-truncated capture re-synchronizes at the
+    * next restart instead of losing every remaining entry (front-coding
+    * is a prefix chain — one lost link would otherwise break the rest).
+    * 16 costs ~70 chars at the 172-query inventory and bounds truncation
+    * loss to one block.
+    */
+  private val RestartEvery = 16
+
   /** Front-code sorted (name, value) entries into one comma-joined string.
     *
     * Each entry is `B36(L) + suffix + ":" + value` where L (one base-36
@@ -20,17 +29,20 @@ object Bench {
     * with the PREVIOUS entry's name — `name = prev_name[:L] + suffix`.
     * Query names sort into dense prefix families (q_agg…, q_ext_stream…),
     * so the shared-prefix char replaces most of each name; values are
-    * integers in the caller's unit (negative = failed run marker). The
+    * integers in the caller's unit (negative = failed run marker). Every
+    * [[RestartEvery]]th entry is a restart point (L = 0, full name). The
     * encoding is self-describing modulo this one rule, which the emitted
     * line carries in its "enc" field.
     */
   def encodeEntries(entries: Seq[(String, Long)]): String = {
     val sb = new StringBuilder
     var prev = ""
-    entries.foreach { case (name, v) =>
-      val max = math.min(math.min(prev.length, name.length), 35)
+    entries.zipWithIndex.foreach { case ((name, v), i) =>
       var l = 0
-      while (l < max && prev(l) == name(l)) l += 1
+      if (i % RestartEvery != 0) {
+        val max = math.min(math.min(prev.length, name.length), 35)
+        while (l < max && prev(l) == name(l)) l += 1
+      }
       if (sb.nonEmpty) sb += ','
       sb += B36(l) ++= name.substring(l) += ':' ++= v.toString
       prev = name
@@ -38,15 +50,26 @@ object Bench {
     sb.result()
   }
 
-  /** Inverse of [[encodeEntries]]; used by the spec and offline decoders. */
+  /** Inverse of [[encodeEntries]]; used by the spec and offline decoders.
+    * Tolerates a head-truncated input: malformed fragments and entries
+    * whose prefix context was lost are skipped until the next restart
+    * point (L = 0) re-synchronizes the name chain.
+    */
   def decodeEntries(s: String): Seq[(String, Long)] = {
-    var prev = ""
-    s.split(',').toSeq.filter(_.nonEmpty).map { e =>
+    var prev: String = null // null = out of sync, wait for a restart point
+    s.split(',').toSeq.flatMap { e =>
       val cut = e.lastIndexOf(':')
-      val l = B36.indexOf(e.charAt(0))
-      val name = prev.substring(0, l) + e.substring(1, cut)
-      prev = name
-      name -> e.substring(cut + 1).toLong
+      val l = if (e.isEmpty) -1 else B36.indexOf(e.charAt(0))
+      if (cut < 1 || l < 0 || (prev == null && l > 0) || (prev != null && l > prev.length) ||
+          !e.substring(cut + 1).matches("-?\\d+")) None
+      else {
+        val name = (if (l == 0) "" else prev.substring(0, l)) + e.substring(1, cut)
+        if (name.isEmpty) None // a truncated fragment can masquerade as "0:<v>"
+        else {
+          prev = name
+          Some(name -> e.substring(cut + 1).toLong)
+        }
+      }
     }
   }
 
@@ -120,11 +143,11 @@ object Bench {
 
     // COMPACT final line, sized for the driver's 2000-char stdout tail: all
     // query keys must be parseable from the captured artifact itself.
-    // Per-query entries are FRONT-CODED (see encodeEntries) — ~7.4 chars per
-    // query at the 172-query inventory (1.5k chars total) vs ~13 for a plain
-    // JSON map, so the line holds ≤1985 chars out to ~235 queries in
-    // centiseconds; if an unusually slow host or a larger inventory pushes
-    // past the window, values degrade to deciseconds ("q_unit":"ds",
+    // Per-query entries are FRONT-CODED (see encodeEntries) — ~7.8 chars per
+    // query at the 172-query inventory (1.55k chars total, incl. restart
+    // points) vs ~13 for a plain JSON map, so the line holds ≤1985 chars out
+    // to ~220 queries in centiseconds; if an unusually slow host or a larger
+    // inventory pushes past the window, values degrade to deciseconds ("q_unit":"ds",
     // sec = v / 10) rather than lose keys off the front. Full precision,
     // full names, and per-round samples live in the side artifact.
     def compact(div: Double, unit: String): String = {

@@ -46,4 +46,23 @@ class BenchLineSpec extends AnyFunSuite {
     val entries = Seq(long + "a" -> 1L, long + "b" -> 2L)
     assert(Bench.decodeEntries(Bench.encodeEntries(entries)) == entries)
   }
+
+  test("head truncation loses at most one restart block, never corrupts") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val entries = names.zipWithIndex.map { case (n, i) => n -> (i.toLong * 7 + 3) }
+    val expected = entries.toMap
+    val encoded = Bench.encodeEntries(entries)
+    // the driver's tail capture cuts an arbitrary head off the line; the
+    // decoder must skip the orphaned fragments and re-sync at the next
+    // restart point (full-name entry), recovering everything after it
+    (0 until encoded.length by 97).foreach { cut =>
+      val decoded = Bench.decodeEntries(encoded.substring(cut))
+      decoded.foreach { case (n, v) =>
+        assert(expected.get(n).contains(v), s"cut=$cut corrupted entry $n -> $v")
+      }
+      val entriesLost = encoded.substring(0, cut).count(_ == ',') + 1
+      assert(decoded.size >= entries.size - entriesLost - 16,
+        s"cut=$cut recovered only ${decoded.size} of ${entries.size}")
+    }
+  }
 }

@@ -8,7 +8,9 @@ fully-contained one are dropped, matching the driver's stdout capture).
 Entry format: B36(L) + suffix + ":" + value, where L is the number of
 leading chars shared with the PREVIOUS entry's name (name = prev[:L] +
 suffix); values are integers in the line's "q_unit" (cs = centiseconds,
-ds = deciseconds; negative = failed run).
+ds = deciseconds; negative = failed run). Every 16th entry is a restart
+point (L = 0, full name), so a head-truncated capture loses at most the
+entries before the next restart.
 """
 import json, sys
 
@@ -17,15 +19,17 @@ B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
 
 def decode(qs: str, unit: str) -> dict:
     div = {"cs": 100.0, "ds": 10.0}[unit]
-    prev, out = "", {}
+    prev, out = None, {}  # prev=None: out of sync until a restart (L=0) entry
     for e in qs.split(","):
-        if not e:
-            continue
         cut = e.rfind(":")
-        l = B36.index(e[0])
-        if l > len(prev):  # truncated head: this entry's prefix is lost
+        l = B36.find(e[0]) if e else -1
+        if (cut < 1 or l < 0 or (prev is None and l > 0)
+                or (prev is not None and l > len(prev))
+                or not e[cut + 1:].lstrip("-").isdigit()):
+            continue  # orphaned/malformed fragment from a truncated head
+        name = ("" if l == 0 else prev[:l]) + e[1:cut]
+        if not name:  # a truncated fragment can masquerade as "0:<v>"
             continue
-        name = prev[:l] + e[1:cut]
         out[name] = int(e[cut + 1:]) / div
         prev = name
     return out
