@@ -77,6 +77,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    // Data-contract gate (round-7 lesson): a silent encoding drift in the
+    // driver's parquet must fail the bench loudly at setup, not surface as
+    // 5 mysterious blowups. Throws with a full schema diff.
+    Tables.verifyContract(spark, sfDir)
     // untimed warmup: absorb session/scheduler/codegen startup so it isn't
     // attributed to whichever query happens to run first
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -131,12 +135,19 @@ object Bench {
     // FULL artifact (full names, full precision, median + min + raw rounds)
     // → a file, because the round driver retains only the last ~2000 chars
     // of stdout. This is what BENCH_local_r{N}.json is copied from.
+    // A failed query is null in queries/queries_min (its detail lives in
+    // "errors"; raw per-round elapsed — negative = that run failed — stays
+    // in "samples" only), so no consumer mistakes a sentinel for a timing.
     def qmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "null" else v.toString) }
+        .mkString("{", ",", "}")
+    def qmapRaw(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
         s""""queries":${qmap(medians)},"queries_min":${qmap(mins)},""" +
-        s""""samples":[${samples.map(m => qmap(ordered.map { case (n, _) => n -> m(n) })).mkString(",")}],""" +
+        s""""samples":[${samples.map(m => qmapRaw(ordered.map { case (n, _) => n -> m(n) })).mkString(",")}],""" +
+        s""""failed_convention":"queries/queries_min: null = failed (see errors); samples: negative = that run failed",""" +
         s""""errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -154,7 +165,7 @@ object Bench {
       val entries = medians.map { case (k, v) => k -> math.round(v / div) }
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_min":${d3(totalMin)},""" +
         s""""n_failed":${errors.size},"rounds":$rounds,"stat":"median","q_unit":"$unit",""" +
-        s""""enc":"entry=B36(L)+suffix:$unit, name=prev_name[:L]+suffix",""" +
+        s""""enc":"entry=B36(L)+suffix:$unit, name=prev_name[:L]+suffix, v<0=failed",""" +
         s""""sf":"${new java.io.File(sfDir).getName}","qs":"${encodeEntries(entries)}"}"""
     }
     val line = {

@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+      // write TIMESTAMP(MICROS), not the INT96 legacy default: INT96 has no
+      // usable min/max stats (no row-group pruning on time predicates) and
+      // isn't annotated, so footer-driven readers can't negotiate it
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

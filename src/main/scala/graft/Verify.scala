@@ -11,6 +11,10 @@ object Verify {
     val only = args.drop(2).toSet
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
+    // Data-contract gate (round-7 lesson): fail the WHOLE run with a named
+    // schema diff if the driver's parquet drifted from the expected types —
+    // 20 silent wrong answers are worse than one loud setup failure.
+    Tables.verifyContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

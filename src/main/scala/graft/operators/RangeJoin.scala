@@ -66,6 +66,50 @@ object RangeJoin {
           "the offending interval (open-ended sentinel hi values are the usual cause)")))))
   }
 
+  /** Named failure for a bucket distribution that would degenerate the
+    * equi-join: nearly every row hashing to one bucket key is a full-table
+    * hot partition — the round-7 collapsed-time failure mode, where a
+    * silent unit drift squeezed 30 days into ~3 buckets and turned an
+    * O(points + intervals·2) plan into an effectively quadratic one.
+    */
+  final class DegenerateBucketDistributionException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Optional pre-join skew probe: fails loudly (with the share and the
+    * bucket count in the message) when more than `maxTopBucketShare` of
+    * rows land in a single bucket.
+    *
+    * Cost: one map-side-combined groupBy over ONE column of the probed
+    * side — output is bucket-count-sized, so the driver-side top-1 is a
+    * tiny agg. Off by default inside the operator (a 100 TB caller may not
+    * want an extra pass); the engine's event-range queries turn it on
+    * because a degenerate distribution there means the DATA drifted, and a
+    * named setup error beats a 200× slower wrong answer mid-bench.
+    *
+    * `minRows` skips tiny inputs where one bucket legitimately dominates
+    * (a 50-row fixture can live in one hour).
+    */
+  def probeBucketSkew(
+      df: DataFrame, tsCol: String, bucketSeconds: Long,
+      maxTopBucketShare: Double = 0.5, minRows: Long = 1000L): Unit = {
+    val row = df.select(bucketOf(col(tsCol), bucketSeconds).as("__b"))
+      .groupBy("__b").count()
+      .agg(sum("count").as("rows"), max("count").as("top"),
+        count(lit(1)).as("buckets"))
+      .collect()(0)
+    if (!row.isNullAt(0)) {
+      val (rows, top, buckets) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val share = top.toDouble / rows
+      if (rows >= minRows && share > maxTopBucketShare)
+        throw new DegenerateBucketDistributionException(
+          f"RangeJoin: degenerate bucket distribution on '$tsCol' — top bucket holds " +
+            f"$top of $rows rows (${share * 100}%.1f%%, threshold ${maxTopBucketShare * 100}%.0f%%) " +
+            f"across $buckets bucket(s) at bucketSeconds=$bucketSeconds. The time axis has " +
+            "collapsed (wrong timestamp unit?) or the bucket width dwarfs the data's range " +
+            "— fix the input's encoding or pass a narrower bucketSeconds")
+    }
+  }
+
   /** Median interval length in seconds — the cost-model-optimal bucket width.
     *
     * One-pass `approxQuantile` (a driver-merged quantile sketch with

@@ -64,16 +64,32 @@ object AggQueries {
         "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events " +
           "FROM events GROUP BY 1 ORDER BY 1")),
 
-    // approx_count_distinct (HyperLogLog++) — engine-specific sketch, so no
-    // cross-engine hash oracle; the driver records a rows-only check.
+    // approx_count_distinct (HyperLogLog++) — the sketch value itself is
+    // engine-specific, so it can't be hash-compared cross-engine. Oracle
+    // strategy instead: compute approx AND exact in one aggregate, fail the
+    // PLAN (raise_error) if any group's approx strays past 5× the declared
+    // 2% rsd, and emit the exact count — deterministic, DuckDB-comparable,
+    // and the approx path is on the gate because an out-of-tolerance sketch
+    // turns the whole query into a FAIL row.
     DeclaredQuery(
       "q_agg3_approx",
       (s, d) =>
         Tables.load(s, d, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+            countDistinct(col("user_id")).as("exact"))
+          .withColumn("n_users",
+            when(abs(col("approx") - col("exact")) <=
+                greatest(col("exact") * 0.10, lit(5.0)), col("exact"))
+              .otherwise(raise_error(concat(
+                lit("q_agg3_approx: HLL++ estimate "), col("approx").cast("string"),
+                lit(" strayed past 10% of exact "), col("exact").cast("string"),
+                lit(" for event_type="), col("event_type")))))
+          .select(col("event_type"), col("n_users"))
           .orderBy("event_type"),
-      None),
+      Some(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users " +
+          "FROM events GROUP BY 1 ORDER BY 1")),
 
     DeclaredQuery(
       "q_agg4",

@@ -66,18 +66,36 @@ object MiscQueries {
           "round(quantile_cont(l_discount, 0.25),4) AS p25_disc " +
           "FROM lineitem GROUP BY 1 ORDER BY 1")),
 
-    // approx variant of q_agg8 (t-digest sketch — the 100 TB path where an
-    // exact sort-based percentile is too expensive; rows-only check, error
-    // vs exact asserted in the suite)
+    // approx variant of q_agg8 (the 100 TB path where an exact sort-based
+    // percentile is too expensive). The sketch value is engine-specific, so
+    // the oracle gates it indirectly: approx AND exact in one aggregate, a
+    // raise_error guard if the approx strays past 5% relative (the 10000
+    // accuracy bound is far tighter), then emit the exact — deterministic,
+    // DuckDB-comparable, and a drifted sketch fails the whole query.
     DeclaredQuery(
       "q_agg8_approx",
-      (s, d) =>
+      (s, d) => {
+        def guard(name: String, approx: org.apache.spark.sql.Column,
+            exact: org.apache.spark.sql.Column) =
+          when(abs(approx - exact) <= greatest(abs(exact) * 0.05, lit(0.01)), r4(exact))
+            .otherwise(raise_error(concat(
+              lit(s"q_agg8_approx: $name estimate "), approx.cast("string"),
+              lit(" strayed past 5% of exact "), exact.cast("string")))).as(name)
         Tables.load(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("flag"))
-          .agg(r4(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))).as("med_qty"),
-            r4(percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))).as("p90_price"))
-          .orderBy("flag"),
-      None),
+          .agg(
+            guard("med_qty",
+              percentile_approx(col("l_quantity"), lit(0.5), lit(10000)),
+              percentile(col("l_quantity"), lit(0.5))),
+            guard("p90_price",
+              percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)),
+              percentile(col("l_extendedprice"), lit(0.9))))
+          .orderBy("flag")
+      },
+      Some(
+        "SELECT l_returnflag AS flag, round(quantile_cont(l_quantity, 0.5),4) AS med_qty, " +
+          "round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price " +
+          "FROM lineitem GROUP BY 1 ORDER BY 1")),
 
     // selector aggregates: per customer, the orderkey of the priciest /
     // cheapest order. Tie-free ordering key: exact cents × 10^10 + orderkey.

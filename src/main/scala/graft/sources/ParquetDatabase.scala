@@ -504,6 +504,40 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     new ParquetDatabase(spark, destDir)
   }
 
+  /** File-preserving replication with an integrity manifest — the
+    * `snapshot_download` + threaded per-file upload shape of the
+    * reference's remote replication (`crystpqdb/download.py:23-39`),
+    * targeted at any Hadoop filesystem (local in this environment; the
+    * same code paths run against a remote FS at scale).
+    *
+    * Unlike [[exportTo]] (a distributed read+write that rewrites the
+    * physical layout), `pushTo` copies each parquet file BYTE-IDENTICALLY
+    * with a bounded driver-side thread pool — layout, footers, and
+    * row-group statistics survive, so a replica serves the same pruned
+    * scans as the original. Each file is hashed (MD5) in-flight and the
+    * (path, length, digest) triples land in `_graft_manifest` at the
+    * destination; [[ParquetDatabase.pullFrom]] re-hashes on the way back
+    * and fails loudly on any divergence — the transfer-integrity check the
+    * reference gets from HF's etag validation.
+    */
+  def pushTo(destDir: String, parallelism: Int = 8): ParquetDatabase = {
+    val destRoot = new Path(destDir)
+    val dfs = destRoot.getFileSystem(hconf)
+    if (dfs.exists(destRoot)) dfs.delete(destRoot, true)
+    dfs.mkdirs(destRoot)
+    val files = walkParquet(new Path(dir))
+    val entries = ParquetDatabase.inThreadPool(parallelism, files) { p =>
+      val rel = relativize(dir, p)
+      val (len, md5) = ParquetDatabase.copyAndHash(fs, p, dfs, new Path(destRoot, rel))
+      s"$rel\t$len\t$md5"
+    }
+    val out = dfs.create(new Path(destRoot, ParquetDatabase.ManifestName), true)
+    try out.write((entries.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    new ParquetDatabase(spark, destDir)
+  }
+
   /** Physical layout stats (ParquetDB P7 introspection). */
   def fileStats: Seq[ParquetStats.FileStats] = ParquetStats.fileStats(dir, hconf)
 
@@ -701,5 +735,154 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       }
     }
     moved
+  }
+}
+
+object ParquetDatabase {
+
+  val ManifestName = "_graft_manifest"
+
+  /** Named failure for a replica whose bytes don't match its manifest. */
+  final class ReplicaIntegrityException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Run `f` over `items` on a bounded thread pool, propagating the first
+    * failure. Driver-side by design: replication I/O is per-FILE streaming
+    * (no data interpretation), and a bounded pool saturates a filesystem
+    * endpoint the way the reference's threaded uploader does — a Spark job
+    * would serialize closures to move bytes no executor needs to see.
+    */
+  private[sources] def inThreadPool[A, B](parallelism: Int, items: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, items.size max 1)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
+  /** Stream-copy one file, MD5-hashing the bytes in flight; returns
+    * (length, hex digest). 1 MiB buffer — large enough to amortize FS
+    * round-trips, small enough for `parallelism` concurrent streams.
+    */
+  private[sources] def copyAndHash(
+      srcFs: org.apache.hadoop.fs.FileSystem, src: Path,
+      dstFs: org.apache.hadoop.fs.FileSystem, dst: Path): (Long, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    dstFs.mkdirs(dst.getParent)
+    val in = srcFs.open(src)
+    val out = dstFs.create(dst, true)
+    var total = 0L
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n > 0) {
+        md.update(buf, 0, n)
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    (total, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Hash a file without copying it; returns (length, hex digest). */
+  private def hashOnly(fs: org.apache.hadoop.fs.FileSystem, p: Path): (Long, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    var total = 0L
+    try {
+      val buf = new Array[Byte](1 << 20)
+      var n = in.read(buf)
+      while (n > 0) { md.update(buf, 0, n); total += n; n = in.read(buf) }
+    } finally in.close()
+    (total, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  /** Pull a pushed replica into `destDir`, verifying EVERY file against the
+    * source's `_graft_manifest` while the bytes stream through. All
+    * divergences (missing file, length mismatch, digest mismatch) are
+    * collected and reported in ONE [[ReplicaIntegrityException]] — a
+    * corrupted replica names every bad file, not just the first. Nothing is
+    * half-applied on failure: the destination is written to a temp dir and
+    * renamed into place only after the whole manifest verifies.
+    */
+  def pullFrom(spark: SparkSession, srcDir: String, destDir: String,
+      parallelism: Int = 8): ParquetDatabase = {
+    val conf = spark.sessionState.newHadoopConf()
+    val srcRoot = new Path(srcDir)
+    val srcFs = srcRoot.getFileSystem(conf)
+    val manifestPath = new Path(srcRoot, ManifestName)
+    if (!srcFs.exists(manifestPath))
+      throw new ReplicaIntegrityException(
+        s"$srcDir has no $ManifestName — not a pushed replica (use pushTo to create one)")
+    val manifest = {
+      val len = srcFs.getFileStatus(manifestPath).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = srcFs.open(manifestPath)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+          val Array(rel, lenS, md5) = line.split("\t")
+          (rel, lenS.toLong, md5)
+        }
+    }
+    val destRoot = new Path(destDir)
+    val destFs = destRoot.getFileSystem(conf)
+    val tmpRoot = new Path(destDir + "__pull_tmp")
+    if (destFs.exists(tmpRoot)) destFs.delete(tmpRoot, true)
+    destFs.mkdirs(tmpRoot)
+    val problems = inThreadPool(parallelism, manifest) { case (rel, wantLen, wantMd5) =>
+      val src = new Path(srcRoot, rel)
+      if (!srcFs.exists(src)) Some(s"$rel: missing from replica")
+      else {
+        val (gotLen, gotMd5) = copyAndHash(srcFs, src, destFs, new Path(tmpRoot, rel))
+        if (gotLen != wantLen) Some(s"$rel: length $gotLen != manifest $wantLen")
+        else if (gotMd5 != wantMd5) Some(s"$rel: md5 $gotMd5 != manifest $wantMd5")
+        else None
+      }
+    }.flatten
+    if (problems.nonEmpty) {
+      destFs.delete(tmpRoot, true)
+      throw new ReplicaIntegrityException(
+        s"replica $srcDir failed integrity verification (${problems.size} file(s)):\n  " +
+          problems.mkString("\n  "))
+    }
+    if (destFs.exists(destRoot)) destFs.delete(destRoot, true)
+    if (!destFs.rename(tmpRoot, destRoot))
+      throw new java.io.IOException(s"pull: failed to move $tmpRoot -> $destRoot")
+    new ParquetDatabase(spark, destDir)
+  }
+
+  /** Re-hash an existing replica in place against its own manifest —
+    * the integrity audit without a copy. Returns the divergence list
+    * (empty = verified).
+    */
+  def verifyReplica(spark: SparkSession, dir: String, parallelism: Int = 8): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val manifestPath = new Path(root, ManifestName)
+    if (!fs.exists(manifestPath)) return Seq(s"$dir has no $ManifestName")
+    val len = fs.getFileStatus(manifestPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(manifestPath)
+    try in.readFully(buf) finally in.close()
+    val manifest = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
+        val Array(rel, lenS, md5) = line.split("\t")
+        (rel, lenS.toLong, md5)
+      }
+    inThreadPool(parallelism, manifest) { case (rel, wantLen, wantMd5) =>
+      val p = new Path(root, rel)
+      if (!fs.exists(p)) Some(s"$rel: missing")
+      else {
+        val (gotLen, gotMd5) = hashOnly(fs, p)
+        if (gotLen != wantLen) Some(s"$rel: length $gotLen != manifest $wantLen")
+        else if (gotMd5 != wantMd5) Some(s"$rel: md5 $gotMd5 != manifest $wantMd5")
+        else None
+      }
+    }.flatten
   }
 }

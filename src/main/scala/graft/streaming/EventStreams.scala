@@ -67,18 +67,32 @@ final case class HistBin(event_type: String, bin: Long, n: Long)
 object EventStreams {
 
   /** Raw schema of the events table — streaming sources require an explicit
-    * schema (no inference at scale). ts arrives as TIMESTAMP(NANOS) → read
-    * as long, converted to µs exactly like the batch path (one shared
-    * definition in Tables so batch and stream can never drift).
+    * schema (no inference at scale). The ts encoding is footer-negotiated
+    * through `Tables.eventsUnit` exactly like the batch path (one shared
+    * definition so batch and stream can never drift): TIMESTAMP(NANOS)
+    * arrives as raw long and is truncated to µs; MICROS/MILLIS decode
+    * natively.
     */
   val eventsRawSchema: StructType = graft.Tables.eventsRawSchema
 
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsRawSchema)
-      // the file-stream source needs a directory or glob (a literal file
-      // path is rejected); at scale this is a directory of files anyway
-      .parquet(s"$dir/events*.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // probe the concrete file (the glob below is for the source, which at
+    // scale is a directory of files); footer says which decode branch
+    val info = graft.Tables.eventsTsInfo(spark, s"$dir/events.parquet")
+    if (graft.Tables.eventsNeedsNanosDecode(spark, s"$dir/events.parquet"))
+      spark.readStream.schema(eventsRawSchema)
+        // the file-stream source needs a directory or glob (a literal file
+        // path is rejected); at scale this is a directory of files anyway
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      spark.readStream.schema(graft.Tables.eventsDecodedSchema(info.adjustedToUTC))
+        .parquet(s"$dir/events*.parquet")
+        // NTZ → TimestampType is a no-op cast when already adjusted; for
+        // NTZ files the UTC session makes the values numerically identical,
+        // so downstream transforms see the type the batch path produces
+        .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** Tumbling hourly aggregate, streaming form of EventOps.tumblingHourly.
     * Complete output mode: every window is (re-)emitted, so a bounded replay
@@ -496,10 +510,21 @@ object EventStreams {
         try in.readFully(buf) finally in.close()
         new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
       }
-    val src = spark.readStream.schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // footer-negotiated decode of the staged chunks, same contract as
+    // readEventsStream (staging writes decoded TIMESTAMP(MICROS) now, but
+    // a raw-nanos staging from an older producer still reads correctly)
+    val srcInfo = graft.Tables.eventsTsInfo(spark, sourceDir)
+    val src =
+      if (graft.Tables.eventsNeedsNanosDecode(spark, sourceDir))
+        spark.readStream.schema(eventsRawSchema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(sourceDir)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else
+        spark.readStream.schema(graft.Tables.eventsDecodedSchema(srcInfo.adjustedToUTC))
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(sourceDir)
+          .withColumn("ts", col("ts").cast(TimestampType))
     // scope a small shuffle-partition count to the WHOLE replay (not just
     // the stream start as in runToMemory): foreachBatch's inner
     // aggregate/merge/upsert jobs are BATCH plans created per micro-batch,

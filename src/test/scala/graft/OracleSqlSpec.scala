@@ -32,6 +32,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_json2" -> "json_extract (Spark: get_json_object)",
     "q_date2" -> "date_diff('day', ...) quoted unit (Spark wants a bare keyword)",
     "q_agg8" -> "quantile_cont (Spark: percentile)",
+    "q_agg8_approx" -> "quantile_cont (Spark: percentile)",
     "q_ext_txt1" -> "string_split (Spark: split)",
     "q_ext_txt2" -> "unnest (Spark: explode)",
     "q_ext_txt3" -> "list_filter (Spark: filter HOF, different lambda syntax)",

@@ -207,4 +207,27 @@ class RangeJoinSpec extends SparkSpec {
       "auto-width range join diverged from the theta join")
     assert(got.count() === got.distinct().count())
   }
+
+  test("skew probe names a collapsed time axis; healthy spread passes") {
+    // the round-7 failure mode reproduced: 5000 points that SHOULD span
+    // a month squeezed into ~3 minutes (micros read as nanos = ÷1000)
+    val collapsed = (0L until 5000L)
+      .map(i => (i, new Timestamp(1700000000000L + i * 36L))).toDF("pid", "t")
+    val e = intercept[RangeJoin.DegenerateBucketDistributionException] {
+      RangeJoin.probeBucketSkew(collapsed, "t", 3600L)
+    }
+    assert(e.getMessage.contains("degenerate bucket distribution"))
+    assert(e.getMessage.contains("wrong timestamp unit"))
+
+    // same cardinality spread over a real month: passes untouched
+    val healthy = (0L until 5000L)
+      .map(i => (i, new Timestamp(1700000000000L + i * 36L * 14400L))).toDF("pid", "t")
+    RangeJoin.probeBucketSkew(healthy, "t", 3600L) // must not throw
+
+    // sub-minRows inputs are exempt even when single-bucket (a tiny
+    // fixture legitimately fits in one hour)
+    val tiny = (0L until 50L)
+      .map(i => (i, new Timestamp(1700000000000L + i))).toDF("pid", "t")
+    RangeJoin.probeBucketSkew(tiny, "t", 3600L) // must not throw
+  }
 }

@@ -166,7 +166,7 @@ class EventStreamsSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.delete(p, true)
-    spark.read.schema(Tables.eventsRawSchema).parquet(s"$sfDir/events.parquet")
+    Tables.load(spark, sfDir, "events")
       .repartition(3).write.parquet(s"$root/src")
     def partial(batch: org.apache.spark.sql.DataFrame) =
       batch.groupBy(col("user_id"))
@@ -186,7 +186,7 @@ class EventStreamsSpec extends SparkSpec {
       "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
     assert(snapshot === want, "re-run with the same checkpoint changed the table")
     // new data arriving later merges incrementally on top
-    spark.read.schema(Tables.eventsRawSchema).parquet(s"$sfDir/events.parquet")
+    Tables.load(spark, sfDir, "events")
       .limit(50).write.mode("append").parquet(s"$root/src")
     EventStreams.mergeStreamToTable(spark, s"$root/src", partial,
       "user_id", s"$root/tbl", s"$root/ck", maxFilesPerTrigger = 1)
