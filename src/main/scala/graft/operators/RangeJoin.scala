@@ -110,6 +110,22 @@ object RangeJoin {
     }
   }
 
+  private val probeOk = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  /** [[probeBucketSkew]] memoized on a caller-supplied key (dataset path +
+    * probed column + width): a PASSED probe of an immutable input never
+    * re-runs in the session, so repeated query invocations (bench rounds,
+    * repeated plans over the same sf dir) pay the one-column pass once.
+    * Failures are not cached — a throwing probe re-probes (and re-throws)
+    * until the data is fixed.
+    */
+  def probeBucketSkewOnce(key: String, df: DataFrame, tsCol: String,
+      bucketSeconds: Long, maxTopBucketShare: Double = 0.5, minRows: Long = 1000L): Unit =
+    if (!probeOk.contains(key)) {
+      probeBucketSkew(df, tsCol, bucketSeconds, maxTopBucketShare, minRows)
+      probeOk.put(key, true)
+    }
+
   /** Median interval length in seconds — the cost-model-optimal bucket width.
     *
     * One-pass `approxQuantile` (a driver-merged quantile sketch with
