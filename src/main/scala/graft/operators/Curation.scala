@@ -42,6 +42,47 @@ object Curation {
     df.withColumn("split", split)
   }
 
+  /** Leakage-safe split assignment: every row of a GROUP (e.g. an
+    * exact-duplicate cluster) lands in the SAME split, decided by the
+    * deterministic bucket of the group's representative key (its minimum).
+    * The guard a training pipeline actually needs: per-row splitting puts
+    * near-identical documents on both sides of train/test; splitting by
+    * cluster representative cannot. One shuffle keyed on the group column
+    * (a window min, map-side combined) — the same shape at any scale.
+    */
+  def assignSplitByGroup(df: DataFrame, keyCol: String, groupCol: Column,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplitByGroup: empty split spec")
+    val rep = min(col(keyCol)).over(Window.partitionBy(groupCol))
+    val total = splits.map(_._2).sum
+    val b = splitBucket(rep, total)
+    var acc = 0
+    var cases: Column = null
+    splits.init.foreach { case (name, w) =>
+      acc += w
+      cases = if (cases == null) when(b < acc, name) else cases.when(b < acc, name)
+    }
+    val split = if (cases == null) lit(splits.head._1) else cases.otherwise(splits.last._1)
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic token-budget sampling: per group (source/domain), order
+    * rows by md5(key) — a stable "random" order both engines reproduce —
+    * and keep rows while the running token total stays within the budget.
+    * The corpus-mixing primitive ("up to N tokens of source X"): one
+    * window per source partition, no global ordering, no collect.
+    * Emits `n_tok` and the running `cum_tok` for audit.
+    */
+  def sampleToTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
+      nTokens: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"sampleToTokenBudget: budget must be positive, got $budgetTokens")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("n_tok", nTokens)
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+  }
+
   /** Contiguous-fill sequence packing: shard rows by key mod numShards,
     * then fill fixed-capacity token bins in key order within each shard —
     * `bin` and `bin_offset` are running-sum window functions, so the whole

@@ -336,6 +336,46 @@ object ExtQueries {
           "+ ascii(substr(md5(CAST(doc_id AS STRING)),2,1))) % 10 AS b FROM documents) " +
           "ORDER BY doc_id")),
 
+    // leakage-safe split: an exact-duplicate CLUSTER (same text bytes) must
+    // land wholly inside one split — per-row bucketing would put identical
+    // documents on both sides of train/test. Split decided by the md5
+    // bucket of the cluster representative (min doc_id over the text
+    // group); one shuffle on the text hash, no collect.
+    DeclaredQuery(
+      "q_ext_split2",
+      (s, d) =>
+        graft.operators.Curation.assignSplitByGroup(
+            Tables.load(s, d, "documents"),
+            "doc_id", md5(col("text").cast("binary")),
+            Seq("train" -> 8, "val" -> 1, "test" -> 1))
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id"),
+      Some(
+        "SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split " +
+          "FROM (SELECT doc_id, (ascii(substr(md5(CAST(rep AS STRING)),1,1))*256 " +
+          "+ ascii(substr(md5(CAST(rep AS STRING)),2,1))) % 10 AS b " +
+          "FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents)) " +
+          "ORDER BY doc_id")),
+
+    // token-budget corpus mixing: per source, a deterministic md5-ordered
+    // prefix capped at 20k tokens — "take up to N tokens of each source",
+    // the knob an LLM data recipe actually turns. Window per source
+    // partition; no global order, no collect.
+    DeclaredQuery(
+      "q_ext_mix2",
+      (s, d) =>
+        graft.operators.Curation.sampleToTokenBudget(
+            Tables.load(s, d, "documents"),
+            "doc_id", "source",
+            TextFunctions.tokenCount(col("text")).cast("long"), budgetTokens = 20000L)
+          .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH t AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok, " +
+          "md5(CAST(doc_id AS STRING)) AS h FROM documents), " +
+          "c AS (SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tok FROM t) " +
+          "SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 20000 ORDER BY doc_id")),
+
     // sequence packing: shard by key, contiguous-fill fixed-capacity token
     // bins in key order (the batch-assembly step before training)
     DeclaredQuery(

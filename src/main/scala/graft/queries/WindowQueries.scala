@@ -70,12 +70,20 @@ object WindowQueries {
           "round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
           "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS sliding_avg FROM orders ORDER BY o_orderkey")),
 
+    // global quartiles WITHOUT the single-partition global window: the
+    // two-pass offset scheme (GlobalRank) range-partitions on the order
+    // key, ranks within partitions, and broadcast-joins the per-partition
+    // offsets — only one metadata row per partition ever converges to one
+    // task. Same relation as `ntile(4) OVER (ORDER BY ...)`, proven by the
+    // unchanged oracle; this was the inventory's one single-partition
+    // point (VERDICT r7) and is now scale-shaped.
     DeclaredQuery(
       "q_win4",
       (s, d) =>
-        Tables.load(s, d, "customer")
-          .select(col("c_custkey"),
-            ntile(4).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))).as("quartile"))
+        graft.operators.GlobalRank.globalNtile(
+            Tables.load(s, d, "customer"),
+            Seq(col("c_acctbal"), col("c_custkey")), k = 4, out = "quartile")
+          .select(col("c_custkey"), col("quartile"))
           .orderBy("c_custkey"),
       Some(
         "SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile " +

@@ -58,6 +58,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_dedup7" -> "string_split (Spark: split)",
     "q_ext_dedup8" -> "string_split (Spark: split)",
     "q_ext_pack1" -> "string_split (Spark: split)",
+    "q_ext_mix2" -> "string_split (Spark: split)",
     "q_ext_pii1" -> "regexp_matches (Spark: RLIKE; DuckDB lacks the keyword)",
     "q_ext_sim1" -> "unnest (Spark: explode)",
     "q_ext_mm1" -> "CAST AS BLOB (Spark: BINARY)",

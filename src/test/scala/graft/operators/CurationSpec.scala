@@ -162,4 +162,46 @@ class CurationSpec extends SparkSpec {
       .select(Curation.maskTail("c_name", 4).as("m")).head().getString(0)
     assert(out === "**************0042")
   }
+
+  test("assignSplitByGroup never splits a group across splits (no leakage)") {
+    import org.apache.spark.sql.functions._
+    // 300 rows in 60 groups of 5 (including singleton groups via %)
+    val df = (0L until 300L).map(i => (i, s"text_${i % 60}")).toDF("id", "text")
+    val out = Curation.assignSplitByGroup(df, "id", md5(col("text").cast("binary")),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    // every group maps to exactly one split
+    val perGroup = out.groupBy("text").agg(countDistinct(col("split")).as("k"))
+    assert(perGroup.filter(col("k") =!= 1).count() === 0, "a group straddles splits")
+    // all rows covered, and the split of each group equals assignSplit of
+    // its representative (min id) — the declared bucketing contract
+    assert(out.count() === 300)
+    val reps = df.groupBy("text").agg(min("id").as("rep"))
+    val wantByRep = Curation.assignSplit(reps, "rep", Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .select(col("text"), col("split").as("want"))
+    val joined = out.select(col("text"), col("split")).distinct().join(wantByRep, "text")
+    assert(joined.filter(col("split") =!= col("want")).count() === 0)
+  }
+
+  test("sampleToTokenBudget keeps the md5-ordered prefix within budget per group") {
+    import org.apache.spark.sql.functions._
+    val df = (0L until 200L).map(i => (i, s"src_${i % 3}", 10L + i % 7)).toDF("id", "src", "nt")
+    val out = Curation.sampleToTokenBudget(df, "id", "src", col("nt"), budgetTokens = 150L)
+    val rows = out.select("id", "src", "n_tok", "cum_tok").collect()
+    // within budget everywhere
+    assert(rows.forall(_.getLong(3) <= 150L))
+    // per group: the kept set is exactly the maximal md5-ordered prefix —
+    // recompute it driver-side and compare ids
+    val byHash = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).map { case (src, xs) =>
+        val ordered = xs.sortBy { case (id, _, _) =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString, id)
+        }
+        var cum = 0L
+        src -> ordered.takeWhile { case (_, _, nt) => { cum += nt; cum <= 150L } }.map(_._1).toSet
+      }
+    val got = rows.groupBy(_.getString(1)).map { case (src, rs) => src -> rs.map(_.getLong(0)).toSet }
+    assert(got === byHash, "kept sets diverge from the driver-side reference")
+  }
 }
