@@ -44,14 +44,11 @@ object Tables {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Footer-declared timestamp unit of `column` in the first parquet file
-    * under `path` (a file or a directory). None when the column exists but
-    * is not timestamp-annotated (e.g. stored as plain INT64).
-    */
   /** Footer truth about a timestamp column: the declared unit (None when
     * stored as plain INT64 with no annotation) and whether values are
     * UTC-adjusted (parquet `isAdjustedToUTC`; Spark maps true →
-    * TimestampType, false → TIMESTAMP_NTZ).
+    * TimestampType, false → TIMESTAMP_NTZ). Probes the first parquet file
+    * under `path` (a file or a directory).
     */
   final case class TsInfo(unit: Option[TimeUnit], adjustedToUTC: Boolean)
 
@@ -178,25 +175,31 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
-  /** Expected column→type contract per table (Spark-side read schema).
-    * `events.ts` is intentionally absent from the exact-match set — its
-    * encoding is footer-negotiated in [[load]]; [[verifyContract]] instead
-    * checks it decodes into a sane range.
+  /** Expected column→allowed-types contract per table (Spark-side read
+    * schema). `events.ts` is intentionally absent from the exact-match
+    * set — its encoding is footer-negotiated in [[load]]; [[verifyContract]]
+    * instead checks it decodes into a sane range. Date-like columns accept
+    * any calendar type (DATE / TIMESTAMP / TIMESTAMP_NTZ): both oracle
+    * sides read the same file, so a drift among those is benign — only a
+    * change that breaks temporal semantics (e.g. date-as-string or a raw
+    * long) should fail the round.
     */
-  private val expectedKeyColumns: Map[String, Map[String, DataType]] = Map(
-    "region"     -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
-    "nation"     -> Map("n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType),
-    "customer"   -> Map("c_custkey" -> LongType, "c_acctbal" -> DoubleType),
-    "supplier"   -> Map("s_suppkey" -> LongType),
-    "part"       -> Map("p_partkey" -> LongType, "p_retailprice" -> DoubleType),
-    "orders"     -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
-                        "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType),
-    "lineitem"   -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
-                        "l_quantity" -> DoubleType, "l_shipdate" -> TimestampNTZType),
-    "events"     -> Map("event_id" -> LongType, "user_id" -> LongType,
-                        "event_type" -> StringType, "value" -> DoubleType),
-    "documents"  -> Map("doc_id" -> LongType, "text" -> StringType),
-    "embeddings" -> Map("vec_id" -> LongType))
+  private val dateLike: Set[DataType] = Set(DateType, TimestampType, TimestampNTZType)
+  private val expectedKeyColumns: Map[String, Map[String, Set[DataType]]] = Map(
+    "region"     -> Map("r_regionkey" -> Set(IntegerType, LongType), "r_name" -> Set(StringType)),
+    "nation"     -> Map("n_nationkey" -> Set(IntegerType, LongType),
+                        "n_regionkey" -> Set(IntegerType, LongType)),
+    "customer"   -> Map("c_custkey" -> Set(LongType), "c_acctbal" -> Set(DoubleType)),
+    "supplier"   -> Map("s_suppkey" -> Set(LongType)),
+    "part"       -> Map("p_partkey" -> Set(LongType), "p_retailprice" -> Set(DoubleType)),
+    "orders"     -> Map("o_orderkey" -> Set(LongType), "o_custkey" -> Set(LongType),
+                        "o_totalprice" -> Set(DoubleType), "o_orderdate" -> dateLike),
+    "lineitem"   -> Map("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
+                        "l_quantity" -> Set(DoubleType), "l_shipdate" -> dateLike),
+    "events"     -> Map("event_id" -> Set(LongType), "user_id" -> Set(LongType),
+                        "event_type" -> Set(StringType), "value" -> Set(DoubleType)),
+    "documents"  -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType)),
+    "embeddings" -> Map("vec_id" -> Set(LongType)))
 
   /** Verifies every table in `dir` against the expected contract; throws
     * with a full diff of ALL violations (not just the first) so one run
@@ -212,10 +215,11 @@ object Tables {
       try {
         val actual = load(spark, dir, t).schema
         val actualMap = actual.fields.map(f => f.name -> f.dataType).toMap
-        expectedKeyColumns.getOrElse(t, Map.empty).foreach { case (col, tpe) =>
+        expectedKeyColumns.getOrElse(t, Map.empty).foreach { case (col, allowed) =>
           actualMap.get(col) match {
             case None => problems += s"$t: missing column $col (have: ${actual.fieldNames.mkString(", ")})"
-            case Some(a) if a != tpe => problems += s"$t.$col: expected $tpe, found $a"
+            case Some(a) if !allowed(a) =>
+              problems += s"$t.$col: expected ${allowed.mkString(" or ")}, found $a"
             case _ => ()
           }
         }
@@ -227,7 +231,10 @@ object Tables {
           }
         }
       } catch {
-        case e: IllegalArgumentException => problems += s"$t: ${e.getMessage}"
+        // any load failure (missing file, unreadable footer, the ts sanity
+        // require) becomes a named diff line, never a half-reported abort
+        case scala.util.control.NonFatal(e) =>
+          problems += s"$t: ${Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(2).mkString(" | ")}"
       }
     }
     if (problems.nonEmpty)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, EventOps, HeavyHitters, Multimodal, Similarity, SnapshotDiff, StringSim, TextAnalysis}
+import graft.operators.{Dedup, DistinctSketch, EventOps, HeavyHitters, Multimodal, Similarity, SnapshotDiff, StringSim, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -899,6 +899,42 @@ object ExtQueries {
         "WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1), " +
           "r AS (SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank FROM c) " +
           "SELECT rank, user_id, n, TRUE AS bound_ok FROM r WHERE rank <= 10 ORDER BY rank")),
+
+    // incremental distinct counting via a persisted HLL sketch store: two
+    // batches (half the events each) sketch + merge WITHOUT ever re-reading
+    // batch 1 — the 100 TB metrics-store pattern (exact count(DISTINCT)
+    // re-shuffles all history per refresh; sketches fold each batch in
+    // O(keys·4KB)). Oracle via the promotion pattern: estimates from the
+    // merged store are guard-checked in-plan against the exact distinct
+    // (10% band, far above HLL lgK=12's ~1.6% rse), the deterministic
+    // exact counts are emitted.
+    DeclaredQuery(
+      "q_ext_hll1",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val root = graft.Scratch.dir("hll_store")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        DistinctSketch.buildStore(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", root)
+        DistinctSketch.mergeBatchIntoStore(s,
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", root)
+        val est = DistinctSketch.readEstimates(s, root, "est")
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact"))
+        est.join(exact, "event_type")
+          .select(col("event_type"),
+            when(abs(col("est") - col("exact")) <=
+                greatest(col("exact") * 0.10, lit(5.0)), col("exact"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_hll1: merged-store HLL estimate "), col("est").cast("string"),
+                lit(" strayed past 10% of exact "), col("exact").cast("string"),
+                lit(" for event_type="), col("event_type")))).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users " +
+          "FROM events GROUP BY 1 ORDER BY 1")),
 
     // snapshot diff as a STORAGE AUDIT: reconcile a ParquetDatabase after an
     // upsert batch against its before-image — the validation step of an
