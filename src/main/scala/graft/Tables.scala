@@ -197,9 +197,18 @@ object Tables {
     "lineitem"   -> Map("l_orderkey" -> Set(LongType), "l_partkey" -> Set(LongType),
                         "l_quantity" -> Set(DoubleType), "l_shipdate" -> dateLike),
     "events"     -> Map("event_id" -> Set(LongType), "user_id" -> Set(LongType),
-                        "event_type" -> Set(StringType), "value" -> Set(DoubleType)),
-    "documents"  -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType)),
-    "embeddings" -> Map("vec_id" -> Set(LongType)))
+                        "event_type" -> Set(StringType), "value" -> Set(DoubleType),
+                        "props" -> Set(StringType)),
+    "documents"  -> Map("doc_id" -> Set(LongType), "text" -> Set(StringType),
+                        "lang" -> Set(StringType), "source" -> Set(StringType),
+                        "n_chars" -> Set(LongType)),
+    "embeddings" -> Map("vec_id" -> Set(LongType),
+                        "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, containsNull = false))))
+
+  /** The vector length the similarity family (and its DuckDB oracles, which
+    * hard-code `generate_series(1,64)`) is written against.
+    */
+  val ExpectedEmbeddingDim = 64
 
   /** Verifies every table in `dir` against the expected contract; throws
     * with a full diff of ALL violations (not just the first) so one run
@@ -229,6 +238,16 @@ object Tables {
             case Some(other) => problems += s"events.ts: expected TimestampType after decode, found $other"
             case None => problems += "events: missing column ts"
           }
+        }
+        if (t == "embeddings" && actualMap.get("embedding").exists(_.isInstanceOf[ArrayType])) {
+          // the similarity family + its oracles hard-code the vector width;
+          // a dim change must be a named diff, not 60k silently-wrong dots.
+          // One-row probe — footers don't carry list lengths.
+          val dims = load(spark, dir, t)
+            .select(size(col("embedding")).as("d")).limit(1).collect()
+          dims.headOption.map(_.getInt(0)).filter(_ != ExpectedEmbeddingDim).foreach(d =>
+            problems += s"embeddings.embedding: expected $ExpectedEmbeddingDim elements " +
+              s"(the similarity oracles hard-code the width), found $d")
         }
       } catch {
         // any load failure (missing file, unreadable footer, the ts sanity
