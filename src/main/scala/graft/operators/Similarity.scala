@@ -353,7 +353,18 @@ object Similarity {
     */
   def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                        queries: DataFrame, idCol: String, vecCol: String,
-                       k: Int, nprobe: Int): DataFrame = {
+                       k: Int, nprobe: Int): DataFrame =
+    ivfTopKPersistedWithCells(spark, indexDir, queries, idCol, vecCol, k, nprobe)._1
+
+  /** [[ivfTopKPersisted]] plus the distinct probed cell ids — callers assert
+    * storage-level pruning by comparing the scan's selected partition count
+    * against exactly this set (the probe union of several queries can
+    * legitimately cover every cell, so "fewer than total" is not a stable
+    * invariant; "exactly the probed cells" is).
+    */
+  def ivfTopKPersistedWithCells(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, nprobe: Int): (DataFrame, Array[Long]) = {
     graft.functions.GraftFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -373,9 +384,10 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
+    val out = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
+    (out, cells)
   }
 
   def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,

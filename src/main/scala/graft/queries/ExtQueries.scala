@@ -107,6 +107,38 @@ object ExtQueries {
       "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
       s"WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= $tau ORDER BY 1,2"
 
+  /** DuckDB exact cosine top-k over `embeddings` for a query predicate —
+    * shared by q_ext_sim1/sim2/sim3 so the three oracles can't drift. The
+    * dot is the same sequential i=1..64 double accumulation as the codegen'd
+    * vector_dot, so full-precision ranking agrees across engines.
+    */
+  private def cosineTopKSql(queryPred: String, k: Int): String =
+    s"WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE $queryPred), " +
+      "s AS (SELECT q.qid, e.vec_id nid, " +
+      "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) dot, " +
+      "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) nq, " +
+      "(SELECT sum(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) ne " +
+      "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+      "t AS (SELECT qid, nid, dot/(sqrt(nq)*sqrt(ne)) cos, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(nq)*sqrt(ne)) DESC, nid) rn FROM s) " +
+      s"SELECT qid, CAST(rn AS INTEGER) AS rn, nid, round(cos,4) AS cos FROM t WHERE rn <= $k ORDER BY qid, rn"
+
+  /** 1-row [recall] frame: the fraction of `truth` key-pairs present in
+    * `cand`. Callers wrap an emitted column in
+    * `when(recall >= bound, …).otherwise(raise_error(…))` — the r8 oracle-
+    * promotion pattern: the approximate machinery stays on the correctness
+    * gate because an out-of-bound candidate set turns the whole query into a
+    * FAIL row instead of a silent quality drift. Empty truth → vacuous 1.0.
+    */
+  private def pairRecall(truth: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val marked = cand.select(keys.map(col): _*).dropDuplicates(keys)
+      .withColumn("__hit", lit(1.0))
+    truth.select(keys.map(col): _*).join(marked, keys, "left")
+      .agg(coalesce(avg(coalesce(col("__hit"), lit(0.0))), lit(1.0)).as("recall"))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     // ---- text analysis ----
     DeclaredQuery(
@@ -477,14 +509,37 @@ object ExtQueries {
           "count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS chars, min(doc_id) AS first_doc " +
           "FROM documents GROUP BY 1 ORDER BY 1")),
 
-    // SimHash (xxhash64-based — not expressible in DuckDB; rows-only check,
-    // quality asserted vs exact Jaccard in the test suite)
+    // SimHash-guarded exact near-dup pairs: the emitted rows are the exact
+    // word-3-gram Jaccard pairs at τ=0.9 (DuckDB-checkable), and the plan
+    // also runs the SimHash banding candidate generator (8 blocks → complete
+    // for hamming <= 7) and fails loudly — raise_error, a FAIL row, not a
+    // silent quality drift — if it recalls less than half of the true pairs.
+    // xxhash64 signatures aren't DuckDB-reproducible, so the guard is how
+    // the SimHash path sits on the oracle gate (the q_agg3_approx promotion
+    // pattern). Measured candidate recall on this corpus: 0.84 (sf0.01) /
+    // 0.73 (sf0.1) — the documents are template-generated, so even jac≈0.9
+    // pairs sit at hamming 4–14, which is why the 4-block/dist<=3 form this
+    // query originally used found only 16–20% of them.
     DeclaredQuery(
       "q_ext_dedup4",
-      (s, d) =>
-        Dedup.simHashPairs(Tables.load(s, d, "documents"), "doc_id", "text", maxDist = 3)
-          .orderBy("d1", "d2"),
-      None),
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        // tiny (pair-count-sized) and referenced by both the output and the
+        // recall guard — localCheckpoint'd so the shingle join runs once
+        val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9, shingleN = 3)
+          .localCheckpoint()
+        val cand = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
+            numBlocks = 8, maxBucket = 20000L)
+          .select(col("d1"), col("d2"))
+        exact.crossJoin(broadcast(pairRecall(exact, cand, Seq("d1", "d2"))))
+          .select(col("d1"), col("d2"),
+            when(col("recall") >= 0.5, f4(col("jac")))
+              .otherwise(raise_error(concat(
+                lit("q_ext_dedup4: SimHash candidate recall "),
+                col("recall").cast("string"), lit(" below 0.5")))).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some(jaccardSql(0.9))),
 
     // ---- similarity search ----
     DeclaredQuery(
@@ -495,28 +550,41 @@ object ExtQueries {
           .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
           .orderBy("qid", "rn")
       },
-      Some(
-        "WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 5), " +
-          "s AS (SELECT q.qid, e.vec_id nid, " +
-          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) dot, " +
-          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) nq, " +
-          "(SELECT sum(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) ne " +
-          "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
-          "t AS (SELECT qid, nid, dot/(sqrt(nq)*sqrt(ne)) cos, " +
-          "row_number() OVER (PARTITION BY qid ORDER BY dot/(sqrt(nq)*sqrt(ne)) DESC, nid) rn FROM s) " +
-          "SELECT qid, CAST(rn AS INTEGER) AS rn, nid, round(cos,4) AS cos FROM t WHERE rn <= 10 ORDER BY qid, rn")),
+      Some(cosineTopKSql("vec_id < 5", 10))),
 
-    // SRP-LSH approximate variant (rows-only; recall vs exact tested in suite)
+    // SRP-LSH guarded exact top-k: the emitted rows are the exact cosine
+    // top-10 for query vectors 5..9 (full-precision ranking — the same dot
+    // order as the DuckDB oracle), and the plan also runs the multi-table
+    // SRP-LSH candidate search (16 tables × 3 planes) and raise_errors if
+    // its top-k recalls less than 75% of the exact top-k. xxhash64-seeded
+    // projections aren't DuckDB-reproducible; the guard is how the LSH path
+    // sits on the oracle gate. Measured recall: 0.94 (sf0.01) / 0.98
+    // (sf0.1); the 8×4 tables-planes form measured only 0.58–0.70 on these
+    // near-uniform synthetic embeddings — planes-per-table is the
+    // selectivity lever, and 64-dim random vectors need shallower buckets
+    // than clustered real-world embeddings.
     DeclaredQuery(
       "q_ext_sim2",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-            k = 10, numTables = 8, planesPerTable = 4)
-          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+        val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+        // k·|q| rows, referenced by both the output and the recall guard —
+        // localCheckpoint'd so the scoring cross join runs once
+        val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint()
+        val cand = Similarity.lshCosineTopK(emb, q, "vec_id", "embedding",
+            k = 10, numTables = 16, planesPerTable = 3)
+          .select(col("qid"), col("nid"))
+        exact.crossJoin(broadcast(pairRecall(exact, cand, Seq("qid", "nid"))))
+          .select(col("qid"),
+            when(col("recall") >= 0.75, col("rn"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_sim2: LSH top-k recall "),
+                col("recall").cast("string"), lit(" below 0.75")))).as("rn"),
+            col("nid"), r4(col("cos")).as("cos"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some(cosineTopKSql("vec_id >= 5 AND vec_id < 10", 10))),
 
     // ---- multimodal binary columns ----
     DeclaredQuery(
@@ -578,11 +646,18 @@ object ExtQueries {
           "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
           "ORDER BY 1, 2")),
 
-    // IVF ANN over a PERSISTED index: k-means centroids built + stored once
-    // (write-time, amortized), `assigned` hive-partitioned by cell, probes
-    // read only the probed cell directories — asserted in-plan: the
-    // assigned scan carries a `cell` partition filter AND selects strictly
-    // fewer partition dirs than exist. Recall vs exact in SimilaritySpec.
+    // IVF ANN over a PERSISTED index, promoted to the oracle gate: the
+    // emitted rows are the exact cosine top-10 for query vectors 10..14; the
+    // plan additionally probes the stored index (k-means centroids built +
+    // stored once at write time, `assigned` hive-partitioned by cell, probes
+    // reading only probed cell dirs — asserted in-plan: the scan carries a
+    // `cell` partition filter AND lists exactly the probed cell dirs) and
+    // raise_errors if the IVF top-k recalls less than 55% of the
+    // exact top-k. Measured recall at nprobe=8 of 16: 0.72 (sf0.01) / 0.82
+    // (sf0.1) — near-uniform synthetic embeddings scatter true neighbors
+    // across cells, so half the cells must be probed for useful recall;
+    // clustered real embeddings concentrate (SimilaritySpec asserts >= 0.95
+    // at nprobe=1 on separable clusters).
     DeclaredQuery(
       "q_ext_sim3",
       (s, d) => {
@@ -592,25 +667,46 @@ object ExtQueries {
         // over an unchanged corpus pay the k-means build once — the
         // write-time amortization this index exists for
         Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding", numCentroids = 16)
-        val out = Similarity.ivfTopKPersisted(s, dir, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, nprobe = 3)
+        val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        val (out, probed) = Similarity.ivfTopKPersistedWithCells(s, dir, q,
+          "vec_id", "embedding", k = 10, nprobe = 8)
         val scan = graft.plans.PlanChecks.fileScanFor(out.queryExecution.executedPlan, "assigned")
           .getOrElse(throw new IllegalStateException("no assigned-index scan in plan"))
         require(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
           s"q_ext_sim3: no cell partition filter on the index scan " +
             s"(partitionFilters=${scan.partitionFilters})")
-        val totalCells = scan.relation.location.listFiles(Nil, Nil).size
-        require(scan.selectedPartitions.partitionCount < totalCells,
-          s"q_ext_sim3: probe scanned all $totalCells cell dirs — no storage-level pruning")
-        out.select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+        // exact-pruning assertion: the scan lists precisely the probed cell
+        // dirs — stronger and scale-stable vs "< total" (five queries' probe
+        // union can legitimately cover every cell at nprobe=8 of 16)
+        require(scan.selectedPartitions.partitionCount == probed.length,
+          s"q_ext_sim3: scan read ${scan.selectedPartitions.partitionCount} cell dirs, " +
+            s"expected exactly the ${probed.length} probed")
+        val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint()
+        exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),
+            Seq("qid", "nid"))))
+          .select(col("qid"),
+            when(col("recall") >= 0.55, col("rn"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_sim3: IVF top-k recall "),
+                col("recall").cast("string"), lit(" below 0.55")))).as("rn"),
+            col("nid"), r4(col("cos")).as("cos"))
           .orderBy("qid", "rn")
       },
-      None),
+      Some(cosineTopKSql("vec_id >= 10 AND vec_id < 15", 10))),
 
-    // approximate k-NN graph over the whole corpus (batch ANN: both sides
-    // are the corpus, probe join keyed on IVF cell — no broadcast of data).
-    // Summarized per vector (neighbor count + top-1) to keep the dump
-    // bounded; recall vs exact asserted in SimilaritySpec. Rows-only.
+    // Corpus k-NN graph, promoted to the oracle gate: the emitted per-vector
+    // summary (neighbor count + top-1) comes from an EXACT self top-5 —
+    // ranked on round(cos, 4) with nid tie-break, the 4-decimal grid being
+    // where the two engines' cosine kernels (sequential vector_dot vs
+    // DuckDB's list_cosine_similarity) provably agree — while the plan also
+    // runs the cell-bucketed approximate k-NN graph over the persisted IVF
+    // index (both sides the corpus, probe join keyed on cell — no data
+    // broadcast) and raise_errors if it recalls less than 60% of the exact
+    // edges (measured 0.80–0.81 at nprobe=8). The n² exact arm is the
+    // oracle-gate scaffold at test scales; the deployment path for a 100 TB
+    // corpus is ivfSelfTopK alone (probed-cell candidates, never all pairs)
+    // — the same stance as q_ext_hll1's exact-distinct guard arm.
     DeclaredQuery(
       "q_ext_sim4",
       (s, d) => {
@@ -620,14 +716,42 @@ object ExtQueries {
         // k-NN graph probes the stored cell layout instead of re-running
         // k-means per call
         Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding", numCentroids = 16)
-        Similarity.ivfSelfTopK(Similarity.loadIvfIndex(s, dir), k = 5, nprobe = 4)
-          .groupBy(col("qid"))
+        val cand = Similarity.ivfSelfTopK(Similarity.loadIvfIndex(s, dir), k = 5, nprobe = 8)
+          .select(col("qid"), col("nid"))
+        val v = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosr").desc, col("nid"))
+        // 5·n rows, referenced by both the summary and the recall guard —
+        // localCheckpoint'd so the n² scoring pass runs once
+        val exact = v.crossJoin(broadcast(qs))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("cosr", r4(Similarity.cosine(col("qv"), col("nv"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("nid"), col("rn"), col("cosr"))
+          .localCheckpoint()
+        val summary = exact.groupBy(col("qid"))
           .agg(count(lit(1)).as("n_neighbors"),
             max(when(col("rn") === 1, col("nid"))).as("top1"),
-            r4(max(when(col("rn") === 1, col("cos")))).as("top1_cos"))
+            max(when(col("rn") === 1, col("cosr"))).as("top1_cos"))
+        summary.crossJoin(broadcast(pairRecall(exact, cand, Seq("qid", "nid"))))
+          .select(col("qid"), col("n_neighbors"), col("top1"),
+            when(col("recall") >= 0.6, col("top1_cos"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_sim4: k-NN graph recall "),
+                col("recall").cast("string"), lit(" below 0.6")))).as("top1_cos"))
           .orderBy("qid")
       },
-      None),
+      Some(
+        "WITH p AS (SELECT a.vec_id qid, b.vec_id nid, " +
+          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) cos " +
+          "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+          "t AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM p) " +
+          "SELECT qid, count(*) AS n_neighbors, " +
+          "max(CASE WHEN rn = 1 THEN nid END) AS top1, " +
+          "max(CASE WHEN rn = 1 THEN cos END) AS top1_cos " +
+          "FROM t WHERE rn <= 5 GROUP BY qid ORDER BY qid")),
 
     // multimodal decode, REAL codec round-trip: generate an id-sized PNG
     // per row (JDK ImageIO — no external codecs needed), decode it back

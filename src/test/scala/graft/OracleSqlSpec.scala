@@ -61,6 +61,10 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_mix2" -> "string_split (Spark: split)",
     "q_ext_pii1" -> "regexp_matches (Spark: RLIKE; DuckDB lacks the keyword)",
     "q_ext_sim1" -> "unnest (Spark: explode)",
+    "q_ext_sim2" -> "unnest (Spark: explode)",
+    "q_ext_sim3" -> "unnest (Spark: explode)",
+    "q_ext_sim4" -> "list_cosine_similarity (DuckDB list function)",
+    "q_ext_dedup4" -> "string_split (Spark: split)",
     "q_ext_mm1" -> "CAST AS BLOB (Spark: BINARY)",
     "q_ext_mm6" -> "unnest(generate_series) (Spark: explode(sequence))",
     "q_ext_mm3" -> "CAST AS BLOB (Spark: BINARY)",

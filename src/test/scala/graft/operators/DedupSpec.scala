@@ -188,4 +188,41 @@ class DedupSpec extends SparkSpec {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("simHashPairs 8-block banding widens the guaranteed distance and rejects bad params") {
+    val pairs8 = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7, numBlocks = 8)
+      .collect()
+    val keys = pairs8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 4L)))
+    // precision of the dist filter: nothing past maxDist leaks through
+    assert(pairs8.forall(_.getAs[Int]("dist") <= 7))
+    // banding completeness is only claimed for maxDist < numBlocks
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 8, numBlocks = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3, numBlocks = 5)
+    }
+  }
+
+  test("simHashPairs hot-bucket sub-split bounds fan-out and degrades gracefully") {
+    // 40 identical docs: every (block, value) bucket holds all 40 signatures,
+    // so with maxBucket = 10 each block splits into ceil(40/10) = 4 subs.
+    // A pair survives if its two ids share a sub in ANY of the 8 blocks
+    // (per-block subs are identical here since nsub is equal across blocks,
+    // so survival = same xxhash64 residue); the point is the candidate join
+    // is bounded per bucket while most identical pairs still surface.
+    val mass = (100L to 139L).map(i => (i, "the very same template document body"))
+      .toDF("doc_id", "text")
+    val all = Dedup.simHashPairs(mass, "doc_id", "text", maxDist = 7, numBlocks = 8)
+      .count()
+    assert(all === 40L * 39 / 2) // un-split: every identical pair found
+    val split = Dedup.simHashPairs(mass, "doc_id", "text", maxDist = 7,
+      numBlocks = 8, maxBucket = 10L).count()
+    assert(split < all, "sub-split must drop some hot-bucket pairs (bounded fan-out)")
+    // identical signatures make every block split the same way, so survival
+    // is one same-residue-of-4 test (~1/4 of pairs expected); assert a loose
+    // floor, not the exact census
+    assert(split >= all / 8, s"sub-split kept only $split of $all identical pairs")
+  }
 }
