@@ -101,9 +101,15 @@ object Tables {
   /** Footer-detection cache: the ts encoding of one immutable input file
     * never changes within a session, and `load` runs once per query per
     * table — re-opening the footer every time would add a metadata read
-    * per query.
+    * per query. Keyed by (path, mtime, length), NOT path alone: streaming
+    * fixtures delete and re-stage scratch dirs at the same path in-session,
+    * and a path-only key would keep serving the dead staging's decode
+    * branch if a later producer staged a different encoding there. The
+    * status probe is one FS metadata call per load — far cheaper than the
+    * footer open it saves; superseded entries are bounded by the handful of
+    * staged paths a session touches.
     */
-  private val unitCache = TrieMap.empty[String, TsInfo]
+  private val unitCache = TrieMap.empty[(String, Long, Long), TsInfo]
 
   /** Footer-negotiated (cached + sanity-checked) ts encoding of an events
     * parquet path — a file, or a directory of staged event chunks. The
@@ -112,7 +118,9 @@ object Tables {
     */
   def eventsTsInfo(spark: SparkSession, path: String): TsInfo = {
     val conf = spark.sessionState.newHadoopConf()
-    unitCache.getOrElseUpdate(path, {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    unitCache.getOrElseUpdate((path, st.getModificationTime, st.getLen), {
       val info = timestampInfo(path, "ts", conf)
       assertEventsTsSane(path, info.unit, conf)
       info

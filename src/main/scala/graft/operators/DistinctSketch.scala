@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * points — but both stay inside the bound; spec-asserted).
   *
   * The persisted store is one parquet row per key — metadata-sized
-  * relative to the corpus — and rewrites atomically via temp-dir + rename
-  * (same crash posture as the MinHash store).
+  * relative to the corpus — and rewrites via a retire-then-promote rename
+  * sequence that keeps a complete copy on disk at every step (see
+  * [[mergeBatchIntoStore]] for the crash-window analysis).
   */
 object DistinctSketch {
 
@@ -46,20 +47,35 @@ object DistinctSketch {
     sketchByKey(df, keys, itemCol, lgK).write.mode("overwrite").parquet(dir)
 
   /** Fold one new batch into the persisted store: sketch the batch, union
-    * with the stored sketches, swap atomically. Cost is the batch scan +
-    * a keys-sized merge — history is never re-read beyond its sketches.
+    * with the stored sketches, swap via retire-then-promote. Cost is the
+    * batch scan + a keys-sized merge — history is never re-read beyond its
+    * sketches.
+    *
+    * Swap protocol (each step is one FS rename, but the SEQUENCE is not
+    * atomic): write `dir__sketch_tmp`, rename live aside to `dir__old`,
+    * promote tmp → live, delete the retired dir. A crash between the
+    * retire and promote steps leaves no live dir but BOTH complete copies
+    * on disk — `dir__old` (pre-merge) and `dir__sketch_tmp` (post-merge) —
+    * so recovery is a rename of either, never a rebuild; a crash anywhere
+    * else leaves the live dir intact. The old delete-then-rename order had
+    * a window with only the tmp copy under a non-live name.
     */
   def mergeBatchIntoStore(spark: SparkSession, batch: DataFrame, keys: Seq[String],
       itemCol: String, dir: String, lgK: Int = DefaultLgK): Unit = {
     val merged = mergeSketchTables(
       spark.read.parquet(dir), sketchByKey(batch, keys, itemCol, lgK), keys)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__sketch_tmp")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
     val live = new org.apache.hadoop.fs.Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(live, true)
+    fs.delete(old, true) // debris from an earlier crash
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"sketch store retire failed: $live -> $old")
     if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"sketch store swap failed: $tmp -> $live")
+      throw new java.io.IOException(
+        s"sketch store promote failed: $tmp -> $live (pre-merge copy intact at $old)")
+    fs.delete(old, true)
   }
 
   def readEstimates(spark: SparkSession, dir: String, out: String = "distinct_est"): DataFrame =

@@ -64,6 +64,21 @@ object GlobalRank {
       .drop("__pid", "__local", "__offset", "__total")
   }
 
+  /** Both consumers of `parted` (the counts branch and the rank branch)
+    * build the same range exchange; Spark's exchange reuse normally dedups
+    * them into ONE physical exchange, so both branches see identical
+    * partition bounds. Range bounds are SAMPLED with an rdd.id-dependent
+    * seed, so with reuse disabled (or a refactor that de-canonicalizes the
+    * branches) the two exchanges could pick different bounds. Correctness
+    * here only requires the counts branch's size VECTOR to match the rank
+    * branch's actual partition sizes (offsets are a pure function of sizes,
+    * and any valid range partitioning orders partitions globally), and any
+    * size-vector mismatch must push some partition's local rank above its
+    * counted size — both vectors sum to the same total — so the per-row
+    * `__local <= __cnt` guard below catches EVERY divergent-bounds scenario
+    * loudly (raise_error) instead of returning silently wrong ranks.
+    * GlobalRankSpec exercises the guard with exchange reuse disabled.
+    */
   private def withRank(df: DataFrame, orderCols: Seq[Column], numPartitions: Int): DataFrame = {
     require(orderCols.nonEmpty, "GlobalRank: orderCols must be non-empty")
     val n =
@@ -79,10 +94,18 @@ object GlobalRank {
         coalesce(sum("__cnt").over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("__total",
         sum("__cnt").over(wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select("__pid", "__offset", "__total")
+      .select("__pid", "__cnt", "__offset", "__total")
     val wLocal = Window.partitionBy("__pid").orderBy(orderCols: _*)
     parted
       .withColumn("__local", row_number().over(wLocal).cast("long"))
       .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__local",
+        when(col("__local") <= col("__cnt"), col("__local"))
+          .otherwise(raise_error(concat(
+            lit("GlobalRank: partition "), col("__pid").cast("string"),
+            lit(" holds more rows than its counted size "), col("__cnt").cast("string"),
+            lit(" — the counts and rank branches saw different range bounds " +
+              "(exchange reuse defeated?)")))))
+      .drop("__cnt")
   }
 }

@@ -112,12 +112,25 @@ object RangeJoin {
 
   private val probeOk = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  /** [[probeBucketSkew]] memoized on a caller-supplied key (dataset path +
-    * probed column + width): a PASSED probe of an immutable input never
-    * re-runs in the session, so repeated query invocations (bench rounds,
-    * repeated plans over the same sf dir) pay the one-column pass once.
-    * Failures are not cached — a throwing probe re-probes (and re-throws)
-    * until the data is fixed.
+  /** Session-memo key component for an ON-DISK dataset: the path plus its
+    * (mtime, length) fingerprint, so a dataset mutated or re-staged at the
+    * same path in-session yields a NEW key and re-probes — a stale PASS
+    * must not wave through a post-mutation skew collapse. One FS metadata
+    * call; directory mtime advances whenever children are created or
+    * removed (every upsert/re-stage rewrites part files).
+    */
+  def datasetKey(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = p.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(p)
+    s"$path@${st.getModificationTime}:${st.getLen}"
+  }
+
+  /** [[probeBucketSkew]] memoized on a caller-supplied key
+    * ([[datasetKey]] + probed column + width): a PASSED probe of an
+    * unchanged input never re-runs in the session, so repeated query
+    * invocations (bench rounds, repeated plans over the same sf dir) pay
+    * the one-column pass once. Failures are not cached — a throwing probe
+    * re-probes (and re-throws) until the data is fixed.
     */
   def probeBucketSkewOnce(key: String, df: DataFrame, tsCol: String,
       bucketSeconds: Long, maxTopBucketShare: Double = 0.5, minRows: Long = 1000L): Unit =

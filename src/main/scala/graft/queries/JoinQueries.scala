@@ -205,7 +205,7 @@ object JoinQueries {
         // skew probe at the semantic width (the horizon): a collapsed time
         // axis fails here with a named error instead of a 200× hot-bucket
         // join (round-7 failure mode; one cheap one-column agg pass)
-        RangeJoin.probeBucketSkewOnce(s"$d|events.click.ts|3600", c, "c_ts", 3600L)
+        RangeJoin.probeBucketSkewOnce(s"${RangeJoin.datasetKey(s, s"$d/events.parquet")}|events.click.ts|3600", c, "c_ts", 3600L)
         RangeJoin.asOf(p, "p_ts", "p_id", c, "c_ts",
             horizonSeconds = 3600L, tieBreakDesc = Seq("c_id"))
           .select(col("p_id").as("event_id"), col("c_id").as("prior_click_id"),
@@ -235,7 +235,7 @@ object JoinQueries {
         val windows = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("p_id"), col("ts").as("lo"),
             (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
-        RangeJoin.probeBucketSkewOnce(s"$d|events.click.ts|3600", clicks, "c_ts", 3600L)
+        RangeJoin.probeBucketSkewOnce(s"${RangeJoin.datasetKey(s, s"$d/events.parquet")}|events.click.ts|3600", clicks, "c_ts", 3600L)
         RangeJoin.pointInInterval(clicks, "c_ts", windows, "lo", "hi", 3600L)
           .groupBy("p_id")
           .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))
@@ -265,7 +265,7 @@ object JoinQueries {
         // probe at the SEMANTIC width (the 1-hour window length), not the
         // auto-picked one: collapsed time would shrink the auto width to
         // ~1 s and hide the degeneracy from a probe at that width
-        RangeJoin.probeBucketSkewOnce(s"$d|events.click.ts|3600", clicks, "c_ts", 3600L)
+        RangeJoin.probeBucketSkewOnce(s"${RangeJoin.datasetKey(s, s"$d/events.parquet")}|events.click.ts|3600", clicks, "c_ts", 3600L)
         RangeJoin.pointInInterval(clicks, "c_ts", windows, "lo", "hi")
           .groupBy("p_id")
           .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))
@@ -294,7 +294,7 @@ object JoinQueries {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("ts").as("c_lo"), (col("ts") + expr("INTERVAL 30 MINUTE")).as("c_hi"),
             col("value").as("c_val"))
-        RangeJoin.probeBucketSkewOnce(s"$d|events.click.ts|3600", clicks, "c_lo", 3600L)
+        RangeJoin.probeBucketSkewOnce(s"${RangeJoin.datasetKey(s, s"$d/events.parquet")}|events.click.ts|3600", clicks, "c_lo", 3600L)
         RangeJoin.intervalOverlap(purchases, "p_lo", "p_hi", clicks, "c_lo", "c_hi", 3600L)
           .groupBy("p_id")
           .agg(count(lit(1)).as("n"), r4(sum(col("c_val"))).as("total"))

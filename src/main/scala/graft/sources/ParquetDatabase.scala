@@ -519,6 +519,15 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * destination; [[ParquetDatabase.pullFrom]] re-hashes on the way back
     * and fails loudly on any divergence — the transfer-integrity check the
     * reference gets from HF's etag validation.
+    *
+    * Scope: `pushTo` replicates the TABLE — the `*.parquet` data files
+    * under the db dir (partition subdirs included). Sibling state dirs
+    * (`__snapshots` manifests, `__archive` pinned files) are deliberately
+    * not part of a replica: a replica is a readable table, not a clone of
+    * the mutation history. Manifest lengths are additionally cross-checked
+    * against the SOURCE FileStatus after each copy, so a short read (a
+    * stream yielding EOF mid-file) cannot produce a truncated replica that
+    * "verifies" against its own manifest.
     */
   def pushTo(destDir: String, parallelism: Int = 8): ParquetDatabase = {
     val destRoot = new Path(destDir)
@@ -529,6 +538,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     val entries = ParquetDatabase.inThreadPool(parallelism, files) { p =>
       val rel = relativize(dir, p)
       val (len, md5) = ParquetDatabase.copyAndHash(fs, p, dfs, new Path(destRoot, rel))
+      val srcLen = fs.getFileStatus(p).getLen
+      if (len != srcLen)
+        throw new ParquetDatabase.ReplicaIntegrityException(
+          s"pushTo copied $len bytes of $rel but the source holds $srcLen — " +
+            "short read during copy")
       s"$rel\t$len\t$md5"
     }
     val out = dfs.create(new Path(destRoot, ParquetDatabase.ManifestName), true)
@@ -807,6 +821,17 @@ object ParquetDatabase {
     * corrupted replica names every bad file, not just the first. Nothing is
     * half-applied on failure: the destination is written to a temp dir and
     * renamed into place only after the whole manifest verifies.
+    *
+    * Object-store posture (no atomic rename): the promote step may itself
+    * be a per-file copy that dies midway. The protocol's guarantee there is
+    * DETECTION, not atomicity — the manifest travels with the data (written
+    * into the temp dir before promote), so a partial promote under the
+    * final name always fails [[verifyReplica]] (absent manifest, or named
+    * missing files) and recovery is a plain re-pull. The protocol never
+    * LISTS the destination it wrote (files are addressed by manifest-
+    * derived names), so list-after-write lag cannot corrupt it —
+    * ObjectStoreReplicationSpec asserts both properties against a
+    * rename-by-copy filesystem with injected mid-promote crashes.
     */
   def pullFrom(spark: SparkSession, srcDir: String, destDir: String,
       parallelism: Int = 8): ParquetDatabase = {
@@ -817,17 +842,19 @@ object ParquetDatabase {
     if (!srcFs.exists(manifestPath))
       throw new ReplicaIntegrityException(
         s"$srcDir has no $ManifestName — not a pushed replica (use pushTo to create one)")
-    val manifest = {
+    val manifestBytes = {
       val len = srcFs.getFileStatus(manifestPath).getLen.toInt
       val buf = new Array[Byte](len)
       val in = srcFs.open(manifestPath)
       try in.readFully(buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      buf
+    }
+    val manifest =
+      new String(manifestBytes, java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").toIndexedSeq.filter(_.nonEmpty).map { line =>
           val Array(rel, lenS, md5) = line.split("\t")
           (rel, lenS.toLong, md5)
         }
-    }
     val destRoot = new Path(destDir)
     val destFs = destRoot.getFileSystem(conf)
     val tmpRoot = new Path(destDir + "__pull_tmp")
@@ -849,6 +876,15 @@ object ParquetDatabase {
         s"replica $srcDir failed integrity verification (${problems.size} file(s)):\n  " +
           problems.mkString("\n  "))
     }
+    // land the manifest WITH the data: the pulled dir is itself a
+    // re-auditable (and re-pushable) replica, and — critically for targets
+    // without atomic rename, where the promote below is a per-file
+    // copy+delete that can die midway — a partial promote under the final
+    // name can never pass verifyReplica: either the manifest is absent or
+    // it names every missing file. Parquet readers skip `_`-prefixed files,
+    // so the table read is unaffected.
+    val mOut = destFs.create(new Path(tmpRoot, ManifestName), true)
+    try mOut.write(manifestBytes) finally mOut.close()
     if (destFs.exists(destRoot)) destFs.delete(destRoot, true)
     if (!destFs.rename(tmpRoot, destRoot))
       throw new java.io.IOException(s"pull: failed to move $tmpRoot -> $destRoot")

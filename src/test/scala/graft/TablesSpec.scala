@@ -50,6 +50,29 @@ class TablesSpec extends SparkSpec {
     assert(mx === 1709251200L + 99L, "nanos were not truncated to the right seconds")
   }
 
+  test("eventsTsInfo re-probes when the staged path is rewritten in-session") {
+    // streaming fixtures delete + re-stage scratch dirs at the same path; a
+    // path-only cache key would keep serving the dead staging's decode
+    // branch — the footer cache must key on the path's (mtime, length) too
+    val path = "target/tmp/tables_spec/restage/events.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val base = 1709251200L * 1000000000L
+    spark.range(10)
+      .select(col("id").as("event_id"), (lit(base) + col("id") * 1000000000L).as("ts"))
+      .write.parquet(path)
+    assert(Tables.eventsTsInfo(spark, path).unit === None,
+      "unannotated INT64 staging must probe as raw-long")
+    fs.delete(p, true)
+    spark.range(10)
+      .select(col("id").as("event_id"),
+        to_timestamp(lit("2024-03-01 00:00:00")).as("ts"))
+      .write.parquet(path)
+    assert(Tables.eventsTsInfo(spark, path).unit.isDefined,
+      "restaged annotated encoding must be re-probed, not served from the stale cache")
+  }
+
   test("a unit drift that collapses time fails loudly, not silently") {
     val dir = "target/tmp/tables_spec/collapsed"
     val p = new org.apache.hadoop.fs.Path(dir)

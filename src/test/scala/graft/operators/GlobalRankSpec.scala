@@ -34,6 +34,38 @@ class GlobalRankSpec extends SparkSpec {
     }
   }
 
+  test("ranks survive (or fail loudly) with exchange reuse disabled") {
+    // With spark.sql.exchange.reuse off, the counts branch and the rank
+    // branch each build their own range exchange whose sampled bounds may
+    // differ. Correct ranks only need the two size vectors to agree, and
+    // ANY disagreement trips the in-plan __local <= __cnt guard — so the
+    // acceptable outcomes are exactly: identical ranks, or the named error.
+    // Silent wrong ranks are the one outcome that must be impossible.
+    val old = spark.conf.getOption("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val df = fixture(5000)
+      val want = df.withColumn("rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+        .orderBy("id").select("id", "rn").collect().toSeq
+      try {
+        val got = GlobalRank.globalRowNumber(df, Seq(col("v"), col("id")), out = "rn")
+          .orderBy("id").select("id", "rn").collect().toSeq
+        assert(got === want, "reuse-off run returned wrong ranks WITHOUT tripping the guard")
+      } catch {
+        case e: Exception =>
+          def chain(t: Throwable): String =
+            if (t == null) "" else t.toString + "\n" + chain(t.getCause)
+          assert(chain(e).contains("GlobalRank"),
+            s"reuse-off run failed with an unexpected error: ${chain(e)}")
+      }
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+        case None => spark.conf.unset("spark.sql.exchange.reuse")
+      }
+    }
+  }
+
   test("the data path is range-partitioned, not single-partition") {
     val df = fixture(5000)
     val plan = GlobalRank.globalNtile(df, Seq(col("v"), col("id")), 4, out = "b")

@@ -230,4 +230,25 @@ class RangeJoinSpec extends SparkSpec {
       .map(i => (i, new Timestamp(1700000000000L + i))).toDF("pid", "t")
     RangeJoin.probeBucketSkew(tiny, "t", 3600L) // must not throw
   }
+
+  test("memoized probe re-probes after the dataset is mutated at the same path") {
+    // a PASSED probe is memoized per datasetKey; mutating the table at the
+    // same path must yield a NEW key (mtime/length fingerprint) so the
+    // post-mutation skew collapse is caught, not waved through by the memo
+    val dir = "target/tmp/rangejoin_spec/mutable"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    (0L until 5000L).map(i => (i, new Timestamp(1700000000000L + i * 36L * 14400L)))
+      .toDF("pid", "t").write.mode("overwrite").parquet(dir)
+    val key1 = RangeJoin.datasetKey(spark, dir)
+    RangeJoin.probeBucketSkewOnce(s"$key1|t|3600", spark.read.parquet(dir), "t", 3600L)
+    // mutate in place: the round-7 collapsed axis lands at the same path
+    (0L until 5000L).map(i => (i, new Timestamp(1700000000000L + i * 36L)))
+      .toDF("pid", "t").write.mode("overwrite").parquet(dir)
+    val key2 = RangeJoin.datasetKey(spark, dir)
+    assert(key2 !== key1, "datasetKey must change when the dir is rewritten")
+    intercept[RangeJoin.DegenerateBucketDistributionException] {
+      RangeJoin.probeBucketSkewOnce(s"$key2|t|3600", spark.read.parquet(dir), "t", 3600L)
+    }
+  }
 }
