@@ -80,4 +80,76 @@ object DistinctSketch {
 
   def readEstimates(spark: SparkSession, dir: String, out: String = "distinct_est"): DataFrame =
     estimates(spark.read.parquet(dir), out).drop("sketch")
+
+  // ---- bucketed store: the growing-key-set compaction story --------------
+  //
+  // The flat store rewrites every key's sketch per merge — O(all keys) per
+  // refresh, which stops scaling once the key set itself is large (per-user
+  // sketches over a 100 TB corpus: 10⁸ keys × 4 KB = a 400 GB rewrite to
+  // fold in a 1-key batch). The bucketed layout hash-partitions keys into
+  // `bucket=<b>` dirs (b = pmod(xxhash64(keys), nBuckets)); a batch merge
+  //   1. sketches the batch (batch-sized scan, keys-sized result),
+  //   2. reads ONLY the store buckets the batch's keys hash into
+  //      (partition-pruned scan — untouched buckets are never opened),
+  //   3. rewrites only those buckets, each via the same retire-then-promote
+  //      rename sequence as the flat store.
+  // Refresh cost is O(touched-bucket keys · sketch), not O(all keys).
+  //
+  // Crash posture: per-bucket promotion is sequential, so a crash can leave
+  // a MIX of pre- and post-merge buckets. Every bucket stays internally
+  // consistent, and replaying the SAME batch converges the store: HLL union
+  // is idempotent on identical inputs (re-merging a batch into a bucket
+  // that already folded it changes nothing), so recovery is "re-run the
+  // merge", never a rebuild — spec-asserted. Dead keys vacuum per bucket.
+
+  private def bucketCol(keys: Seq[String], nBuckets: Int) =
+    pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+
+  def buildBucketedStore(df: DataFrame, keys: Seq[String], itemCol: String, dir: String,
+      nBuckets: Int = 64, lgK: Int = DefaultLgK): Unit =
+    sketchByKey(df, keys, itemCol, lgK)
+      .withColumn("bucket", bucketCol(keys, nBuckets))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Fold one batch into the bucketed store, rewriting only touched
+    * buckets. `nBuckets` must match the build (bucket ids are recomputed
+    * from the same hash).
+    */
+  def mergeBatchIntoBucketedStore(spark: SparkSession, batch: DataFrame, keys: Seq[String],
+      itemCol: String, dir: String, nBuckets: Int = 64, lgK: Int = DefaultLgK): Unit = {
+    val batchSk = sketchByKey(batch, keys, itemCol, lgK)
+      .withColumn("bucket", bucketCol(keys, nBuckets))
+      .localCheckpoint() // keys-sized; feeds the touched-set and the merge
+    // ≤ nBuckets values — metadata-sized by construction
+    val touched = batchSk.select("bucket").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val existing = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched: _*))
+      .select((keys :+ "sketch" :+ "bucket").map(col): _*)
+    val merged = existing
+      .unionByName(batchSk.select((keys :+ "sketch" :+ "bucket").map(col): _*))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+    val tmpRoot = new org.apache.hadoop.fs.Path(dir + "__sketch_tmp")
+    val fs = tmpRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmpRoot, true)
+    merged.write.partitionBy("bucket").parquet(tmpRoot.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
+      val tmp = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$b")
+      // retired copy lives OUTSIDE the store root: a crash-left sibling
+      // named bucket=N__old inside it would parse as another partition
+      val old = new org.apache.hadoop.fs.Path(dir + s"__old_bucket_$b")
+      if (!fs.exists(tmp))
+        throw new java.io.IOException(s"merged write produced no dir for touched bucket $b")
+      fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"bucket retire failed: $live -> $old")
+      if (!fs.rename(tmp, live))
+        throw new java.io.IOException(
+          s"bucket promote failed: $tmp -> $live (pre-merge copy at $old)")
+      fs.delete(old, true)
+    }
+    fs.delete(tmpRoot, true)
+  }
 }

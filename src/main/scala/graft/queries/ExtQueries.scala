@@ -1024,14 +1024,19 @@ object ExtQueries {
           "r AS (SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id ASC) AS INTEGER) AS rank FROM c) " +
           "SELECT rank, user_id, n, TRUE AS bound_ok FROM r WHERE rank <= 10 ORDER BY rank")),
 
-    // incremental distinct counting via a persisted HLL sketch store: two
-    // batches (half the events each) sketch + merge WITHOUT ever re-reading
-    // batch 1 — the 100 TB metrics-store pattern (exact count(DISTINCT)
-    // re-shuffles all history per refresh; sketches fold each batch in
-    // O(keys·4KB)). Oracle via the promotion pattern: estimates from the
-    // merged store are guard-checked in-plan against the exact distinct
-    // (10% band, far above HLL lgK=12's ~1.6% rse), the deterministic
-    // exact counts are emitted.
+    // incremental distinct counting via a persisted BUCKETED HLL sketch
+    // store: two batches (half the events each) sketch + merge WITHOUT ever
+    // re-reading batch 1 — the 100 TB metrics-store pattern (exact
+    // count(DISTINCT) re-shuffles all history per refresh; sketches fold
+    // each batch in O(touched-bucket keys · 4KB)). The bucketed layout is
+    // the growing-key-set compaction story: the merge partition-prunes the
+    // store read to the buckets the batch's keys hash into and rewrites
+    // only those (see DistinctSketch scaladoc). Oracle via the promotion
+    // pattern: estimates from the merged store are guard-checked in-plan
+    // against the exact distinct (10% band, far above HLL lgK=12's ~1.6%
+    // rse), the deterministic exact counts are emitted — the exact arm is
+    // oracle-gate scaffolding; at deployment scale the store path alone
+    // serves the metric (PROFILE.md round-9 note).
     DeclaredQuery(
       "q_ext_hll1",
       (s, d) => {
@@ -1039,11 +1044,13 @@ object ExtQueries {
         val root = graft.Scratch.dir("hll_store")
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-        DistinctSketch.buildStore(
-          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", root)
-        DistinctSketch.mergeBatchIntoStore(s,
-          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", root)
-        val est = DistinctSketch.readEstimates(s, root, "est")
+        DistinctSketch.buildBucketedStore(
+          ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id", root,
+          nBuckets = 16)
+        DistinctSketch.mergeBatchIntoBucketedStore(s,
+          ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id", root,
+          nBuckets = 16)
+        val est = DistinctSketch.readEstimates(s, root, "est").drop("bucket")
         val exact = ev.groupBy("event_type")
           .agg(countDistinct(col("user_id")).as("exact"))
         est.join(exact, "event_type")

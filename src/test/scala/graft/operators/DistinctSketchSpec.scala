@@ -52,4 +52,49 @@ class DistinctSketchSpec extends SparkSpec {
       .select(col("g"), col("est")).orderBy("g").collect().toSeq
     assert(once === again)
   }
+
+  test("bucketed store: a batch merge rewrites ONLY the buckets its keys hash into") {
+    val dir = "target/tmp/distinct_sketch/bucketed"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val df = fixture
+    DistinctSketch.buildBucketedStore(df.filter(col("item") < 1500), Seq("g"), "item",
+      dir, nBuckets = 8)
+    // census of every bucket file before the merge
+    def census(): Map[String, (Long, Long)] =
+      fs.listStatus(p).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.isFile).map(f =>
+          f.getPath.toString -> (f.getLen, f.getModificationTime))).toMap
+    val before = census()
+    // a single-key batch touches exactly one bucket
+    val batch = df.filter(col("g") === "g1" && col("item") >= 1500)
+    DistinctSketch.mergeBatchIntoBucketedStore(spark, batch, Seq("g"), "item",
+      dir, nBuckets = 8)
+    val after = census()
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    val touchedDirs = changed.map(_.replaceAll("/[^/]*$", "")).toSet
+    assert(touchedDirs.size === 1,
+      s"expected exactly one rewritten bucket dir, got: $touchedDirs")
+    // untouched buckets byte-identical (same files, lengths, mtimes)
+    assert(before.filter { case (k, _) => !changed.contains(k) } ==
+      after.filter { case (k, _) => !changed.contains(k) })
+    // estimates over the whole store still track exact for the folded data
+    val est = DistinctSketch.readEstimates(spark, dir, "est")
+      .join(df.filter(col("item") < 1500).unionByName(batch)
+        .groupBy("g").agg(countDistinct(col("item")).as("exact")), "g")
+    assert(est.count() === 4)
+    assert(est.filter(abs(col("est") - col("exact")) > col("exact") * 0.10).count() === 0)
+    // crash-recovery contract: replaying the SAME batch is a no-op for the
+    // estimates (HLL union is idempotent on identical inputs), so a merge
+    // interrupted between bucket promotions converges by re-running it
+    val snap = DistinctSketch.readEstimates(spark, dir, "est")
+      .select(col("g"), col("est")).orderBy("g").collect().toSeq
+    DistinctSketch.mergeBatchIntoBucketedStore(spark, batch, Seq("g"), "item",
+      dir, nBuckets = 8)
+    val replay = DistinctSketch.readEstimates(spark, dir, "est")
+      .select(col("g"), col("est")).orderBy("g").collect().toSeq
+    assert(replay === snap, "batch replay changed estimates — merge is not idempotent")
+  }
 }
