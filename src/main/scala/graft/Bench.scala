@@ -115,8 +115,15 @@ object Bench {
     // host was busy". A failure on ANY run keeps the negative marker — a
     // median over the surviving runs would smuggle a flaky query in as a
     // success.
+    // Dev knobs for off-driver runs (the driver sets neither): ONLY narrows
+    // to a comma-separated query subset, ROUNDS trims the interleaved round
+    // count — the sf1 scale rehearsal runs the heavy families at rounds=2
+    // without paying 3 full sweeps of a 10× dataset.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val rounds = 3
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val rounds = sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(3)
     val samples = (1 to rounds).map { _ =>
       ordered.map { case (name, fn) => name -> once(name, fn) }.toMap
     }

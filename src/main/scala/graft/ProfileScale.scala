@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, DistinctSketch, Similarity}
+
+/** Scale-rehearsal harness (dev tool): times the DEPLOYMENT paths of the
+  * approximate operators — the LSH/IVF/sketch machinery alone, WITHOUT the
+  * exact oracle-guard arms the declared q_ext_sim2/3/4, q_ext_dedup4 and
+  * q_ext_hll1 queries bolt on — at a given sfDir. Run once at sf0.1 and once at a
+  * ScaleGen-generated sf1 to get the sf0.1→sf1 scaling ratios PROFILE.md
+  * records; the declared-query ratios for guard-free families (range joins,
+  * streaming, joins/aggs) come from Bench with SPARK_GRAFT_BENCH_ONLY.
+  *
+  * `ProfileScale <sfDir> <tag>` → one JSON line `{"op":sec,...}` on stdout
+  * and PROFILE_scale_<tag>.json in the working dir. Two timed reps per op
+  * (min reported): rep 1 absorbs listing/codegen cold cost.
+  */
+object ProfileScale {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, tag) = (args(0), args(1))
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.verifyContract(spark, sfDir)
+    import spark.implicits._
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val events = Tables.load(spark, sfDir, "events")
+    // constant-size query set across scales (ScaleGen replica 0 keeps ids)
+    val q = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+
+    val scratch = s"target/tmp/profile_scale_$tag"
+    val fs = new org.apache.hadoop.fs.Path(scratch)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+
+    // each entry is (name, thunk); thunks re-run from cold plans each rep
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "dedup_jaccard_pairs" -> (() =>
+        noop(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9, shingleN = 3))),
+      "dedup_minhash_lsh_pairs" -> (() =>
+        noop(Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.7,
+          numBands = 16, rowsPerBand = 2, shingleN = 3))),
+      "dedup_simhash_pairs" -> (() =>
+        noop(Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
+          numBlocks = 8, maxBucket = 20000L))),
+      "sim_lsh_topk" -> (() =>
+        noop(Similarity.lshCosineTopK(emb, q, "vec_id", "embedding",
+          k = 10, numTables = 16, planesPerTable = 3))),
+      "ivf_build" -> { () =>
+        // fresh dir per rep: this row times the WRITE-TIME build (k-means‖ +
+        // assignment write), the cost a deployment pays once per corpus
+        val d = s"$scratch/ivf_${System.nanoTime()}"
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+      },
+      "ivf_probe_topk" -> { () =>
+        val d = s"$scratch/ivf_probe"
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+        noop(Similarity.ivfTopKPersisted(spark, d, q, "vec_id", "embedding", k = 10, nprobe = 8))
+      },
+      "ivf_self_topk" -> { () =>
+        val d = s"$scratch/ivf_probe"
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+        noop(Similarity.ivfSelfTopK(Similarity.loadIvfIndex(spark, d), k = 5, nprobe = 8))
+      },
+      "hll_store_refresh" -> { () =>
+        // bucketed store build + one 10%-of-corpus batch merge — the
+        // metrics-refresh shape q_ext_hll1 deploys
+        val d = s"$scratch/hll_${System.nanoTime()}"
+        DistinctSketch.buildBucketedStore(events, Seq("event_type"), "user_id", d)
+        val batch = events.filter(col("event_id") % 10 === 0)
+        DistinctSketch.mergeBatchIntoBucketedStore(spark, batch, Seq("event_type"), "user_id", d)
+      })
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // warmup: session/codegen startup lands here, not on the first op
+    noop(docs.limit(100))
+    ops.foreach { case (name, fn) =>
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn()
+        (System.nanoTime() - t0) / 1e9
+      }
+      out(name) = math.rint(reps.min * 1000) / 1000
+      println(s"[profile-scale] $name: min=${out(name)} reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+
+    val json = out.map { case (k, v) => s""""$k":$v""" }.mkString(
+      s"""{"sf":"$sfDir","tag":"$tag",""", ",", "}")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"PROFILE_scale_$tag.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}
