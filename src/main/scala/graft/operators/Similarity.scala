@@ -44,6 +44,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the norms precomputed per VECTOR (projected below the
+    * pair join) instead of per PAIR: the pairwise kernel drops from 3
+    * vector_dot evaluations to 1 — a ~3× cut on the dominant cost of every
+    * scoring join here. Bit-identical to [[cosine]]: `na`/`nb` are the same
+    * `sqrt(vector_dot(x,x))` doubles, and the `dot/(na*nb)` op order is
+    * unchanged, so ranked/rounded outputs cannot drift.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
 
   /** Exact top-k cosine neighbors for each query row.
     *
@@ -53,11 +63,14 @@ object Similarity {
     */
   def cosineTopK(vectors: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -95,16 +108,19 @@ object Similarity {
                     vecCol: String, k: Int, numTables: Int = 8,
                     planesPerTable: Int = 4): DataFrame = {
     val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        norm(col(vecCol)).as("nn"),
         explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
-      .select(col("nid"), col("nv"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+      .select(col("nid"), col("nv"), col("nn"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        norm(col(vecCol)).as("qn"),
         explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
-      .select(col("qid"), col("qv"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
+      .select(col("qid"), col("qv"), col("qn"), col("h.tbl").as("qtbl"), col("h.bkt").as("qbkt"))
     val candidates = v.join(broadcast(q),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt") && col("qid") =!= col("nid"))
-      .select(col("qid"), col("qv"), col("nid"), col("nv"))
+      .select(col("qid"), col("qv"), col("qn"), col("nid"), col("nv"), col("nn"))
       .dropDuplicates("qid", "nid")
-    val scored = candidates.withColumn("cos", cosine(col("qv"), col("nv")))
+    val scored = candidates.withColumn("cos",
+      cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -215,13 +231,16 @@ object Similarity {
     * one scan against broadcast centroids.
     */
   def assignCells(vectors: DataFrame, idCol: String, vecCol: String,
-                  centroids: DataFrame): DataFrame =
-    vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("nv"), col("cv")))
+                  centroids: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        norm(col(vecCol)).as("nn"))
+      .crossJoin(broadcast(centroids.withColumn("cn", norm(col("cv")))))
+      .withColumn("ccos", cosinePre(col("nv"), col("cv"), col("nn"), col("cn")))
       .groupBy("nid")
       .agg(max_by(struct(col("nv"), col("cid")), struct(col("ccos"), -col("cid"))).as("best"))
       .select(col("nid"), col("best.nv").as("nv"), col("best.cid").as("cell"))
+  }
 
   /** IVF index artifacts: broadcastable centroids `(cid, cv)` and the
     * corpus with its assigned cell `(nid, nv, cell)`. Built once at write
@@ -367,22 +386,24 @@ object Similarity {
                        k: Int, nprobe: Int): (DataFrame, Array[Long]) = {
     graft.functions.GraftFunctions.register(spark)
     val centroids = spark.read.parquet(s"$indexDir/centroids")
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
     // localCheckpoint: probes feed both the cell-set collect and the probe
     // join — without it the subtree is computed twice (no subplan dedup)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("pcos", cosine(col("qv"), col("cv")))
+    val probes = q.crossJoin(broadcast(centroids.withColumn("cn", norm(col("cv")))))
+      .withColumn("pcos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
       .localCheckpoint()
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val assigned = spark.read.parquet(s"$indexDir/assigned")
       .filter(col("cell").isin(cells: _*))
+      .withColumn("nn", norm(col("nv")))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     val out = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -406,17 +427,19 @@ object Similarity {
               vecCol: String, k: Int, nprobe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     // nprobe nearest centroids per query
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("pcos", cosine(col("qv"), col("cv")))
+    val probes = q.crossJoin(broadcast(index.centroids.withColumn("cn", norm(col("cv")))))
+      .withColumn("pcos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
     // exact scoring within probed cells only
-    val scored = index.assigned.join(broadcast(probes), Seq("cell"))
+    val scored = index.assigned.withColumn("nn", norm(col("nv")))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -459,20 +482,22 @@ object Similarity {
       .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("long").as("nsub"))
       .localCheckpoint()
     val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
-    val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"))
-      .crossJoin(broadcast(index.centroids))
-      .withColumn("pcos", cosine(col("qv"), col("cv")))
+    val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"),
+        norm(col("nv")).as("qn"))
+      .crossJoin(broadcast(index.centroids.withColumn("cn", norm(col("cv")))))
+      .withColumn("pcos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("prn", row_number().over(probeW))
       .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid").as("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
       .join(broadcast(subCounts), Seq("cell"))
       .withColumn("sub", pmod(xxhash64(col("qid")), col("nsub")))
     val corpus = index.assigned
+      .withColumn("nn", norm(col("nv")))
       .join(broadcast(subCounts), Seq("cell"))
       .withColumn("sub", pmod(xxhash64(col("nid")), col("nsub")))
     val scored = corpus.join(probes.drop("nsub"), Seq("cell", "sub")) // shuffle join on (cell, sub)
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -488,15 +513,17 @@ object Similarity {
                          tau: Double, numTables: Int = 8, planesPerTable: Int = 8,
 ): DataFrame = {
     val v = spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn"),
         explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
-      .select(col("id"), col("v"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
+      .select(col("id"), col("v"), col("vn"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     v.as("a")
-      .join(v.select(col("id").as("id2"), col("v").as("v2"),
+      .join(v.select(col("id").as("id2"), col("v").as("v2"), col("vn").as("vn2"),
         col("tbl").as("tbl2"), col("bkt").as("bkt2")).as("b"),
         col("tbl") === col("tbl2") && col("bkt") === col("bkt2") && col("a.id") < col("id2"))
-      .select(col("a.id").as("d1"), col("id2").as("d2"), col("v"), col("v2"))
+      .select(col("a.id").as("d1"), col("id2").as("d2"),
+        col("v"), col("v2"), col("vn"), col("vn2"))
       .dropDuplicates("d1", "d2")
-      .withColumn("cos", cosine(col("v"), col("v2")))
+      .withColumn("cos", cosinePre(col("v"), col("v2"), col("vn"), col("vn2")))
       .filter(col("cos") >= tau)
       .select(col("d1"), col("d2"), col("cos"))
   }

@@ -718,15 +718,19 @@ object ExtQueries {
         Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding", numCentroids = 16)
         val cand = Similarity.ivfSelfTopK(Similarity.loadIvfIndex(s, dir), k = 5, nprobe = 8)
           .select(col("qid"), col("nid"))
-        val v = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
-        val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val v = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          Similarity.norm(col("embedding")).as("nn"))
+        val qs = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("cosr").desc, col("nid"))
         // 5·n rows, referenced by both the summary and the recall guard —
-        // localCheckpoint'd so the n² scoring pass runs once
+        // localCheckpoint'd so the n² scoring pass runs once; norms are
+        // precomputed per vector (cosinePre), not per pair
         val exact = v.crossJoin(broadcast(qs))
           .filter(col("qid") =!= col("nid"))
-          .withColumn("cosr", r4(Similarity.cosine(col("qv"), col("nv"))))
+          .withColumn("cosr",
+            r4(Similarity.cosinePre(col("qv"), col("nv"), col("qn"), col("nn"))))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("qid"), col("nid"), col("rn"), col("cosr"))
