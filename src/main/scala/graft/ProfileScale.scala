@@ -55,18 +55,24 @@ object ProfileScale {
           k = 10, numTables = 16, planesPerTable = 3))),
       "ivf_build" -> { () =>
         // fresh dir per rep: this row times the WRITE-TIME build (k-means‖ +
-        // assignment write), the cost a deployment pays once per corpus
+        // assignment write), the cost a deployment pays once per corpus.
+        // Centroids follow the autoCentroids scale rule (constant cell
+        // size), the deployment posture — NOT the declared queries' pinned
+        // 16, which is an oracle-recall fixture choice.
         val d = s"$scratch/ivf_${System.nanoTime()}"
-        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding",
+          numCentroids = Similarity.autoCentroids(emb.count()))
       },
       "ivf_probe_topk" -> { () =>
         val d = s"$scratch/ivf_probe"
-        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding",
+          numCentroids = Similarity.autoCentroids(emb.count()))
         noop(Similarity.ivfTopKPersisted(spark, d, q, "vec_id", "embedding", k = 10, nprobe = 8))
       },
       "ivf_self_topk" -> { () =>
         val d = s"$scratch/ivf_probe"
-        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding", numCentroids = 16)
+        Similarity.ensureIvfIndex(spark, d, emb, "vec_id", "embedding",
+          numCentroids = Similarity.autoCentroids(emb.count()))
         noop(Similarity.ivfSelfTopK(Similarity.loadIvfIndex(spark, d), k = 5, nprobe = 8))
       },
       "hll_store_refresh" -> { () =>

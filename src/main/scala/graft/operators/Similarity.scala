@@ -54,6 +54,23 @@ object Similarity {
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Centroid count that keeps IVF cell size — and with it the per-vector
+    * candidate count of [[ivfSelfTopK]]/[[ivfTopK]] — CONSTANT as the corpus
+    * grows: cells ≈ n / targetCellSize. This is the scale rule a deployment
+    * must follow; a FIXED centroid count makes self-top-k work grow
+    * quadratically with corpus size (cell population ∝ n and each vector
+    * scores against nprobe whole cells — measured 19× cost at 10× corpus
+    * with k=16 frozen, vs ~linear with this rule; PROFILE.md round 9).
+    * The declared q_ext_sim3/sim4 queries pin 16 for oracle-recall
+    * comparability at test scales.
+    */
+  def autoCentroids(corpusRows: Long, targetCellSize: Long = 128L): Int = {
+    // division-based ceil: the additive form overflows near Long.MaxValue
+    val cells = corpusRows / targetCellSize +
+      (if (corpusRows % targetCellSize == 0L) 0L else 1L)
+    math.max(16L, math.min(1L << 20, cells)).toInt
+  }
+
 
   /** Exact top-k cosine neighbors for each query row.
     *

@@ -19,6 +19,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("autoCentroids holds cell size constant across corpus growth") {
+    // the anti-superlinearity rule: 10× corpus → ~10× cells, never 10× cell
+    // population (PROFILE.md round-9 rehearsal measured 19× self-top-k cost
+    // at 10× data with a frozen centroid count)
+    assert(Similarity.autoCentroids(2000) === 16)   // floor keeps tiny corpora sane
+    assert(Similarity.autoCentroids(20000) === 157)
+    val c1 = Similarity.autoCentroids(10L * 1000 * 1000)
+    val c10 = Similarity.autoCentroids(100L * 1000 * 1000)
+    assert(math.abs(c10.toDouble / c1 - 10.0) < 0.01)
+    assert(Similarity.autoCentroids(Long.MaxValue) === (1 << 20)) // cap, no overflow
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = clustered(40, 16, 4, jitter = 0.05)
     // vector 36 is in cluster 0 alongside 0, 4, 8...
