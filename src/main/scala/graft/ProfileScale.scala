@@ -47,6 +47,10 @@ object ProfileScale {
       "dedup_minhash_lsh_pairs" -> (() =>
         noop(Dedup.minHashPairs(docs, "doc_id", "text", threshold = 0.7,
           numBands = 16, rowsPerBand = 2, shingleN = 3))),
+      "dedup_simhash_sig" -> (() =>
+        // the signature pass alone (tokenize + 64 bit-votes + pack): the
+        // banding join's cost is dedup_simhash_pairs minus this row
+        noop(Dedup.simHash(docs, "doc_id", "text"))),
       "dedup_simhash_pairs" -> (() =>
         noop(Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
           numBlocks = 8, maxBucket = 20000L))),

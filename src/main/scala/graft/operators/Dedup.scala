@@ -597,7 +597,10 @@ object Dedup {
           col("sub") === col("sub2") && col("x.id") < col("id2"))
       .select(col("x.id").as("d1"), col("id2").as("d2"),
         bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: the banding join emits millions of
+      // shared-bucket candidates on a template-heavy corpus, but only the
+      // hamming<=maxDist survivors (output-sized, tiny) need the distinct
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 }

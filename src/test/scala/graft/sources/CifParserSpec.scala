@@ -73,4 +73,126 @@ class CifParserSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](CifParser.parse("bad1", bad))
     assert(e.getMessage.contains("bad1"))
   }
+
+  // ---- round-9 breadth: the general CIF surface pymatgen handles ----
+
+  val decorated: String =
+    """data_deco
+      |# full-line comment
+      |_cell_length_a 2.0  # trailing comment
+      |_cell_length_b 2.0
+      |_cell_length_c 2.0
+      |_cell_angle_alpha 90.0
+      |_cell_angle_beta 90.0
+      |_cell_angle_gamma 90.0
+      |_chemical_name_common 'sodium chloride # not a comment'
+      |_publ_section_title
+      |;
+      |A multiline
+      |title block
+      |;
+      |loop_
+      |_atom_site_label
+      |_atom_site_type_symbol
+      |_atom_site_occupancy
+      |_atom_site_fract_x
+      |_atom_site_fract_y
+      |_atom_site_fract_z
+      |Na1 Na1+ 1.0 0.0 0.0 0.0
+      |Cl1 Cl1- 1.0
+      |  0.5 0.5 0.5
+      |""".stripMargin
+
+  test("quoted values, comments, multiline text fields, wrapped loop rows, charge decorations") {
+    val r = CifParser.parse("deco1", decorated)
+    assert(r.species === Seq("Na", "Cl")) // charges stripped; Cl row wraps two lines
+    assert(r.frac_coords(1) === Seq(0.5, 0.5, 0.5))
+    assert(math.abs(r.lattice.volume - 8.0) < 1e-9)
+  }
+
+  val symmetric: String =
+    """data_sym
+      |_cell_length_a 4.0
+      |_cell_length_b 4.0
+      |_cell_length_c 4.0
+      |_cell_angle_alpha 90.0
+      |_cell_angle_beta 90.0
+      |_cell_angle_gamma 90.0
+      |loop_
+      |_symmetry_equiv_pos_site_id
+      |_symmetry_equiv_pos_as_xyz
+      |1 'x, y, z'
+      |2 '-x, -y, -z'
+      |3 'x+1/2, y+1/2, z'
+      |4 '-x+1/2, -y+1/2, -z'
+      |loop_
+      |_atom_site_type_symbol
+      |_atom_site_fract_x
+      |_atom_site_fract_y
+      |_atom_site_fract_z
+      |Cu 0.1 0.2 0.3
+      |O 0.0 0.0 0.0
+      |""".stripMargin
+
+  test("symmetry expansion: general position gets |ops| images, special position deduplicates") {
+    val r = CifParser.parse("sym1", symmetric)
+    // Cu at a general position → 4 images; O at the origin is fixed by the
+    // inversion (op 2 maps it to itself) → 2 distinct images
+    assert(r.species.count(_ == "Cu") === 4)
+    assert(r.species.count(_ == "O") === 2)
+    // first Cu image is the identity op on the asymmetric site
+    assert(r.frac_coords.head === Seq(0.1, 0.2, 0.3))
+    // inversion image wrapped into [0,1)
+    assert(r.frac_coords(1).zip(Seq(0.9, 0.8, 0.7)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // translation op: x+1/2 applied to 0.1 → 0.6
+    assert(r.frac_coords(2).zip(Seq(0.6, 0.7, 0.3)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    // cartesian follows the expanded set (cubic a=4: cart = 4·frac)
+    assert(r.cart_coords(2).zip(Seq(2.4, 2.8, 1.2)).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("space_group_symop_operation_xyz tag is accepted too") {
+    val alt = symmetric.replace("_symmetry_equiv_pos_site_id", "_space_group_symop_id")
+      .replace("_symmetry_equiv_pos_as_xyz", "_space_group_symop_operation_xyz")
+    assert(CifParser.parse("sym2", alt).species.count(_ == "Cu") === 4)
+  }
+
+  val multiBlock: String = cubic +
+    """data_second
+      |_cell_length_a 3.0
+      |_cell_length_b 3.0
+      |_cell_length_c 3.0
+      |_cell_angle_alpha 90.0
+      |_cell_angle_beta 90.0
+      |_cell_angle_gamma 90.0
+      |loop_
+      |_atom_site_type_symbol
+      |_atom_site_fract_x
+      |_atom_site_fract_y
+      |_atom_site_fract_z
+      |Mg 0.0 0.0 0.0
+      |""".stripMargin
+
+  test("multi-block file: parse keeps the first structure, parseAll returns both with unique ids") {
+    val first = CifParser.parse("mb1", multiBlock)
+    assert(first.species === Seq("Na", "Cl"))
+    val all = CifParser.parseAll("mb1", multiBlock)
+    assert(all.map(_.source_id) === Seq("mb1", "mb1#second"))
+    assert(all(1).species === Seq("Mg"))
+    assert(math.abs(all(1).lattice.volume - 27.0) < 1e-9)
+  }
+
+  test("symmetry op parser handles fractions, decimals, and multi-term rows") {
+    val (rot, tr) = CifParser.parseSymOp("x-y+2/3, -x, z+0.25")
+    assert(rot(0).toSeq === Seq(1.0, -1.0, 0.0))
+    assert(math.abs(tr(0) - 2.0 / 3.0) < 1e-12)
+    assert(rot(1).toSeq === Seq(-1.0, 0.0, 0.0))
+    assert(rot(2).toSeq === Seq(0.0, 0.0, 1.0))
+    assert(math.abs(tr(2) - 0.25) < 1e-12)
+  }
+
+  test("unknown-coordinate markers parse as 0 (pymatgen str2float fallback)") {
+    val q = cubic.replace("Cl 0.5 0.5 0.5", "Cl 0.5 ? .")
+    val r = CifParser.parse("q1", q)
+    assert(r.frac_coords(1) === Seq(0.5, 0.0, 0.0))
+  }
 }
