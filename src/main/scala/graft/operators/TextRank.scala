@@ -52,6 +52,31 @@ object TextRank {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion of several rankings of the same id space — the
+    * standard hybrid-retrieval combiner (sparse BM25 + dense ANN lists into
+    * one ranking): score(id) = Σ_lists 1/(kRRF + rank(id)), absent ids
+    * simply contribute nothing from that list.
+    *
+    * Each input is (idCol, rankCol) with rank 1-based. Scale: one union +
+    * one groupBy keyed on id — the inputs are top-k lists (k·queries-sized),
+    * so the fusion shuffle is output-sized, never corpus-sized; with
+    * hundreds of lists the same plan holds (map-side partial sums).
+    * Output: (idCol, n_lists, rrf_score) — rank it and cut to the fused
+    * top-k downstream. Determinism: with two lists the score is a
+    * two-term double add (order-insensitive); for many lists round before
+    * ranking.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRRF: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "TextRank.rrfFuse: need at least one ranking")
+    rankings
+      .map(_.select(col(idCol), col(rankCol).cast("long").as("__rank")))
+      .reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_lists"),
+        sum(lit(1.0) / (lit(kRRF.toDouble) + col("__rank"))).as("rrf_score"))
+  }
+
   /** Per-document unigram language-model log-loss (cross-entropy in nats)
     * — the corpus-likelihood quality score a pretraining pipeline ranks
     * documents by (low = in-distribution text, high = noise/outliers):

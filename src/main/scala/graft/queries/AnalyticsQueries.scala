@@ -68,6 +68,61 @@ object AnalyticsQueries {
           "ORDER BY round(score, 4) DESC, doc_id LIMIT 10"
       }),
 
+    // hybrid retrieval: BM25 sparse top-10 + exact-cosine dense top-10
+    // (query = embedding 0, doc_id ≡ vec_id on the shared id prefix) fused
+    // by reciprocal-rank fusion — the standard two-tower + lexical combiner
+    // a retrieval stack runs before reranking. Both arms are top-10 lists,
+    // so every post-arm frame is output-sized; the 10-row global rank
+    // window on the lexical arm is metadata-sized by construction. RRF is
+    // a two-term double add (order-insensitive), rounded before the final
+    // ordering so ranking ties resolve identically across engines.
+    DeclaredQuery(
+      "q_ext_rank2",
+      (s, d) => {
+        val lexTop = TextRank.bm25(Tables.load(s, d, "documents"), "doc_id", "text",
+          bm25Terms, topK = 10)
+        val lex = lexTop.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+        val emb = Tables.load(s, d, "embeddings")
+        val dense = graft.operators.Similarity.cosineTopK(emb,
+            emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+          .select(col("nid").as("doc_id"), col("rn").as("rank"))
+        TextRank.rrfFuse(Seq(lex, dense), "doc_id", "rank")
+          .select(col("doc_id"), col("n_lists"), round(col("rrf_score"), 6).as("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+      },
+      Some {
+        val in = bm25Terms.map(t => s"'$t'").mkString(", ")
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+          "dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1), " +
+          "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), " +
+          s"tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 WHERE tok IN ($in) GROUP BY 1, 2), " +
+          "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+          "sc AS (SELECT tf.doc_id, " +
+          "sum(ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) " +
+          "* tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS score " +
+          "FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
+          "GROUP BY 1), " +
+          "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS lrank FROM sc), " +
+          "lex AS (SELECT doc_id, lrank FROM lexr WHERE lrank <= 10), " +
+          "q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id = 0), " +
+          "s AS (SELECT q.qid, e.vec_id nid, " +
+          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) dot, " +
+          "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) nq, " +
+          "(SELECT sum(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) ne " +
+          "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+          "t AS (SELECT nid, row_number() OVER (ORDER BY dot/(sqrt(nq)*sqrt(ne)) DESC, nid) rn FROM s), " +
+          "dense AS (SELECT nid AS doc_id, rn AS drank FROM t WHERE rn <= 10), " +
+          "f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex.lrank, dense.drank " +
+          "FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id) " +
+          "SELECT doc_id, CAST((CASE WHEN lrank IS NOT NULL THEN 1 ELSE 0 END " +
+          "+ CASE WHEN drank IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_lists, " +
+          "round(coalesce(CAST(1 AS DOUBLE)/(60 + lrank), 0) " +
+          "+ coalesce(CAST(1 AS DOUBLE)/(60 + drank), 0), 6) AS rrf " +
+          "FROM f ORDER BY rrf DESC, doc_id"
+      }),
+
     DeclaredQuery(
       "q_ext_tfidf1",
       (s, d) =>

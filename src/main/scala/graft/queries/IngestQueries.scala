@@ -170,6 +170,61 @@ object IngestQueries {
           "round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total, " +
           "min(p_name) AS first_name FROM part")),
 
+    // CIF ingestion with symmetry expansion, end-to-end distributed: each
+    // document id deterministically generates a cubic CIF (all values exact
+    // binary fractions — k/4 cells, k/16 coordinates — so both engines'
+    // doubles are bit-identical), and CifParser runs in executors over the
+    // full round-9 surface: comments, a quoted _symmetry_equiv_pos_as_xyz
+    // loop (identity + inversion), image wrapping into [0,1). The general-
+    // position site always yields exactly 2 images, and the emitted
+    // geometry (site count, cell volume, cartesian coords of the inversion
+    // image) is checked against the closed form in DuckDB — the parser's
+    // symmetry path as a declared oracle-gated query, not just a unit spec.
+    DeclaredQuery(
+      "q_ing5",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.load(s, d, "documents").select(col("doc_id")).as[Long]
+        val parsed = ids.map { id =>
+          val a = 2.0 + (id % 8) * 0.25
+          val x0 = 0.0625 + (id % 4) * 0.125
+          val text =
+            s"""data_gen
+               |# generated fixture for doc $id
+               |_cell_length_a $a
+               |_cell_length_b $a
+               |_cell_length_c $a
+               |_cell_angle_alpha 90.0
+               |_cell_angle_beta 90.0
+               |_cell_angle_gamma 90.0
+               |loop_
+               |_symmetry_equiv_pos_as_xyz
+               |'x, y, z'
+               |'-x, -y, -z'
+               |loop_
+               |_atom_site_type_symbol
+               |_atom_site_fract_x
+               |_atom_site_fract_y
+               |_atom_site_fract_z
+               |Na $x0 0.25 0.375
+               |""".stripMargin
+          (id, graft.sources.CifParser.parse(id.toString, text))
+        }.toDF("doc_id", "rec")
+        parsed.select(col("doc_id"),
+            size(col("rec.species")).as("n_sites"),
+            r4(col("rec.lattice.volume")).as("volume"),
+            r4(element_at(element_at(col("rec.cart_coords"), 2), 1)).as("c2x"),
+            r4(element_at(element_at(col("rec.cart_coords"), 2), 2)).as("c2y"),
+            r4(element_at(element_at(col("rec.cart_coords"), 2), 3)).as("c2z"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, CAST(2.0 + (doc_id % 8) * 0.25 AS DOUBLE) AS a, " +
+          "CAST(0.0625 + (doc_id % 4) * 0.125 AS DOUBLE) AS x0 FROM documents) " +
+          "SELECT doc_id, CAST(2 AS INTEGER) AS n_sites, round(a * a * a, 4) AS volume, " +
+          "round((1 - x0) * a, 4) AS c2x, round(0.75 * a, 4) AS c2y, " +
+          "round(0.625 * a, 4) AS c2z FROM g ORDER BY doc_id")),
+
     // partitioned table + partition pruning: write orders hive-partitioned
     // by year, read back with a partition filter. The plan must prune at
     // the directory level (asserted: the scan reads only the matching

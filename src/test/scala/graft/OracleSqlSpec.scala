@@ -40,6 +40,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_txt5" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_lang1" -> "DuckDB list literal [..] syntax",
     "q_ext_rank1" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_rank2" -> "string_split/unnest + generate_series list indexing (Spark: split/explode)",
     "q_ext_tfidf1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_txt6" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_anom1" -> "quantile_cont (Spark: percentile)",

@@ -46,6 +46,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) >= 0.0))
   }
 
+  test("rrfFuse sums reciprocal ranks across lists and counts contributing lists") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val out = TextRank.rrfFuse(Seq(lex, dense), "id", "rank")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(20L)._1 === 2)
+    assert(math.abs(out(20L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(out(10L) === ((1, 1.0 / 61)))
+    assert(out(40L) === ((1, 1.0 / 62)))
+    // a doc in both lists at mid ranks outranks either single-list head:
+    // the fusion property hybrid retrieval exists for
+    assert(out(20L)._2 > out(10L)._2)
+  }
+
   // ---- Graph.pageRank --------------------------------------------------
 
   test("pageRank on a symmetric 2-cycle gives 0.5 each and sums to 1") {
