@@ -276,6 +276,38 @@ object ExtQueries {
           .orderBy("d1", "d2"),
       Some(jaccardSql(0.8))),
 
+    // substring-level SELF-duplication coverage (Lee et al. 2022): a token
+    // position is duplicated if any word 3-gram covering it occurs >= 2
+    // times corpus-wide; overlapping/adjacent duplicated spans merge into
+    // maximal islands, and each document reports duplicated-token count +
+    // coverage — the sub-document signal document-level dedup can't see.
+    // Oracle recomputes positional n-grams, global counts, and the
+    // gaps-and-islands merge in SQL.
+    DeclaredQuery(
+      "q_ext_dedup9",
+      (s, d) =>
+        graft.operators.TextAnalysis.duplicatedNgramSpans(
+            Tables.load(s, d, "documents"), "doc_id", "text", shingleN = 3, minCount = 2L)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id"),
+      Some(
+        "WITH t AS (SELECT doc_id, string_split(text,' ') AS l FROM documents), " +
+          "pos AS (SELECT doc_id, unnest(generate_series(1, len(l)-2)) AS i, l FROM t), " +
+          "ng AS (SELECT doc_id, i, array_to_string(l[i:i+2], ' ') AS ng FROM pos), " +
+          "c AS (SELECT ng, count(*) AS c FROM ng GROUP BY 1), " +
+          "sp AS (SELECT g.doc_id, g.i AS s, g.i+2 AS e FROM ng g JOIN c ON g.ng = c.ng WHERE c.c >= 2), " +
+          "m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe FROM sp), " +
+          "f AS (SELECT doc_id, s, e, CASE WHEN maxe IS NULL OR s > maxe + 1 THEN 1 ELSE 0 END AS ni FROM m), " +
+          "g2 AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM f), " +
+          "isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM g2 GROUP BY 1, 2), " +
+          "pd AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans, " +
+          "CAST(sum(e-s+1) AS BIGINT) AS dup_tokens FROM isl GROUP BY 1) " +
+          "SELECT t.doc_id, len(t.l) AS dl, coalesce(pd.n_spans, 0) AS n_spans, " +
+          "coalesce(pd.dup_tokens, 0) AS dup_tokens, " +
+          "round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / len(t.l), 4) AS dup_frac " +
+          "FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id ORDER BY t.doc_id")),
+
     // cross-corpus dedup: incoming batch (doc_id % 10 == 0) against the
     // existing corpus — the incremental-ingest / decontamination form.
     // Oracle is the exact cross-set Jaccard SQL.

@@ -35,4 +35,24 @@ class TextAnalysisSpec extends SparkSpec {
     // clean docs are absent, not zero-rowed
     assert(got.size < train.count())
   }
+
+  test("duplicatedNgramSpans merges overlapping spans and reports coverage") {
+    import spark.implicits._
+    // doc 1 repeats 'a b c' twice (positions 1 and 4 -> adjacent spans
+    // merge into one 6-token island); doc 2 shares the 3-gram once; doc 3
+    // is clean; doc 4 is too short to shingle
+    val docs = Seq(
+      (1L, "a b c a b c x"),
+      (2L, "a b c q r s"),
+      (3L, "u v w x y z"),
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.duplicatedNgramSpans(docs, "doc_id", "text", shingleN = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) === ((7L, 1, 6L, 0.8571)))
+    assert(out(2L) === ((6L, 1, 3L, 0.5)))
+    assert(out(3L) === ((6L, 0, 0L, 0.0)))
+    assert(out(4L) === ((2L, 0, 0L, 0.0)))
+  }
 }
