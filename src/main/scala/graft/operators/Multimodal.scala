@@ -317,6 +317,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** Decoded-PIXEL digest — codec-independent exact image identity: md5
+    * over the canonical row-major sRGB byte walk of the decoded raster, so
+    * the same picture re-encoded (different PNG filter choices, a lossless
+    * re-save, a different container) digests identically while any single
+    * pixel difference changes it. The first stage of an image dedup
+    * pipeline: exact clusters by pixel digest, then perceptual hashing only
+    * within what remains. Null/undecodable payloads → null digest (one bad
+    * row in a 100 TB binary column must not kill the job).
+    */
+  def pixelDigest(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rowBuf = new Array[Byte](img.getWidth * 3)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y) // sRGB regardless of the raster layout
+        rowBuf(x * 3) = ((rgb >> 16) & 255).toByte
+        rowBuf(x * 3 + 1) = ((rgb >> 8) & 255).toByte
+        rowBuf(x * 3 + 2) = (rgb & 255).toByte
+        x += 1
+      }
+      md.update(rowBuf)
+      y += 1
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Distributed pixel-digest extraction over the payload column
+    * (mapPartitions, the decodeImages shape): original row plus a
+    * `pixel_md5` string, null where the payload doesn't decode.
+    */
+  def withPixelDigest(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("pixel_md5", StringType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ pixelDigest(r.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(enc)
+  }
+
   /** STUB feature extraction: fixed-length deterministic pseudo-embedding
     * from payload bytes (stands in for a model forward pass). Pure column
     * expression — scales as a scan.

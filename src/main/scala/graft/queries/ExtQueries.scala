@@ -868,6 +868,39 @@ object ExtQueries {
           "CAST(sum(rgb & 255) AS BIGINT) AS b_sum, count(*) AS n_px " +
           "FROM c GROUP BY 1 ORDER BY 1")),
 
+    // IMAGE dedup by decoded-pixel digest: payloads generated from
+    // doc_id % 50 give exact-duplicate image clusters (same pixels, ~10
+    // copies each at sf0.01); the digest is md5 over the decoded raster's
+    // canonical sRGB walk — codec-independent identity, the first stage of
+    // an image dedup pipeline (pixel-exact clusters before any perceptual
+    // hashing; re-encode invariance spec-asserted in MultimodalSpec).
+    // Clustering is one digest-keyed groupBy joined back — fan-in bounded
+    // by true duplication. Oracle: clusters are doc_id % 50 by
+    // construction, so rep/size are closed-form — a digest collision or
+    // decode drift breaks the hash match.
+    DeclaredQuery(
+      "q_ext_mm7",
+      (s, d) => {
+        val base = Tables.load(s, d, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(50L)).as("img_key"))
+        val digested = Multimodal.withPixelDigest(
+            Multimodal.withGeneratedPngPayload(base, "img_key"))
+          .select(col("doc_id"), col("pixel_md5"))
+        val clusters = digested.groupBy("pixel_md5")
+          .agg(min(col("doc_id")).as("rep_id"),
+            count(lit(1)).cast("int").as("cluster_n"))
+        digested.join(clusters, Seq("pixel_md5"))
+          .select(col("doc_id"), col("rep_id"), col("cluster_n"),
+            (col("doc_id") === col("rep_id")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, doc_id % 50 AS k FROM documents), " +
+          "c AS (SELECT k, min(doc_id) AS rep_id, CAST(count(*) AS INTEGER) AS cluster_n " +
+          "FROM g GROUP BY 1) " +
+          "SELECT g.doc_id, c.rep_id, c.cluster_n, g.doc_id = c.rep_id AS is_keeper " +
+          "FROM g JOIN c ON g.k = c.k ORDER BY g.doc_id")),
+
     // audio modality, REAL container round-trip: deterministic RIFF/PCM WAV
     // blobs generated distributed, then decoded back by walking the chunk
     // list (WAV is a trivial binary layout — no external codec needed, so

@@ -67,6 +67,31 @@ class MultimodalSpec extends SparkSpec {
     (1 to 3).foreach(i => assert(out(i).isNullAt(out(i).fieldIndex("color")), s"row $i"))
   }
 
+  test("pixelDigest is codec-independent (re-encode invariant) and pixel-sensitive") {
+    val png = Multimodal.encodePng(width = 5, height = 4, seed = 7L)
+    // re-save through a different raster path: decode + identity-scale
+    // re-encode (TYPE_3BYTE_BGR rebuild) — same pixels, fresh bytes
+    val withMeta = Seq((1L, png)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("fingerprint"), lit("image/png").as("mime")))
+    val resaved = Multimodal.resizeImages(withMeta, scale = 1.0)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(Multimodal.pixelDigest(png) === Multimodal.pixelDigest(resaved))
+    // any pixel difference changes the digest
+    val other = Multimodal.encodePng(width = 5, height = 4, seed = 8L)
+    assert(Multimodal.pixelDigest(png) !== Multimodal.pixelDigest(other))
+    // hardening: null / empty / non-image payloads digest to null
+    assert(Multimodal.pixelDigest(null) === null)
+    assert(Multimodal.pixelDigest(Array.emptyByteArray) === null)
+    assert(Multimodal.pixelDigest("nope".getBytes("UTF-8")) === null)
+    // distributed form: duplicate payloads cluster by digest
+    val df = Seq((1L, png), (2L, png), (3L, other)).toDF("doc_id", "payload")
+    val dig = Multimodal.withPixelDigest(df).select("doc_id", "pixel_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dig(1L) === dig(2L))
+    assert(dig(1L) !== dig(3L))
+  }
+
   test("withGeneratedPngPayload + resizeImages halve real dimensions") {
     val ids = Seq(Tuple1(0L), Tuple1(20L), Tuple1(255L)).toDF("doc_id")
     val decoded = Multimodal.decodeImages(spark,
