@@ -132,7 +132,19 @@ object TextAnalysis {
       .select(col("id"), (col("pos") + 1).as("s"), col("col").as("ng"))
     val dup = occ.groupBy("ng").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val spans = occ.join(dup.select("ng"), Seq("ng"), "left_semi")
+    // SALTED semi-join: a boilerplate n-gram can occur in ~every document,
+    // and an unsalted semi-join would route all its occurrences to one
+    // reducer. The duplicated-set side replicates over `salts` and the
+    // occurrence side picks a deterministic salt, so the hottest key
+    // spreads across `salts` partitions. (The count groupBy above is safe
+    // unsalted — map-side partial aggregation collapses a hot n-gram to
+    // one row per input partition before its shuffle.)
+    val salts = 16
+    val dupSalted = dup.select(col("ng"),
+      explode(sequence(lit(0L), lit(salts - 1L))).as("__salt"))
+    val spans = occ
+      .withColumn("__salt", pmod(xxhash64(col("id")), lit(salts.toLong)))
+      .join(dupSalted, Seq("ng", "__salt"), "left_semi")
       .select(col("id"), col("s"), (col("s") + (shingleN - 1)).as("e"))
     val w = Window.partitionBy("id").orderBy("s")
     val islands = spans
