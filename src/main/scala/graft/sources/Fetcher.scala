@@ -12,9 +12,11 @@ import scala.util.matching.Regex
   * Driver-side by design: the raw stage is a handful of archive/dump files
   * staged once per source (`alexandria.py:33-41`, `mc3d.py:70-86`); the
   * distributed work starts at `Loader.load()` where executors parse the
-  * staged files in parallel. In the zero-egress build environment only
-  * `file://` URLs are exercised (unit tests); the HTTP path uses the same
-  * streaming client code.
+  * staged files in parallel. The HTTP path (status handling, redirects,
+  * streaming body, fan-out) is exercised in FetcherSpec against a loopback
+  * JDK HttpServer — real client/server HTTP without egress; only the
+  * public-internet endpoints themselves are unreachable from the build
+  * environment.
   */
 object Fetcher {
 

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Fetcher unit tests — file:// URLs only (zero-egress build). */
+/** Fetcher unit tests: file:// staging plus a REAL HTTP round trip against
+  * a JDK HttpServer on 127.0.0.1 (loopback needs no egress) — download,
+  * caching, redirects, error statuses, index scrape, and the worker-pool
+  * fan-out all run through the production HttpClient path.
+  */
 class FetcherSpec extends AnyFunSuite {
 
   private def freshDir(name: String): File = {
@@ -81,5 +85,81 @@ class FetcherSpec extends AnyFunSuite {
     writeZip(new File(dir, "evil.zip"), "../escape.txt" -> "nope")
     intercept[SecurityException](Fetcher.unzipAll(dir.getPath))
     assert(!new File(dir.getParentFile, "escape.txt").exists())
+  }
+
+  // ---- real-HTTP round trip on the loopback interface -------------------
+  // The zero-egress build cannot reach the network, but 127.0.0.1 is local:
+  // a JDK HttpServer exercises the SAME HttpClient code path (status
+  // handling, redirects, streaming body) the production fetch uses — the
+  // fetch layer is no longer file://-only-tested.
+
+  private def withHttpServer(routes: Map[String, Array[Byte]])(f: String => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, body) =>
+      server.createContext(path, (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, body.length.toLong)
+        try ex.getResponseBody.write(body) finally ex.close()
+      })
+    }
+    // a redirect and a guaranteed 404 for the error-path tests
+    server.createContext("/redirect", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("Location",
+        s"http://127.0.0.1:${server.getAddress.getPort}${routes.keys.head}")
+      ex.sendResponseHeaders(302, -1L)
+      ex.close()
+    })
+    server.createContext("/missing", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1L)
+      ex.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("streamDownload fetches over real HTTP, follows redirects, and caches") {
+    val dir = freshDir("http_dl")
+    val payload = Array.tabulate[Byte](3 * 1024 * 1024)(i => (i * 31).toByte) // > 1 chunk
+    withHttpServer(Map("/data.bin" -> payload)) { base =>
+      val out = Fetcher.streamDownload(s"$base/data.bin", s"$dir/data.bin")
+      assert(Files.readAllBytes(out.toPath).sameElements(payload))
+      assert(!new File(dir, "data.bin.part").exists(), "temp file left behind")
+      // skip-if-exists: a second fetch of a CHANGED url must not re-download
+      val again = Fetcher.streamDownload(s"$base/missing", s"$dir/data.bin")
+      assert(Files.readAllBytes(again.toPath).sameElements(payload))
+      // redirect handling (HttpClient Redirect.NORMAL)
+      val red = Fetcher.streamDownload(s"$base/redirect", s"$dir/red.bin")
+      assert(Files.readAllBytes(red.toPath).sameElements(payload))
+    }
+  }
+
+  test("HTTP error statuses fail loudly and leave no output file") {
+    val dir = freshDir("http_err")
+    withHttpServer(Map("/ok" -> "x".getBytes("UTF-8"))) { base =>
+      val e = intercept[java.io.IOException](
+        Fetcher.streamDownload(s"$base/missing", s"$dir/nope.bin"))
+      assert(e.getMessage.contains("404"))
+      assert(!new File(dir, "nope.bin").exists())
+      assert(!new File(dir, "nope.bin.part").exists())
+    }
+  }
+
+  test("listIndex + downloadAll run the index-scrape fan-out over real HTTP") {
+    val dir = freshDir("http_fan")
+    val files = (0 until 4).map(i => s"/alexandria_$i.json.bz2" -> s"payload$i".getBytes("UTF-8")).toMap
+    val index = files.keys.toSeq.sorted
+      .map(h => s"""<a href="$h">$h</a>""").mkString("<html>", "\n", "</html>")
+    withHttpServer(files + ("/index.html" -> index.getBytes("UTF-8"))) { base =>
+      val hrefs = Fetcher.listIndex(s"$base/index.html", """/alexandria_\d+\.json\.bz2""".r)
+      assert(hrefs.size === 4)
+      val fetched = Fetcher.downloadAll(
+        hrefs.map(h => s"$base$h" -> s"$dir${h.replace("/", s"${File.separator}")}"), numWorkers = 4)
+      assert(fetched.size === 4)
+      hrefs.zipWithIndex.foreach { case (h, _) =>
+        val i = h.replaceAll(".*_(\\d+).*", "$1")
+        assert(new String(Files.readAllBytes(Paths.get(s"$dir$h")), "UTF-8") === s"payload$i")
+      }
+    }
   }
 }
