@@ -83,6 +83,45 @@ object Curation {
       .filter(col("cum_tok") <= budgetTokens)
   }
 
+  /** Temperature-weighted corpus mixing — the multilingual-LM sampling rule
+    * (share ∝ n_i^alpha, alpha < 1 up-weights small sources relative to
+    * their natural share; alpha = 0.5 is the common choice). The output is
+    * an exact row budget split across groups by the tempered weights, each
+    * group contributing its md5-ordered deterministic prefix.
+    *
+    * Determinism: weights are taken to the INTEGER domain per group
+    * (floor(n^alpha · 1000)) and the budget split is integer rational
+    * arithmetic (budget · s_i DIV Σs_j) — no cross-engine float summation
+    * anywhere near a cut. For alpha = 0.5 the weight goes through sqrt,
+    * which IEEE 754 requires correctly rounded, so the integer weights are
+    * engine-exact; other alphas go through pow (within 1 ulp — a
+    * floor-boundary flip is possible in principle, never observed).
+    *
+    * Scale: one group-sizes aggregate (group-cardinality-sized, broadcast
+    * back), one 1-row total, one per-group window for the prefix — no
+    * global order, no collect, no data-sized broadcast.
+    */
+  def sampleTemperature(df: DataFrame, keyCol: String, groupCol: String,
+      budgetRows: Long, alpha: Double = 0.5): DataFrame = {
+    require(budgetRows > 0, s"sampleTemperature: budget must be positive, got $budgetRows")
+    require(alpha > 0 && alpha <= 1, s"sampleTemperature: alpha must be in (0, 1], got $alpha")
+    val weight =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double")) * 1000)
+      else floor(pow(col("__n").cast("double"), lit(alpha)) * 1000)
+    val sizes = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__s", weight.cast("long"))
+    val tot = sizes.agg(sum(col("__s")).as("__tot"))
+    val budgets = sizes.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(col("__n"), expr(s"${budgetRows}L * __s DIV __tot")).as("grp_budget"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.join(broadcast(budgets), Seq(groupCol))
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("grp_rank") <= col("grp_budget"))
+  }
+
   /** Contiguous-fill sequence packing: shard rows by key mod numShards,
     * then fill fixed-capacity token bins in key order within each shard —
     * `bin` and `bin_offset` are running-sum window functions, so the whole

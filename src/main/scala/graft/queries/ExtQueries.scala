@@ -440,6 +440,32 @@ object ExtQueries {
           "c AS (SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS cum_tok FROM t) " +
           "SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 20000 ORDER BY doc_id")),
 
+    // temperature-weighted mixing (alpha = 0.5): each language's share of
+    // the 250-row budget ∝ sqrt(n_lang) — the multilingual-LM sampling rule
+    // that up-weights small languages against the English-heavy natural
+    // distribution (en is ~44% of this corpus but gets ~27% of the tempered
+    // budget). Weights integer-scaled (floor(sqrt·1000)), the split is
+    // integer rational arithmetic, each group contributes its md5-ordered
+    // prefix — deterministic end to end, identically in the oracle.
+    DeclaredQuery(
+      "q_ext_mix3",
+      (s, d) =>
+        graft.operators.Curation.sampleTemperature(
+            Tables.load(s, d, "documents"), "doc_id", "lang",
+            budgetRows = 250L, alpha = 0.5)
+          .select(col("doc_id"), col("lang"),
+            col("grp_rank").cast("int").as("grp_rank"), col("grp_budget"))
+          .orderBy("doc_id"),
+      Some(
+        "WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+          "w AS (SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s FROM sz), " +
+          "t AS (SELECT sum(s) AS tot FROM w), " +
+          "b AS (SELECT lang, least(n, CAST(250 * s // tot AS BIGINT)) AS grp_budget FROM w, t), " +
+          "r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang " +
+          "ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS grp_rank FROM documents) " +
+          "SELECT r.doc_id, r.lang, CAST(r.grp_rank AS INTEGER) AS grp_rank, b.grp_budget " +
+          "FROM r JOIN b ON r.lang = b.lang WHERE r.grp_rank <= b.grp_budget ORDER BY r.doc_id")),
+
     // sequence packing: shard by key, contiguous-fill fixed-capacity token
     // bins in key order (the batch-assembly step before training)
     DeclaredQuery(

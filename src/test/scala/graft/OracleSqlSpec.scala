@@ -57,6 +57,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_chunk1" -> "string_split/unnest/list_slice + // integer division",
     "q_ext_dedup3" -> "string_split (Spark: split)",
     "q_ext_dedup9" -> "string_split/unnest(generate_series)/list slicing (DuckDB list ops)",
+    "q_ext_mix3" -> "// integer division (Spark: DIV)",
     "q_ext_dedup7" -> "string_split (Spark: split)",
     "q_ext_dedup8" -> "string_split (Spark: split)",
     "q_ext_pack1" -> "string_split (Spark: split)",

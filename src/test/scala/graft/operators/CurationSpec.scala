@@ -204,4 +204,22 @@ class CurationSpec extends SparkSpec {
     val got = rows.groupBy(_.getString(1)).map { case (src, rs) => src -> rs.map(_.getLong(0)).toSet }
     assert(got === byHash, "kept sets diverge from the driver-side reference")
   }
+
+  test("sampleTemperature up-weights small groups by the sqrt rule, exactly") {
+    // 400 'big' rows vs 16 'small': natural shares 96%/4%; sqrt-tempered
+    // integer weights 20000/4000 -> budgets floor(120·5/6)=100 and
+    // floor(120/6)=20 — small's share quintuples
+    val df = ((0L until 400L).map(i => (i, "big")) ++ (1000L until 1016L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Curation.sampleTemperature(df, "id", "grp", budgetRows = 120L)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("big" -> 100L, "small" -> 16L)) // small capped at its size
+    // a group smaller than its tempered budget contributes everything;
+    // ranks are the deterministic md5 prefix (re-run reproduces exactly)
+    val again = Curation.sampleTemperature(df, "id", "grp", budgetRows = 120L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    val first = Curation.sampleTemperature(df, "id", "grp", budgetRows = 120L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(again.sameElements(first))
+  }
 }
