@@ -1679,5 +1679,43 @@ object ExtQueries {
       Some(
         "SELECT user_id, count(*) AS n, " +
           "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE),4) AS total " +
+          "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // STREAMING distinct-count maintenance: the events table replays in 4
+    // micro-batches, each folded into the bucketed HLL store (q_ext_hll1's
+    // deployment shape) — per batch O(touched buckets), history never
+    // re-read, batchId-guarded against re-delivery. Final store estimates
+    // must sit within 10% of the exact per-type distinct user count
+    // (raise_error otherwise; the exact values are what's emitted — the
+    // oracle promotion pattern). HLL union is associative, so the 4-batch
+    // stream build converges to the same sketches as a one-shot build.
+    DeclaredQuery(
+      "q_ext_stream13",
+      (s, d) => {
+        val root = graft.Scratch.dir("stream_hll")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        Tables.load(s, d, "events")
+          .repartition(4).write.parquet(s"$root/src")
+        val lastBatch = EventStreams.distinctStoreStream(s, s"$root/src",
+          Seq("event_type"), "user_id", s"$root/store", s"$root/ck", nBuckets = 16)
+        require(lastBatch >= 1,
+          s"q_ext_stream13: replay collapsed into ${lastBatch + 1} micro-batch(es) — " +
+            "the incremental merge path was not exercised")
+        val est = DistinctSketch.readEstimates(s, s"$root/store", "est").drop("bucket")
+        val exact = Tables.load(s, d, "events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact"))
+        est.join(exact, "event_type")
+          .select(col("event_type"),
+            when(abs(col("est") - col("exact")) <=
+                greatest(col("exact") * 0.10, lit(5.0)), col("exact"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_stream13: streamed HLL store estimate "), col("est").cast("string"),
+                lit(" strayed past 10% of exact "), col("exact").cast("string"),
+                lit(" for event_type="), col("event_type")))).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(
+        "SELECT event_type, count(DISTINCT user_id) AS n_users " +
           "FROM events GROUP BY 1 ORDER BY 1")))
 }

@@ -495,36 +495,55 @@ object EventStreams {
     *   partial's column types so the table schema cannot drift (decimal
     *   addition would otherwise widen precision every batch).
     */
+  /** Footer-negotiated streaming read of a staged events directory, same
+    * contract as readEventsStream (staging writes decoded
+    * TIMESTAMP(MICROS) now, but a raw-nanos staging from an older producer
+    * still reads correctly).
+    */
+  private def stagedEventsStream(spark: SparkSession, sourceDir: String,
+                                 maxFilesPerTrigger: Int): DataFrame = {
+    val srcInfo = graft.Tables.eventsTsInfo(spark, sourceDir)
+    if (graft.Tables.eventsNeedsNanosDecode(spark, sourceDir))
+      spark.readStream.schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(sourceDir)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else
+      spark.readStream.schema(graft.Tables.eventsDecodedSchema(srcInfo.adjustedToUTC))
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(sourceDir)
+        .withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** BatchId high-water marker under a checkpoint dir: re-delivered batches
+    * (foreachBatch's at-least-once) are detected and skipped.
+    */
+  private final class BatchMarker(spark: SparkSession, checkpointDir: String) {
+    private val path = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_last_merged")
+    private val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    def lastMerged: Long =
+      if (!fs.exists(path)) -1L
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(path).getLen.toInt)
+        val in = fs.open(path)
+        try in.readFully(buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }
+    def record(batchId: Long): Unit = {
+      val out = fs.create(path, true)
+      try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   def mergeStreamToTable(spark: SparkSession, sourceDir: String,
                          partialAgg: DataFrame => DataFrame, keyCol: String,
                          tableDir: String, checkpointDir: String,
                          maxFilesPerTrigger: Int = 1): graft.sources.ParquetDatabase = {
     val db = new graft.sources.ParquetDatabase(spark, tableDir)
-    val markerPath = new org.apache.hadoop.fs.Path(checkpointDir, "_graft_last_merged")
-    val fs = markerPath.getFileSystem(spark.sessionState.newHadoopConf())
-    def lastMerged: Long =
-      if (!fs.exists(markerPath)) -1L
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(markerPath).getLen.toInt)
-        val in = fs.open(markerPath)
-        try in.readFully(buf) finally in.close()
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      }
-    // footer-negotiated decode of the staged chunks, same contract as
-    // readEventsStream (staging writes decoded TIMESTAMP(MICROS) now, but
-    // a raw-nanos staging from an older producer still reads correctly)
-    val srcInfo = graft.Tables.eventsTsInfo(spark, sourceDir)
-    val src =
-      if (graft.Tables.eventsNeedsNanosDecode(spark, sourceDir))
-        spark.readStream.schema(eventsRawSchema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(sourceDir)
-          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else
-        spark.readStream.schema(graft.Tables.eventsDecodedSchema(srcInfo.adjustedToUTC))
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(sourceDir)
-          .withColumn("ts", col("ts").cast(TimestampType))
+    val marker = new BatchMarker(spark, checkpointDir)
+    def lastMerged: Long = marker.lastMerged
+    val src = stagedEventsStream(spark, sourceDir, maxFilesPerTrigger)
     // scope a small shuffle-partition count to the WHOLE replay (not just
     // the stream start as in runToMemory): foreachBatch's inner
     // aggregate/merge/upsert jobs are BATCH plans created per micro-batch,
@@ -558,9 +577,7 @@ object EventStreams {
                 }: _*)
               db.upsert(merged, keyCol)
             }
-            val out = fs.create(markerPath, true)
-            try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
+            marker.record(batchId)
           }
         }
         .trigger(Trigger.AvailableNow())
@@ -568,6 +585,49 @@ object EventStreams {
       q.awaitTermination()
     } finally spark.conf.set(partKey, oldParts)
     db
+  }
+
+  /** Streaming DISTINCT-COUNT maintenance — the stream form of the bucketed
+    * HLL store refresh (q_ext_hll1's deployment shape): the staged source
+    * replays one file per micro-batch, and each batch folds into the store
+    * via [[graft.operators.DistinctSketch.mergeBatchIntoBucketedStore]] —
+    * per batch the store pays O(touched buckets · keys), history is never
+    * re-read, and the batchId marker skips re-delivered batches (HLL union
+    * would also absorb an exact re-merge idempotently, but the marker keeps
+    * the touched-bucket rewrites off the redelivery path entirely). The
+    * first delivered batch builds the store. Returns the last merged
+    * batchId so callers can assert the replay genuinely spanned batches.
+    */
+  def distinctStoreStream(spark: SparkSession, sourceDir: String,
+                          keys: Seq[String], itemCol: String,
+                          storeDir: String, checkpointDir: String,
+                          nBuckets: Int = 16, maxFilesPerTrigger: Int = 1): Long = {
+    val marker = new BatchMarker(spark, checkpointDir)
+    val src = stagedEventsStream(spark, sourceDir, maxFilesPerTrigger)
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = storePath.getFileSystem(spark.sessionState.newHadoopConf())
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    try {
+      spark.conf.set(partKey, "8")
+      val q = src.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (batchId > marker.lastMerged) {
+            if (!fs.exists(storePath))
+              graft.operators.DistinctSketch.buildBucketedStore(
+                batch, keys, itemCol, storeDir, nBuckets)
+            else
+              graft.operators.DistinctSketch.mergeBatchIntoBucketedStore(
+                spark, batch, keys, itemCol, storeDir, nBuckets)
+            marker.record(batchId)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(partKey, oldParts)
+    marker.lastMerged
   }
 
   /** Run a streaming transform of the events table to completion with

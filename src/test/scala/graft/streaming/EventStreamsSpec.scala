@@ -195,6 +195,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(n1 === n0 + 50, s"incremental merge added ${n1 - n0} rows, want 50")
   }
 
+  test("streamed HLL store equals the one-shot build and skips re-delivery") {
+    import org.apache.spark.sql.functions._
+    val root = "target/tmp/stream/hll_spec"
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(p, true)
+    val ev = Tables.load(spark, sfDir, "events")
+    ev.repartition(3).write.parquet(s"$root/src")
+    val last = EventStreams.distinctStoreStream(spark, s"$root/src",
+      Seq("event_type"), "user_id", s"$root/store", s"$root/ck", nBuckets = 8)
+    assert(last >= 2, s"replay collapsed into ${last + 1} batches")
+    // HLL union is associative: the 3-batch stream build must produce the
+    // SAME estimates as a one-shot batch build of the whole table
+    graft.operators.DistinctSketch.buildBucketedStore(
+      ev, Seq("event_type"), "user_id", s"$root/oneshot", nBuckets = 8)
+    def est(dir: String) = graft.operators.DistinctSketch
+      .readEstimates(spark, dir, "est").select("event_type", "est")
+      .orderBy("event_type").collect().toSeq
+    assert(est(s"$root/store") === est(s"$root/oneshot"),
+      "streamed store estimates diverge from the one-shot build")
+    // re-run with the same checkpoint: no new files -> store untouched
+    val before = est(s"$root/store")
+    EventStreams.distinctStoreStream(spark, s"$root/src",
+      Seq("event_type"), "user_id", s"$root/store", s"$root/ck", nBuckets = 8)
+    assert(est(s"$root/store") === before, "checkpointed re-run changed the store")
+  }
+
   test("stateful streaming histogram equals the batch binned groupBy") {
     import org.apache.spark.sql.functions._
     val streamed = EventStreams.runToMemory(spark, sfDir,
