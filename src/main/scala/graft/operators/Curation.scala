@@ -85,9 +85,14 @@ object Curation {
 
   /** Temperature-weighted corpus mixing — the multilingual-LM sampling rule
     * (share ∝ n_i^alpha, alpha < 1 up-weights small sources relative to
-    * their natural share; alpha = 0.5 is the common choice). The output is
-    * an exact row budget split across groups by the tempered weights, each
-    * group contributing its md5-ordered deterministic prefix.
+    * their natural share; alpha = 0.5 is the common choice). Each group
+    * contributes the md5-ordered deterministic prefix of its tempered
+    * share, floor(budget · s_i / Σs_j) capped at the group's size — the
+    * output can therefore UNDERSHOOT budgetRows by up to #groups−1 rows
+    * from flooring, plus whatever capped groups couldn't fill (their
+    * unused share is not redistributed; redistribution would make a row's
+    * membership depend on other groups' sizes, breaking per-group
+    * reproducibility under corpus growth).
     *
     * Determinism: weights are taken to the INTEGER domain per group
     * (floor(n^alpha · 1000)) and the budget split is integer rational
@@ -114,7 +119,15 @@ object Curation {
     val tot = sizes.agg(sum(col("__s")).as("__tot"))
     val budgets = sizes.crossJoin(broadcast(tot))
       .select(col(groupCol),
-        least(col("__n"), expr(s"${budgetRows}L * __s DIV __tot")).as("grp_budget"))
+        // overflow guard: budget·s must stay in Long (s ≈ 1000·n^alpha, so
+        // this binds only for extreme budget × group-size combinations);
+        // fail loudly rather than wrap negative and silently drop a group
+        when(lit(budgetRows) <= expr(s"${Long.MaxValue}L DIV __s"),
+          least(col("__n"), expr(s"${budgetRows}L * __s DIV __tot")))
+          .otherwise(raise_error(concat(
+            lit(s"sampleTemperature: budgetRows=$budgetRows * weight "),
+            col("__s").cast("string"), lit(" overflows Long — reduce the budget "),
+            lit("or pre-scale the weights")))).as("grp_budget"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.join(broadcast(budgets), Seq(groupCol))

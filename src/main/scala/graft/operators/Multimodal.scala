@@ -318,13 +318,15 @@ object Multimodal {
   }
 
   /** Decoded-PIXEL digest — codec-independent exact image identity: md5
-    * over the canonical row-major sRGB byte walk of the decoded raster, so
-    * the same picture re-encoded (different PNG filter choices, a lossless
-    * re-save, a different container) digests identically while any single
-    * pixel difference changes it. The first stage of an image dedup
-    * pipeline: exact clusters by pixel digest, then perceptual hashing only
-    * within what remains. Null/undecodable payloads → null digest (one bad
-    * row in a 100 TB binary column must not kill the job).
+    * over (width, height) followed by the canonical row-major sRGB ARGB
+    * walk of the decoded raster, so the same picture re-encoded (different
+    * PNG filter choices, a lossless re-save, a different container)
+    * digests identically while any single pixel difference — including
+    * alpha-only — changes it, and a WxH image never collides with its HxW
+    * transpose. The first stage of an image dedup pipeline: exact clusters
+    * by pixel digest, then perceptual hashing only within what remains.
+    * Null/undecodable payloads → null digest (one bad row in a 100 TB
+    * binary column must not kill the job).
     */
   def pixelDigest(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return null
@@ -332,19 +334,22 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val rowBuf = new Array[Byte](img.getWidth * 3)
+    // dimensions prefix the stream: a WxH image and its HxW transpose have
+    // the same row-major pixel walk and must NOT collide
+    md.update(java.nio.ByteBuffer.allocate(8).putInt(w).putInt(h).array())
+    // bulk per-row getRGB (one conversion pass per row, not a virtual call
+    // per pixel); full ARGB kept so alpha-only differences change the hash
+    val rowPix = new Array[Int](w)
+    val rowBuf = java.nio.ByteBuffer.allocate(w * 4)
     var y = 0
-    while (y < img.getHeight) {
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowPix, 0, w) // sRGB regardless of raster layout
+      rowBuf.clear()
       var x = 0
-      while (x < img.getWidth) {
-        val rgb = img.getRGB(x, y) // sRGB regardless of the raster layout
-        rowBuf(x * 3) = ((rgb >> 16) & 255).toByte
-        rowBuf(x * 3 + 1) = ((rgb >> 8) & 255).toByte
-        rowBuf(x * 3 + 2) = (rgb & 255).toByte
-        x += 1
-      }
-      md.update(rowBuf)
+      while (x < w) { rowBuf.putInt(rowPix(x)); x += 1 }
+      md.update(rowBuf.array())
       y += 1
     }
     md.digest().map(b => f"$b%02x").mkString

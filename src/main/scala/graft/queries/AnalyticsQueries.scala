@@ -21,6 +21,25 @@ object AnalyticsQueries {
   /** Doubled CTE text for the BM25 oracle (terms are inlined). */
   private val bm25Terms = Seq("spark", "join", "hash")
 
+  /** Shared BM25 scoring CTE chain (`toks…sc`) — used verbatim by the
+    * q_ext_rank1 and q_ext_rank2 oracles so the two scoring texts can't
+    * drift (the `cosineTopKSql` rationale, applied to the sparse arm).
+    */
+  private val bm25ScoreCtes: String = {
+    val in = bm25Terms.map(t => s"'$t'").mkString(", ")
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+      "dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1), " +
+      "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), " +
+      s"tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 WHERE tok IN ($in) GROUP BY 1, 2), " +
+      "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT tf.doc_id, " +
+      "sum(ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) " +
+      "* tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS score " +
+      "FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
+      "GROUP BY 1)"
+  }
+
   /** Trade-flow edge list shared by the graph queries: customer nation →
     * supplier nation, weight = lineitems shipped along the flow.
     */
@@ -51,22 +70,10 @@ object AnalyticsQueries {
       (s, d) =>
         TextRank.bm25(Tables.load(s, d, "documents"), "doc_id", "text",
           bm25Terms, topK = 10),
-      Some {
-        val in = bm25Terms.map(t => s"'$t'").mkString(", ")
-        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-          "t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
-          "dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1), " +
-          "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), " +
-          s"tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 WHERE tok IN ($in) GROUP BY 1, 2), " +
-          "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
-          "sc AS (SELECT tf.doc_id, " +
-          "sum(ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) " +
-          "* tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS score " +
-          "FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
-          "GROUP BY 1) " +
+      Some(
+        s"WITH $bm25ScoreCtes " +
           "SELECT doc_id, round(score, 4) AS score FROM sc " +
-          "ORDER BY round(score, 4) DESC, doc_id LIMIT 10"
-      }),
+          "ORDER BY round(score, 4) DESC, doc_id LIMIT 10")),
 
     // hybrid retrieval: BM25 sparse top-10 + exact-cosine dense top-10
     // (query = embedding 0, doc_id ≡ vec_id on the shared id prefix) fused
@@ -91,19 +98,8 @@ object AnalyticsQueries {
           .select(col("doc_id"), col("n_lists"), round(col("rrf_score"), 6).as("rrf"))
           .orderBy(col("rrf").desc, col("doc_id"))
       },
-      Some {
-        val in = bm25Terms.map(t => s"'$t'").mkString(", ")
-        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-          "t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
-          "dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1), " +
-          "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), " +
-          s"tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2 WHERE tok IN ($in) GROUP BY 1, 2), " +
-          "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), " +
-          "sc AS (SELECT tf.doc_id, " +
-          "sum(ln((st.n - df.df + 0.5)/(df.df + 0.5) + 1.0) " +
-          "* tf.tf*(1.2+1.0)/(tf.tf + 1.2*(1.0-0.75+0.75*dl.dl/st.avgdl))) AS score " +
-          "FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st " +
-          "GROUP BY 1), " +
+      Some(
+        s"WITH $bm25ScoreCtes, " +
           "lexr AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS lrank FROM sc), " +
           "lex AS (SELECT doc_id, lrank FROM lexr WHERE lrank <= 10), " +
           "q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id = 0), " +
@@ -120,8 +116,7 @@ object AnalyticsQueries {
           "+ CASE WHEN drank IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_lists, " +
           "round(coalesce(CAST(1 AS DOUBLE)/(60 + lrank), 0) " +
           "+ coalesce(CAST(1 AS DOUBLE)/(60 + drank), 0), 6) AS rrf " +
-          "FROM f ORDER BY rrf DESC, doc_id"
-      }),
+          "FROM f ORDER BY rrf DESC, doc_id")),
 
     DeclaredQuery(
       "q_ext_tfidf1",

@@ -43,11 +43,17 @@ object CifParser {
       cart_coords: Seq[Seq[Double]],
       lattice: Lattice)
 
-  /** "1.234(5)" → 1.234 (strip standard-uncertainty parentheses); "." and
-    * "?" (CIF unknown/inapplicable markers) → 0.0, matching pymatgen's
-    * `str2float` fallback for coordinate columns.
+  /** "1.234(5)" → 1.234 (strip standard-uncertainty parentheses). Strict:
+    * unknown-value markers throw — used for cell parameters, where a
+    * silent 0.0 would mean a degenerate zero lattice.
     */
-  private def num(s: String): Double = {
+  private def num(s: String): Double = s.takeWhile(ch => ch != '(').toDouble
+
+  /** Coordinate-column variant: "." and "?" (CIF unknown/inapplicable
+    * markers) → 0.0, matching pymatgen's `str2float` fallback for atom-site
+    * columns. Cell parameters must NOT take this path.
+    */
+  private def numOrZero(s: String): Double = {
     val t = s.takeWhile(ch => ch != '(')
     if (t == "." || t == "?" || t.isEmpty) 0.0 else t.toDouble
   }
@@ -234,6 +240,14 @@ object CifParser {
             // numeric constant: digits, optional /denominator or decimal
             var k = i
             while (k < expr.length && (expr(k).isDigit || expr(k) == '.' || expr(k) == '/')) k += 1
+            // a number directly followed by a variable is a COEFFICIENT
+            // ('2y'); rotation entries outside {-1,0,1} are out of this
+            // parser's declared scope — reject loudly, never mis-read it
+            // as translation+unit-rotation
+            if (k < expr.length && "xyz".contains(expr(k)))
+              throw new IllegalArgumentException(
+                s"symmetry op '$op': variable coefficients (e.g. '${expr.substring(i, k + 1)}') " +
+                  "are not supported — rotation entries must be in {-1, 0, 1}")
             val lit = expr.substring(i, k)
             val v = lit.split("/") match {
               case Array(p, q) => p.toDouble / q.toDouble
@@ -307,7 +321,8 @@ object CifParser {
 
     // strip label digits (Fe1) and charge decorations (Cu2+, O2-)
     val asymSpecies = rows.map(r => r(symIdx).takeWhile(_.isLetter))
-    val asymFrac = rows.map(r => Seq(num(r(xi)), num(r(yi)), num(r(zi))): Seq[Double])
+    val asymFrac = rows.map(r =>
+      Seq(numOrZero(r(xi)), numOrZero(r(yi)), numOrZero(r(zi))): Seq[Double])
 
     // symmetry ops from whichever loop carries a symop-xyz column (the op
     // column position is tag-resolved: id-first loops work); absent → P1

@@ -469,32 +469,6 @@ object EventStreams {
       .select(col("p_id"), col("c_id"))
   }
 
-  /** Streaming incremental aggregation MERGED into a [[graft.sources.ParquetDatabase]]
-    * — the streaming-materialized-view sink: each micro-batch's per-key
-    * partial aggregate is added into the stored totals via the file-scoped
-    * `upsert`, so the table converges to the full-history aggregate no
-    * matter how the input splits into micro-batches (the partials must be
-    * ADDITIVE — counts, sums — so batch order can't matter). This is what a
-    * deployment runs instead of Complete-mode memory sinks: state lives in
-    * the table, the stream holds none, and each tick rewrites only the
-    * files holding touched keys.
-    *
-    * Exactly-once: foreachBatch can re-deliver a batch after a crash, and a
-    * re-merged additive partial would DOUBLE-count — so the last merged
-    * batchId is recorded in the checkpoint dir and replayed ids are
-    * skipped. The marker shares the checkpoint's lifecycle (a fresh
-    * checkpoint = a new pipeline = start from a fresh table). Honest limit:
-    * the table commit and the marker write are two filesystem operations —
-    * a crash BETWEEN them re-merges that one batch on restart. Closing that
-    * window needs an atomic commit of data+watermark (a transactional table
-    * format's single-manifest swap); on plain parquet the exposure is one
-    * batch, detectable by comparing the marker to the checkpoint's offsets.
-    *
-    * @param partialAgg batch → (keyCol, additive numeric columns). The
-    *   merge coalesces missing sides to zero, adds, and casts back to the
-    *   partial's column types so the table schema cannot drift (decimal
-    *   addition would otherwise widen precision every batch).
-    */
   /** Footer-negotiated streaming read of a staged events directory, same
     * contract as readEventsStream (staging writes decoded
     * TIMESTAMP(MICROS) now, but a raw-nanos staging from an older producer
@@ -536,6 +510,32 @@ object EventStreams {
     }
   }
 
+  /** Streaming incremental aggregation MERGED into a [[graft.sources.ParquetDatabase]]
+    * — the streaming-materialized-view sink: each micro-batch's per-key
+    * partial aggregate is added into the stored totals via the file-scoped
+    * `upsert`, so the table converges to the full-history aggregate no
+    * matter how the input splits into micro-batches (the partials must be
+    * ADDITIVE — counts, sums — so batch order can't matter). This is what a
+    * deployment runs instead of Complete-mode memory sinks: state lives in
+    * the table, the stream holds none, and each tick rewrites only the
+    * files holding touched keys.
+    *
+    * Exactly-once: foreachBatch can re-deliver a batch after a crash, and a
+    * re-merged additive partial would DOUBLE-count — so the last merged
+    * batchId is recorded in the checkpoint dir and replayed ids are
+    * skipped. The marker shares the checkpoint's lifecycle (a fresh
+    * checkpoint = a new pipeline = start from a fresh table). Honest limit:
+    * the table commit and the marker write are two filesystem operations —
+    * a crash BETWEEN them re-merges that one batch on restart. Closing that
+    * window needs an atomic commit of data+watermark (a transactional table
+    * format's single-manifest swap); on plain parquet the exposure is one
+    * batch, detectable by comparing the marker to the checkpoint's offsets.
+    *
+    * @param partialAgg batch → (keyCol, additive numeric columns). The
+    *   merge coalesces missing sides to zero, adds, and casts back to the
+    *   partial's column types so the table schema cannot drift (decimal
+    *   addition would otherwise widen precision every batch).
+    */
   def mergeStreamToTable(spark: SparkSession, sourceDir: String,
                          partialAgg: DataFrame => DataFrame, keyCol: String,
                          tableDir: String, checkpointDir: String,

@@ -80,6 +80,10 @@ class MultimodalSpec extends SparkSpec {
     // any pixel difference changes the digest
     val other = Multimodal.encodePng(width = 5, height = 4, seed = 8L)
     assert(Multimodal.pixelDigest(png) !== Multimodal.pixelDigest(other))
+    // a WxH image and its HxW transpose share the row-major pixel walk but
+    // must not collide — dimensions are part of the digested stream
+    assert(Multimodal.pixelDigest(Multimodal.encodePng(6, 1, 3L)) !==
+      Multimodal.pixelDigest(Multimodal.encodePng(1, 6, 3L)))
     // hardening: null / empty / non-image payloads digest to null
     assert(Multimodal.pixelDigest(null) === null)
     assert(Multimodal.pixelDigest(Array.emptyByteArray) === null)

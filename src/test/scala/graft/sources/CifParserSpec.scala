@@ -195,4 +195,14 @@ class CifParserSpec extends AnyFunSuite {
     val r = CifParser.parse("q1", q)
     assert(r.frac_coords(1) === Seq(0.5, 0.0, 0.0))
   }
+
+  test("unknown-value markers on CELL parameters fail loudly, never a zero lattice") {
+    val bad = cubic.replace("_cell_length_a 2.0", "_cell_length_a ?")
+    intercept[NumberFormatException](CifParser.parse("badcell", bad))
+  }
+
+  test("variable coefficients in symmetry ops are rejected, not mis-parsed") {
+    val e = intercept[IllegalArgumentException](CifParser.parseSymOp("-2y, x, z"))
+    assert(e.getMessage.contains("coefficient"))
+  }
 }
