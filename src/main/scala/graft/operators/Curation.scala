@@ -113,9 +113,16 @@ object Curation {
     val weight =
       if (alpha == 0.5) floor(sqrt(col("__n").cast("double")) * 1000)
       else floor(pow(col("__n").cast("double"), lit(alpha)) * 1000)
+    // the budget join is an equi-join on the group key, under which a null
+    // group would be SILENTLY dropped — fail loudly in-plan instead (the
+    // groupBy keeps nulls as a group, so the guard sees them)
     val sizes = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
-      .withColumn("__s", weight.cast("long"))
+      .withColumn("__s",
+        when(col(groupCol).isNull, raise_error(lit(
+          s"sampleTemperature: null values in group column '$groupCol' — " +
+            "null groups cannot be budgeted; filter or fill them first")))
+          .otherwise(weight.cast("long")))
     val tot = sizes.agg(sum(col("__s")).as("__tot"))
     val budgets = sizes.crossJoin(broadcast(tot))
       .select(col(groupCol),

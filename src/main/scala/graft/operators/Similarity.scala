@@ -94,6 +94,29 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
+  /** [[cosineTopK]] variant ranking on `round(cos, scale)` with the id as
+    * tie-break — for queries whose ORACLE must re-rank identically in
+    * another engine: the two engines' cosine kernels provably agree on the
+    * rounded grid, while a last-ulp divergence can flip a full-precision
+    * rank (the q_ext_sim4 pattern, applied to the dense retrieval arm).
+    */
+  def cosineTopKRounded(vectors: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        scale: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      norm(col(vecCol)).as("nn"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosinePre(col("qv"), col("nv"), col("qn"), col("nn")), scale))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
   /** Sign-random-projection bucket id: numPlanes sign bits packed into a
     * long, via the native codegen'd [[graft.functions.VectorSrpBucket]]
     * (bit-identical to the HOF formulation it replaced — VectorDotSpec —

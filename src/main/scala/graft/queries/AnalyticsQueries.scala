@@ -91,7 +91,11 @@ object AnalyticsQueries {
         val lex = lexTop.select(col("doc_id"),
           row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
         val emb = Tables.load(s, d, "embeddings")
-        val dense = graft.operators.Similarity.cosineTopK(emb,
+        // dense arm ranks on round(cos, 4) with nid tie-break — the grid on
+        // which the two engines' cosine kernels provably agree (the
+        // q_ext_sim4 pattern); a last-ulp divergence on unrounded cos could
+        // flip a dense rank and change the fused output
+        val dense = graft.operators.Similarity.cosineTopKRounded(emb,
             emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
           .select(col("nid").as("doc_id"), col("rn").as("rank"))
         TextRank.rrfFuse(Seq(lex, dense), "doc_id", "rank")
@@ -108,7 +112,7 @@ object AnalyticsQueries {
           "(SELECT sum(CAST(q.qv[i] AS DOUBLE)*CAST(q.qv[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) nq, " +
           "(SELECT sum(CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE)) FROM (SELECT unnest(generate_series(1,64)) i)) ne " +
           "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
-          "t AS (SELECT nid, row_number() OVER (ORDER BY dot/(sqrt(nq)*sqrt(ne)) DESC, nid) rn FROM s), " +
+          "t AS (SELECT nid, row_number() OVER (ORDER BY round(dot/(sqrt(nq)*sqrt(ne)), 4) DESC, nid) rn FROM s), " +
           "dense AS (SELECT nid AS doc_id, rn AS drank FROM t WHERE rn <= 10), " +
           "f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id, lex.lrank, dense.drank " +
           "FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id) " +

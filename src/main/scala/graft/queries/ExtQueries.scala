@@ -582,13 +582,35 @@ object ExtQueries {
     // candidate fan-out — not the signature pass — is ~80% of the
     // operator's cost); the guard still clears 0.5 at sf0.01 and sf0.1
     // with the cap in force.
+    // The exact oracle arm ranks a COUNT-SCALED deterministic anchor subset
+    // (doc_id % max(1, ⌊n/500⌋) = 0 — every doc at sf0.01, ~500 at any
+    // larger scale, the modulus derived in-plan from a 1-row count agg,
+    // identically in the oracle SQL): emitted pairs are those with an
+    // anchor endpoint, so the oracle-gate scaffolding's shingle join is
+    // anchor-tokens × corpus-tokens — O(500·n) — instead of the full
+    // corpus self-join (the q_ext_sim4 re-plan pattern; the unconditioned
+    // arm was the round-9 bench's one 2×-gate breach). The SimHash guard is
+    // statistically unchanged: recall measured against the ~500 anchored
+    // exact top pairs instead of all pairs.
     DeclaredQuery(
       "q_ext_dedup4",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        // tiny (pair-count-sized) and referenced by both the output and the
+        val qDiv = docs.agg(
+          greatest(lit(1L), floor(count(lit(1)) / 500.0).cast("long")).as("qdiv"))
+        val anchors = docs.crossJoin(broadcast(qDiv))
+          .filter(col("doc_id") % col("qdiv") === 0)
+          .select(col("doc_id"), col("text"))
+        // anchored exact pairs, normalized to d1 < d2 (anchor×anchor pairs
+        // arrive in both orientations with identical symmetric jac); tiny
+        // (pair-count-sized) and referenced by both the output and the
         // recall guard — localCheckpoint'd so the shingle join runs once
-        val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.9, shingleN = 3)
+        val exact = Dedup.jaccardPairsBetween(anchors, docs, "doc_id", "text",
+            threshold = 0.9, shingleN = 3)
+          .filter(col("d1") =!= col("d2"))
+          .groupBy(least(col("d1"), col("d2")).as("d1"),
+            greatest(col("d1"), col("d2")).as("d2"))
+          .agg(max(col("jac")).as("jac"))
           .localCheckpoint()
         val cand = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
             numBlocks = 8, maxBucket = 1500L)
@@ -601,7 +623,14 @@ object ExtQueries {
                 col("recall").cast("string"), lit(" below 0.5")))).as("jac"))
           .orderBy("d1", "d2")
       },
-      Some(jaccardSql(0.9))),
+      Some(
+        s"WITH $jaccardCtes, " +
+          "qd AS (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) AS qdiv FROM documents) " +
+          "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
+          "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.9 " +
+          "AND (i.d1 % (SELECT qdiv FROM qd) = 0 OR i.d2 % (SELECT qdiv FROM qd) = 0) " +
+          "ORDER BY 1,2")),
 
     // ---- similarity search ----
     DeclaredQuery(
@@ -828,6 +857,57 @@ object ExtQueries {
           "max(CASE WHEN rn = 1 THEN nid END) AS top1, " +
           "max(CASE WHEN rn = 1 THEN cos END) AS top1_cos " +
           "FROM t WHERE rn <= 5 GROUP BY qid ORDER BY qid")),
+
+    // Deployment-rule IVF on the oracle gate: the index is sized by
+    // `Similarity.autoCentroids(n)` — the centroids-∝-corpus rule that
+    // prevents the measured 19×-at-10×-data self-top-k quadratic
+    // (PROFILE.md round 9) — instead of the pinned 16-centroid fixture
+    // q_ext_sim3/sim4 keep for recall comparability. The query require()s
+    // that the PERSISTED index carries exactly autoCentroids(n) centroids,
+    // so the rule is load-bearing at every scale the driver runs: it
+    // resolves to the 16 floor at 500/2000-row bench corpora (recall
+    // bounds carry over from q_ext_sim3) and to 157 at the sf1 rehearsal.
+    // nprobe = ceil(k/2) pins the probed CELL FRACTION at one half — the
+    // recall lever for near-uniform synthetic embeddings, and free on the
+    // probe path (cost is query-bound, |q|·n/2) unlike the self-top-k path
+    // where constant nprobe × constant cell size is what buys linearity.
+    DeclaredQuery(
+      "q_ext_sim5",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val n = emb.count()
+        val kAuto = Similarity.autoCentroids(n)
+        val dir = "target/tmp/ivf/embeddings_auto"
+        Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding",
+          numCentroids = kAuto)
+        val kStored = Similarity.loadIvfIndex(s, dir).centroids.count()
+        require(kStored == kAuto,
+          s"q_ext_sim5: persisted index carries $kStored centroids, " +
+            s"autoCentroids($n) = $kAuto — the deployment sizing rule is not in force")
+        val q = emb.filter(col("vec_id") >= 15 && col("vec_id") < 20)
+        val (out, probed) = Similarity.ivfTopKPersistedWithCells(s, dir, q,
+          "vec_id", "embedding", k = 10, nprobe = (kAuto + 1) / 2)
+        val scan = graft.plans.PlanChecks.fileScanFor(out.queryExecution.executedPlan, "assigned")
+          .getOrElse(throw new IllegalStateException("no assigned-index scan in plan"))
+        require(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+          s"q_ext_sim5: no cell partition filter on the index scan " +
+            s"(partitionFilters=${scan.partitionFilters})")
+        require(scan.selectedPartitions.partitionCount == probed.length,
+          s"q_ext_sim5: scan read ${scan.selectedPartitions.partitionCount} cell dirs, " +
+            s"expected exactly the ${probed.length} probed")
+        val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint()
+        exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),
+            Seq("qid", "nid"))))
+          .select(col("qid"),
+            when(col("recall") >= 0.55, col("rn"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_sim5: auto-sized IVF top-k recall "),
+                col("recall").cast("string"), lit(" below 0.55")))).as("rn"),
+            col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      Some(cosineTopKSql("vec_id >= 15 AND vec_id < 20", 10))),
 
     // multimodal decode, REAL codec round-trip: generate an id-sized PNG
     // per row (JDK ImageIO — no external codecs needed), decode it back

@@ -138,8 +138,12 @@ object CifParser {
           else line(j) match {
             case '#' => done = true // comment to end of line
             case q @ ('\'' | '"') =>
-              val end = line.indexOf(q, j + 1)
-              val stop = if (end < 0) n else end
+              // CIF 1.1: a quote closes the string only at end-of-line or
+              // when followed by whitespace — 'O'Brien site' is ONE value.
+              var end = j + 1
+              while (end < n && !(line(end) == q &&
+                (end + 1 >= n || line(end + 1).isWhitespace))) end += 1
+              val stop = if (end < n) end else n
               out += Tok(line.substring(j + 1, stop), quoted = true)
               j = stop + 1
             case _ =>
@@ -200,7 +204,15 @@ object CifParser {
         var nVals = 0
         while (i < toks.length && !isCtl(toks(i))) { vals += toks(i).text; nVals += 1; i += 1 }
         if (tagList.nonEmpty) {
-          val rows = vals.result().grouped(tagList.size).filter(_.size == tagList.size).toIndexedSeq
+          val flat = vals.result()
+          // a missing value mid-loop shifts every later row's columns into
+          // plausible-but-wrong geometry — fail loudly, like the
+          // cell-parameter path, rather than drop the partial tail
+          if (flat.size % tagList.size != 0)
+            throw new IllegalArgumentException(
+              s"CIF loop (${tagList.head}…): ${flat.size} values is not a " +
+                s"multiple of ${tagList.size} tags — truncated or misaligned loop")
+          val rows = flat.grouped(tagList.size).toIndexedSeq
           loops += ((tagList, rows))
         }
       } else if (isTag(t)) {

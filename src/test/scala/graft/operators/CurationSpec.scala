@@ -222,4 +222,14 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(again.sameElements(first))
   }
+
+  test("sampleTemperature fails loudly on null group keys instead of dropping them") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None: Option[String]))
+      .toDF("id", "grp")
+    val e = intercept[Exception] {
+      Curation.sampleTemperature(df, "id", "grp", budgetRows = 2L).collect()
+    }
+    assert(e.getMessage.contains("null values in group column") ||
+      Option(e.getCause).exists(_.getMessage.contains("null values in group column")))
+  }
 }

@@ -43,6 +43,35 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("auto-sized persisted index carries exactly autoCentroids(n) centroids above the floor") {
+    // exercise the rule's SCALING branch (q_ext_sim5 at driver scales only
+    // reaches the 16 floor): 2048 vectors at targetCellSize=64 → 32 cells
+    val df = clustered(2048, 16, 8, jitter = 0.05).toDF("vec_id", "embedding")
+    val k = Similarity.autoCentroids(2048, targetCellSize = 64)
+    assert(k === 32)
+    val dir = s"target/tmp/ivf_spec_auto/${java.util.UUID.randomUUID}"
+    Similarity.ensureIvfIndex(spark, dir, df, "vec_id", "embedding", numCentroids = k)
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === k.toLong)
+  }
+
+  test("cosineTopKRounded ranks on the 4-decimal grid with id tie-break") {
+    val df = clustered(40, 16, 4, jitter = 0.05).toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" === 0)
+    val rounded = Similarity.cosineTopKRounded(df, q, "vec_id", "embedding", k = 5)
+      .orderBy("rn").collect()
+    assert(rounded.length === 5)
+    // every emitted cos sits exactly on the rounded grid
+    assert(rounded.forall(r => {
+      val c = r.getAs[Double]("cos")
+      math.abs(c - math.rint(c * 1e4) / 1e4) < 1e-12
+    }))
+    // ranking is non-increasing in rounded cos; equal-cos neighbors order by nid
+    val pairs = rounded.map(r => (r.getAs[Double]("cos"), r.getAs[Long]("nid")))
+    assert(pairs.sliding(2).forall { case Array((c1, n1), (c2, n2)) =>
+      c1 > c2 || (c1 == c2 && n1 < n2)
+    case _ => true })
+  }
+
   test("lshCosineTopK recalls most exact top-k on clustered data") {
     val df = clustered(60, 16, 4, jitter = 0.05).toDF("vec_id", "embedding")
     val q = df.filter($"vec_id" < 3)

@@ -205,4 +205,35 @@ class CifParserSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](CifParser.parseSymOp("-2y, x, z"))
     assert(e.getMessage.contains("coefficient"))
   }
+
+  test("truncated loop rows fail loudly instead of shifting columns silently") {
+    // drop Cl's z coordinate: 7 values against 4 tags — a misaligned loop
+    val bad = cubic.replace("Cl 0.5 0.5 0.5", "Cl 0.5 0.5")
+    val e = intercept[IllegalArgumentException](CifParser.parse("trunc1", bad))
+    assert(e.getMessage.contains("not a multiple"))
+  }
+
+  test("CIF 1.1 quoting: an embedded quote not followed by whitespace stays inside the value") {
+    val doc =
+      """data_q
+        |_journal_name 'O'Brien's site'
+        |_cell_length_a 2.0
+        |_cell_length_b 2.0
+        |_cell_length_c 2.0
+        |_cell_angle_alpha 90.0
+        |_cell_angle_beta 90.0
+        |_cell_angle_gamma 90.0
+        |loop_
+        |_atom_site_type_symbol
+        |_atom_site_fract_x
+        |_atom_site_fract_y
+        |_atom_site_fract_z
+        |Na 0.0 0.0 0.0
+        |""".stripMargin
+    // the quoted journal value must tokenize as ONE value (closing quote is
+    // the one at end-of-line), leaving the cell items and loop intact
+    val r = CifParser.parse("quote1", doc)
+    assert(r.species === Seq("Na"))
+    assert(math.abs(r.lattice.volume - 8.0) < 1e-9)
+  }
 }
