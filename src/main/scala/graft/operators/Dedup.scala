@@ -377,30 +377,91 @@ object Dedup {
   /** Append a new batch's signatures to an existing store (after the caller
     * has dedup'd/kept them — the store should hold surviving docs). Params
     * are pinned by the store's `_params` marker.
+    *
+    * Crash safety (the shared persisted-store protocol, cf.
+    * `DistinctSketch`'s retire-then-promote and `Similarity`'s pending-
+    * marker append): each append is one SEGMENT — `toks` and `bands` are
+    * staged together under `_staging/<uuid>` and made visible by a single
+    * atomic directory rename to `seg-<uuid>`, so readers never observe
+    * signatures without their band rows (the half-appended state the old
+    * two-append layout could crash into). A crash before the rename leaves
+    * only `_staging` debris, dropped by [[recoverMinHashStore]]; a crash
+    * after it is a completed append. With `batchMarker` set, replaying the
+    * same batch is a NO-OP when a committed segment already carries the
+    * marker (the marker file rides inside the segment, so data and marker
+    * commit in the same rename — re-delivery can't double-append).
     */
   def appendToMinHashStore(batch: DataFrame, idCol: String, textCol: String,
                            dir: String, numBands: Int = 16, rowsPerBand: Int = 2,
-                           shingleN: Int = 3): Unit = {
-    val marker = readParams(dir, batch.sparkSession.sessionState.newHadoopConf()) match {
+                           shingleN: Int = 3, batchMarker: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    readParams(dir, conf) match {
       case Some(stored) =>
         require(stored == (numBands, rowsPerBand, shingleN),
           s"store $dir was built with (bands,rows,shingleN)=$stored, " +
             s"got (${numBands},${rowsPerBand},${shingleN})")
-        false
-      case None => true
+      case None =>
+        writeParams(dir, (numBands, rowsPerBand, shingleN), conf)
     }
+    val alreadyCommitted = batchMarker.exists(m =>
+      segmentDirs(fs, root).exists(seg =>
+        fs.exists(new org.apache.hadoop.fs.Path(seg, s"_batch-$m"))))
+    if (alreadyCommitted) return
+    val segId = java.util.UUID.randomUUID.toString
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging/$segId")
     val toks = tokenSets(batch, idCol, textCol, shingleN)
       .select(col("id"), xxhash64(col("tok")).as("th"))
     toks.groupBy("id").agg(collect_set(col("th")).as("ths"))
-      .write.mode("append").parquet(s"$dir/toks")
-    // band rows derive from the STORED arrays — one shingle pass total
-    val storedBatch = batch.sparkSession.read.parquet(s"$dir/toks")
-      .join(batch.select(col(s"`$idCol`").as("id")), Seq("id"), "left_semi")
-    bandRows(storedBatch.select(col("id"), explode(col("ths")).as("th")),
+      .write.mode("overwrite").parquet(s"$staging/toks")
+    // band rows derive from the STAGED arrays — one shingle pass total
+    val stagedBatch = spark.read.parquet(s"$staging/toks")
+    bandRows(stagedBatch.select(col("id"), explode(col("ths")).as("th")),
         numBands, rowsPerBand)
-      .write.mode("append").parquet(s"$dir/bands")
-    if (marker) writeParams(dir, (numBands, rowsPerBand, shingleN),
-      batch.sparkSession.sessionState.newHadoopConf())
+      .write.mode("overwrite").parquet(s"$staging/bands")
+    batchMarker.foreach { m =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(staging, s"_batch-$m"), true)
+      out.close()
+    }
+    val seg = new org.apache.hadoop.fs.Path(dir, s"seg-$segId")
+    if (!fs.rename(staging, seg))
+      throw new java.io.IOException(
+        s"appendToMinHashStore: failed to commit $staging to $seg — staged data intact")
+  }
+
+  /** Repair an interrupted [[appendToMinHashStore]]: staged-but-uncommitted
+    * segments under `_staging` are dropped (their batch never became
+    * visible — re-append it). Committed segments are never touched.
+    * Idempotent; returns the staging ids removed.
+    */
+  def recoverMinHashStore(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging")
+    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(staging)) Seq.empty
+    else {
+      val ids = fs.listStatus(staging).toSeq.map(_.getPath.getName)
+      fs.delete(staging, true)
+      ids
+    }
+  }
+
+  private def segmentDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-"))
+      .map(_.getPath).sortBy(_.getName)
+
+  /** All committed segments' `sub` (toks/bands) as one DataFrame. */
+  private def readStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        sub: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = segmentDirs(fs, root).map(p => s"$p/$sub")
+    require(parts.nonEmpty, s"MinHash store at $dir has no committed segments")
+    spark.read.parquet(parts: _*)
   }
 
   private def paramsPath(dir: String) = new org.apache.hadoop.fs.Path(dir, "_params")
@@ -453,14 +514,14 @@ object Dedup {
       .localCheckpoint()
     val batchBands = bandRows(batchToks, numBands, rowsPerBand)
     val candidates = batchBands.as("x")
-      .join(spark.read.parquet(s"$dir/bands").withColumnRenamed("id", "sid").as("y"),
+      .join(readStore(spark, dir, "bands").withColumnRenamed("id", "sid").as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.id") =!= col("sid"))
       .select(col("x.id").as("d1"), col("sid").as("d2"))
       .distinct()
       .localCheckpoint() // tiny by construction; feeds two joins below
     val batchSets = batchToks.groupBy("id").agg(collect_set(col("th")).as("ths"))
-    val storedSets = spark.read.parquet(s"$dir/toks")
+    val storedSets = readStore(spark, dir, "toks")
       .join(candidates.select(col("d2").as("id")), Seq("id"), "left_semi")
     candidates
       .join(batchSets.select(col("id").as("d1"), col("ths").as("t1")), "d1")

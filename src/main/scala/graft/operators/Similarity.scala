@@ -321,6 +321,10 @@ object Similarity {
                      vectors: DataFrame, idCol: String, vecCol: String,
                      numCentroids: Int, kmeansIterations: Int = 2): Unit = {
     graft.functions.GraftFunctions.register(spark)
+    // an interrupted append's pending marker resolves to a consistent
+    // fingerprint first — without this, a crashed-but-landed append reads
+    // as stale and triggers a full rebuild where a marker repair suffices
+    recoverIvfIndex(spark, dir)
     val idRow = vectors.agg(
       count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
     val fp = s"ivf-v1|n=${idRow.getLong(0)}|xor=${idRow.get(1)}" +
@@ -367,30 +371,89 @@ object Similarity {
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(fpPath),
       s"appendToIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
-    val buf = new Array[Byte](fs.getFileStatus(fpPath).getLen.toInt)
-    val in = fs.open(fpPath)
-    try in.readFully(buf) finally in.close()
-    val fields = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      .split('|').toSeq
+    // un-repaired pending marker from an interrupted append: resolve it
+    // first (roll forward or back against the assigned store's actual ids)
+    // so this append composes onto a consistent fingerprint
+    recoverIvfIndex(spark, dir)
+    val fields = readSmallText(fs, fpPath).split('|').toSeq
     val kv = fields.collect { case f if f.contains("=") =>
       val Array(k, v) = f.split("=", 2); k -> v
     }.toMap
-    val centroids = spark.read.parquet(s"$dir/centroids")
-    new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
-      .create(assignCells(spread(newVectors), idCol, vecCol, centroids),
-        partitionBy = Seq("cell"))
+    // batch identity BEFORE any write: the pending marker must name both
+    // the state being left and the state being entered, so a crash at any
+    // point is resolvable by comparing the store's ACTUAL ids to the two
     val idRow = newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
     val nBatch = idRow.getLong(0)
     val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
-    val fp = fields.map {
+    val newFp = fields.map {
       case f if f.startsWith("n=") => s"n=${kv("n").toLong + nBatch}"
       case f if f.startsWith("xor=") => s"xor=${kv("xor").toLong ^ xorBatch}"
       case f => f
     }.mkString("|")
-    val out = fs.create(fpPath, true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
+    writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
+      .create(assignCells(spread(newVectors), idCol, vecCol, centroids),
+        partitionBy = Seq("cell"))
+    writeSmallText(fs, fpPath, newFp)
+    fs.delete(pendingPath, false)
     nBatch
+  }
+
+  /** Repair an interrupted [[appendToIvfIndex]] — the persisted-index
+    * member of the shared store-recovery protocol (MinHash segments,
+    * DistinctSketch retire-then-promote): the `_append_pending` marker
+    * written before any data names the (n, xor) identity of both the
+    * pre-append and post-append states, so recovery re-derives the
+    * assigned store's ACTUAL identity with one column-pruned id scan and
+    * rolls the fingerprint FORWARD (batch landed — the job committed its
+    * files before the crash) or BACK (nothing landed — Spark's job commit
+    * is the visibility point, an uncommitted write left only `_temporary`
+    * debris that parquet readers ignore). Any other actual identity fails
+    * loudly. Idempotent; no-op without a marker. Returns the action taken.
+    */
+  def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] = {
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
+    val fs = pendingPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(pendingPath)) None
+    else {
+      val Array(oldFp, newFp) = readSmallText(fs, pendingPath).split('\n')
+      def identity(fp: String): (Long, Long) = {
+        val kv = fp.split('|').collect { case f if f.contains("=") =>
+          val Array(k, v) = f.split("=", 2); k -> v
+        }.toMap
+        (kv("n").toLong, kv("xor").toLong)
+      }
+      val idRow = spark.read.parquet(s"$dir/assigned")
+        .agg(count(lit(1)), bit_xor(xxhash64(col("nid")))).collect()(0)
+      val actual = (idRow.getLong(0), if (idRow.isNullAt(1)) 0L else idRow.getLong(1))
+      val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
+      val action =
+        if (actual == identity(newFp)) { writeSmallText(fs, fpPath, newFp); "rolled-forward" }
+        else if (actual == identity(oldFp)) { writeSmallText(fs, fpPath, oldFp); "rolled-back" }
+        else throw new IllegalStateException(
+          s"recoverIvfIndex: assigned store at $dir matches neither the pre-append " +
+            s"($oldFp) nor the post-append ($newFp) identity — actual (n, xor) = $actual; " +
+            "rebuild the index (drop the dir, ensureIvfIndex)")
+      fs.delete(pendingPath, false)
+      Some(action)
+    }
+  }
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path): String = {
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Reopen a persisted index (for [[ivfSelfTopK]] or ad-hoc probing).

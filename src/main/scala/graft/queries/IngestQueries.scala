@@ -225,6 +225,69 @@ object IngestQueries {
           "round((1 - x0) * a, 4) AS c2x, round(0.75 * a, 4) AS c2y, " +
           "round(0.625 * a, 4) AS c2z FROM g ORDER BY doc_id")),
 
+    // CIF ingestion from a bare space-group symbol — the data-table path a
+    // symop-loop-free CIF forces (pymatgen's space-group database route;
+    // graft.sources.SpaceGroups generates the 230 settings from Hall
+    // symbols). Each document id generates a loop-free CIF citing one of
+    // four Hermann-Mauguin symbols spanning multiplicities 2/4/8/32 and
+    // the symbol-normalization surface (short "P -1", FULL monoclinic
+    // "P 1 21/c 1", compact "Pnma", spaced "I 4/m m m"). All four groups'
+    // translations are halves and the site coordinates are exact binary
+    // fractions, so image coordinates are engine-exact. Oracled against
+    // the closed forms: orbit size, cell volume, the orbit coordinate sum
+    // (= 1.5 x orbit size for a centrosymmetric group with a generic
+    // site — every image pairs with its wrapped inversion partner), and
+    // the minimum fractional z of the orbit.
+    DeclaredQuery(
+      "q_ing6",
+      (s, d) => {
+        import s.implicits._
+        val ids = Tables.load(s, d, "documents").select(col("doc_id")).as[Long]
+        val parsed = ids.map { id =>
+          val a = 2.0 + (id % 8) * 0.25
+          val hm = (id % 4) match {
+            case 0 => "P -1"
+            case 1 => "P 1 21/c 1"
+            case 2 => "Pnma"
+            case _ => "I 4/m m m"
+          }
+          val text =
+            s"""data_gen
+               |_symmetry_space_group_name_H-M '$hm'
+               |_cell_length_a $a
+               |_cell_length_b $a
+               |_cell_length_c $a
+               |_cell_angle_alpha 90.0
+               |_cell_angle_beta 90.0
+               |_cell_angle_gamma 90.0
+               |loop_
+               |_atom_site_type_symbol
+               |_atom_site_fract_x
+               |_atom_site_fract_y
+               |_atom_site_fract_z
+               |Na 0.0625 0.15625 0.28125
+               |""".stripMargin
+          (id, graft.sources.CifParser.parse(id.toString, text))
+        }.toDF("doc_id", "rec")
+        parsed.select(col("doc_id"),
+            size(col("rec.species")).as("n_sites"),
+            r4(col("rec.lattice.volume")).as("volume"),
+            r4(aggregate(flatten(col("rec.frac_coords")), lit(0.0),
+              (acc, v) => acc + v)).as("sum_frac"),
+            r4(array_min(transform(col("rec.frac_coords"),
+              f => element_at(f, 3)))).as("min_z"))
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, CAST(2.0 + (doc_id % 8) * 0.25 AS DOUBLE) AS a, " +
+          "doc_id % 4 AS grp FROM documents) " +
+          "SELECT doc_id, " +
+          "CAST(CASE grp WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 8 ELSE 32 END AS INTEGER) AS n_sites, " +
+          "round(a * a * a, 4) AS volume, " +
+          "round(CAST(CASE grp WHEN 0 THEN 3.0 WHEN 1 THEN 6.0 WHEN 2 THEN 12.0 ELSE 48.0 END AS DOUBLE), 4) AS sum_frac, " +
+          "round(CAST(CASE grp WHEN 0 THEN 0.28125 ELSE 0.21875 END AS DOUBLE), 4) AS min_z " +
+          "FROM g ORDER BY doc_id")),
+
     // partitioned table + partition pruning: write orders hive-partitioned
     // by year, read back with a partition filter. The plan must prune at
     // the directory level (asserted: the scan reads only the matching

@@ -23,10 +23,14 @@ package graft.sources
   *  - uncertainty parentheses (`1.234(5)`) and charge/label-decorated
   *    species (`Cu2+`, `Fe1`) stripped as before.
   *
-  * Out of scope (pymatgen reaches these via its space-group database, which
-  * is a data table, not parsing): expanding ops from a bare H-M symbol /
-  * IT number when the CIF omits the symop loop — such files parse with the
-  * asymmetric unit only.
+  * When the CIF omits the symop loop, symmetry is expanded from the
+  * space-group identification tags instead — the data-table path pymatgen
+  * reaches through its space-group database: `_space_group_name_hall` (used
+  * directly), else `_symmetry_space_group_name_h-m` /
+  * `_space_group_name_h-m_alt`, else `_space_group_it_number` /
+  * `_symmetry_int_tables_number`, via [[SpaceGroups]] (Hall-symbol-generated
+  * operation sets for all 230 conventional settings). A file carrying none
+  * of these parses with the asymmetric unit only (P1), as before.
   */
 object CifParser {
 
@@ -337,11 +341,23 @@ object CifParser {
       Seq(numOrZero(r(xi)), numOrZero(r(yi)), numOrZero(r(zi))): Seq[Double])
 
     // symmetry ops from whichever loop carries a symop-xyz column (the op
-    // column position is tag-resolved: id-first loops work); absent → P1
+    // column position is tag-resolved: id-first loops work); absent → the
+    // space-group identification tags (Hall > H-M > IT number); none → P1
     val ops = block.loops.collectFirst {
       case (ltags, lrows) if symOpTags.exists(t => ltags.exists(_.startsWith(t))) =>
         val oi = ltags.indexWhere(lt => symOpTags.exists(lt.startsWith))
         lrows.map(r => parseSymOp(r(oi)))
+    }.orElse {
+      def item(tags: String*): Option[String] = tags.collectFirst {
+        case t if block.items.contains(t) => block.items(t)
+      }
+      item("_space_group_name_hall", "_symmetry_space_group_name_hall")
+        .map(SpaceGroups.opsForHall)
+        .orElse(item("_symmetry_space_group_name_h-m", "_space_group_name_h-m_alt")
+          .map(SpaceGroups.opsForHM))
+        .orElse(item("_space_group_it_number", "_symmetry_int_tables_number")
+          .map(s => SpaceGroups.opsForNumber(s.trim.toInt)))
+        .map(_.map(_.asMatrices))
     }.getOrElse(Seq.empty)
 
     val (species, frac) =

@@ -27,6 +27,71 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
 
   def exists: Boolean = fs.exists(new Path(dir))
 
+  // ------------------------------------------------ optimistic concurrency
+
+  /** Fingerprint of the live table state: every file's table-relative path,
+    * length, and mtime under the table root, hashed. Mutation paths capture
+    * it at entry and the swap kernels ([[rewriteWith]] / [[replaceFiles]])
+    * re-check it AFTER the replacement data is fully staged and immediately
+    * BEFORE the first rename — the optimistic-concurrency CAS: a concurrent
+    * writer's commit between this mutation's read and its swap fails the
+    * mutation loudly (`ConcurrentModificationException`, staged temp output
+    * dropped, live table untouched) instead of silently overwriting the
+    * other writer's rows (lost update). Cost is one metadata-only recursive
+    * listing per mutation — the same order as the footer-stats pass the
+    * scoped mutations already do.
+    *
+    * Residual window: the check and the first rename are not one atomic
+    * step, so two writers whose swaps land inside the same rename-latency
+    * window can still both pass — on a filesystem with atomic rename the
+    * second writer's `rename(dir, old)` then fails (dir already moved) and
+    * aborts before data loss. A multi-writer fleet on an object store
+    * without atomic rename needs a conditional-put commit log; this check's
+    * failure mode (abort with nothing renamed) is what such a log slots
+    * under.
+    */
+  def fingerprint(): String = {
+    val sb = new StringBuilder
+    def walk(p: Path): Unit = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
+      else sb.append(relativize(dir, p)).append('|').append(st.getLen)
+        .append('|').append(st.getModificationTime).append('\n')
+    }
+    if (exists) walk(new Path(dir))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Mutator-entry capture: repair interrupted-swap debris FIRST (so the
+    * fingerprint reflects the recovered table, not the debris), then
+    * fingerprint the state this mutation's read is about to see.
+    */
+  private def entryFingerprint(): String = {
+    if (Seq("__normalize_tmp", "__old", "__patch_tmp", "__patch_old")
+        .exists(sfx => fs.exists(new Path(s"$dir$sfx")))) recover()
+    fingerprint()
+  }
+
+  /** Test seam: runs after a swap's temp write completes and before the
+    * conflict check + renames — the deterministic interleaving point the
+    * two-writer spec drives a concurrent commit through.
+    */
+  private[sources] var preSwapHook: () => Unit = () => ()
+
+  private def conflictCheck(expected: Option[String], tmps: Seq[Path]): Unit =
+    expected.foreach { e =>
+      if (fingerprint() != e) {
+        tmps.foreach(t => fs.delete(t, true))
+        throw new java.util.ConcurrentModificationException(
+          s"optimistic-concurrency conflict on $dir: the live table changed between " +
+            "this mutation's read and its swap (another writer committed). Aborted " +
+            "before any rename — staged output dropped, table untouched; re-read and retry.")
+      }
+    }
+
   /** Append a batch (ParquetDB `create`, base.py:180-182).
     *
     * @param target  optional canonical schema to conform to (permissive
@@ -103,6 +168,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *  partitioning for high-cardinality keys).
     */
   def normalize(maxRowsPerFile: Long, sortBy: Seq[String] = Nil): Unit = {
+    val expect = Some(entryFingerprint())
     val df = read()
     // row count from the footers (metadata-only) — a count() job here would
     // be a full extra pass over the table being rewritten
@@ -112,7 +178,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
           .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
       else df.repartition(n)
-    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString))
+    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString), expect)
   }
 
   /** Rewrite the table clustered along a Z-order (Morton) curve over
@@ -123,6 +189,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * leading sort key. See [[ZOrder]] for the curve construction.
     */
   def normalizeZOrder(maxRowsPerFile: Long, zCols: Seq[String], bits: Int = 8): Unit = {
+    val expect = Some(entryFingerprint())
     val df = read()
     val n = math.max(1, math.ceil(footerRowCount.toDouble / maxRowsPerFile).toInt)
     val z = "__zorder"
@@ -130,7 +197,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       .repartitionByRange(n, col(z))
       .sortWithinPartitions(col(z))
       .drop(z)
-    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString))
+    rewriteWith(laidOut, Map("maxRecordsPerFile" -> maxRowsPerFile.toString), expect)
   }
 
   /** Full-rewrite-and-swap: write `newData` to a temp sibling, then swap it
@@ -138,7 +205,8 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * aside before the rewrite takes its place, so a crash at any point
     * leaves the table recoverable by a single rename — never deleted.
     */
-  private def rewriteWith(newData: DataFrame, options: Map[String, String] = Map.empty): Unit = {
+  private def rewriteWith(newData: DataFrame, options: Map[String, String] = Map.empty,
+                          expected: Option[String] = None): Unit = {
     val tmp = s"${dir}__normalize_tmp"
     val old = s"${dir}__old"
     // never start a swap over un-repaired debris from an interrupted one —
@@ -146,6 +214,8 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // destroy snapshot-pinned files
     if (fs.exists(new Path(old)) || fs.exists(new Path(tmp))) recover()
     newData.write.mode("overwrite").options(options).parquet(tmp)
+    preSwapHook()
+    conflictCheck(expected, Seq(new Path(tmp)))
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
@@ -177,12 +247,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * rewrite, which is always correct.
     */
   def upsert(patch: DataFrame, keyCol: String): Unit = {
+    val expect = Some(entryFingerprint())
     val perFile = ParquetStats.fileKeyRanges(dir, keyCol, hconf)
     if (perFile.isEmpty) {
       // partitioned layout (files in subdirs) or empty table — full rewrite
       val base = read()
       val kept = base.join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
-      rewriteWith(kept.unionByName(patch, allowMissingColumns = true))
+      rewriteWith(kept.unionByName(patch, allowMissingColumns = true), expected = expect)
     } else {
       val (statless, ranged) = perFile.partition(_._2.isEmpty)
       // touched-by-range: stream the (large) patch key set against the tiny
@@ -207,7 +278,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       val shaped = touchedDf.unionByName(patch, allowMissingColumns = true)
         .repartitionByRange(n, col(s"`$keyCol`"))
         .sortWithinPartitions(col(s"`$keyCol`"))
-      replaceFiles(touched, shaped)
+      replaceFiles(touched, shaped, expected = expect)
     }
   }
 
@@ -222,6 +293,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * (where file replacement would drop directory-encoded columns).
     */
   def deleteWhere(condition: Column): Unit = {
+    val expect = Some(entryFingerprint())
     val base = spark.read.option("mergeSchema", "true").parquet(dir)
     val hitNames = base.filter(condition)
       .select(col("_metadata.file_path")).distinct()
@@ -230,11 +302,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     val touched = flat.map(_.toString).filter(p => hitNames.contains(new Path(p).getName))
     if (hitNames.isEmpty) () // nothing matches — leave every file untouched
     else if (touched.size != hitNames.size) // partitioned subdir layout
-      rewriteWith(read().filter(!condition))
+      rewriteWith(read().filter(!condition), expected = expect)
     else {
       val kept = spark.read.option("mergeSchema", "true").parquet(touched: _*)
         .filter(!condition)
-      replaceFiles(touched, kept)
+      replaceFiles(touched, kept, expected = expect)
     }
   }
 
@@ -248,7 +320,8 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * collision with live names); (4) only then drop `__patch_old`.
     */
   private def replaceFiles(touched: Seq[String], newData: DataFrame,
-                           targetDir: String = dir): Unit = {
+                           targetDir: String = dir,
+                           expected: Option[String] = None): Unit = {
     // temp siblings always hang off the TABLE root, never inside it: a
     // `<partition>=x__patch_tmp` child of the root would parse as a bogus
     // partition value for any concurrent reader of the table
@@ -259,6 +332,8 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     if (fs.exists(tmp) || fs.exists(old)) recover()
     newData.write.mode("overwrite").parquet(tmp.toString)
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
+    preSwapHook()
+    conflictCheck(expected, Seq(tmp))
     fs.mkdirs(old)
     // manifest BEFORE any rename: [[recover]] needs to know which live-name
     // files are replacements (delete on rollback) and where each moved-aside
@@ -449,6 +524,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   private def compactDir(d: String, targetBytesPerFile: Long, smallFraction: Double,
                          sortBy: Seq[String]): Int = {
+    val expect = Some(entryFingerprint())
     val small = ParquetStats.fileStats(d, hconf)
       .filter(_.fileBytes < (targetBytesPerFile * smallFraction).toLong)
     val bytes = small.map(_.fileBytes).sum
@@ -464,7 +540,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
           df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
             .sortWithinPartitions(sortBy.map(c => col(s"`$c`")): _*)
         else df.repartition(n)
-      replaceFiles(paths, shaped, d)
+      replaceFiles(paths, shaped, d, expect)
       small.size
     }
   }

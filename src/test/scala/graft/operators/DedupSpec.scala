@@ -159,6 +159,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("MinHash store crash drill: staged-but-uncommitted appends are invisible and recoverable; marker replay is a no-op") {
+    val dir = "target/tmp/minhash_store/spec_crash"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinHashStore(corpus, "doc_id", "text", dir)
+    val probe = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def pairs() = Dedup.minHashPairsAgainstStore(probe, "doc_id", "text", dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(before === Set((9L, 1L)))
+    // simulate a crash mid-append: staged segment exists, never renamed in
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_staging/deadbeef/toks"))
+    assert(pairs() === before, "staging debris leaked into the read path")
+    assert(Dedup.recoverMinHashStore(spark, dir) === Seq("deadbeef"))
+    assert(Dedup.recoverMinHashStore(spark, dir).isEmpty) // idempotent
+    assert(pairs() === before)
+    // marker-keyed replay: the same batch delivered twice appends ONCE —
+    // a double-append would duplicate stored sets and emit duplicate pairs
+    val batch = Seq((2L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Dedup.appendToMinHashStore(batch, "doc_id", "text", dir, batchMarker = Some("b1"))
+    Dedup.appendToMinHashStore(batch, "doc_id", "text", dir, batchMarker = Some("b1"))
+    val rows = Dedup.minHashPairsAgainstStore(probe, "doc_id", "text", dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.distinct.length, s"replay duplicated pairs: ${rows.toSeq}")
+    assert(rows.toSet === Set((9L, 1L), (9L, 2L)))
+  }
+
   test("connectedComponents labels every vertex with the min id of its component") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L), (4L, 3L))
       .toDF("d1", "d2")

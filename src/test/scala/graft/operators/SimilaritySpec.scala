@@ -43,6 +43,63 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("IVF append crash drill: the pending marker rolls forward or back against the store's actual ids") {
+    val dir = s"target/tmp/ivf_spec_crash/${java.util.UUID.randomUUID}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def readText(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
+    }
+    def writeText(name: String, text: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    val base = clustered(60, 16, 4, jitter = 0.05).toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
+    val oldFp = readText("_fingerprint")
+    val batch = clustered(10, 16, 4, jitter = 0.05)
+      .map { case (i, v) => (i + 1000L, v) }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    val newFp = readText("_fingerprint")
+    assert(newFp != oldFp)
+
+    // drill 1 — crash AFTER the batch's files committed, BEFORE the
+    // fingerprint update: marker present, fingerprint still old
+    writeText("_fingerprint", oldFp)
+    writeText("_append_pending", s"$oldFp\n$newFp")
+    assert(Similarity.recoverIvfIndex(spark, dir) === Some("rolled-forward"))
+    assert(readText("_fingerprint") === newFp)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_append_pending")))
+    assert(Similarity.recoverIvfIndex(spark, dir) === None) // idempotent
+
+    // drill 2 — crash BEFORE anything landed: marker names a batch whose
+    // files never committed; the store matches the pre-append identity
+    writeText("_append_pending", s"$newFp\n${newFp.replace("n=70", "n=75")}")
+    assert(Similarity.recoverIvfIndex(spark, dir) === Some("rolled-back"))
+    assert(readText("_fingerprint") === newFp)
+
+    // drill 3 — store matches NEITHER state (corruption): fail loudly
+    writeText("_append_pending",
+      s"${newFp.replace("n=70", "n=7")}\n${newFp.replace("n=70", "n=75")}")
+    intercept[IllegalStateException](Similarity.recoverIvfIndex(spark, dir))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_append_pending"), false)
+
+    // after repair, ensureIvfIndex over the grown corpus recognizes the
+    // index as current (no rebuild) and probes still answer
+    val grown = base.unionByName(batch)
+    val centMtime = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/centroids")).getModificationTime
+    Similarity.ensureIvfIndex(spark, dir, grown, "vec_id", "embedding", numCentroids = 4)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/centroids"))
+      .getModificationTime === centMtime, "ensureIvfIndex rebuilt a healthy appended index")
+    val out = Similarity.ivfTopKPersisted(spark, dir, base.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, nprobe = 4).collect()
+    assert(out.length === 3)
+  }
+
   test("auto-sized persisted index carries exactly autoCentroids(n) centroids above the floor") {
     // exercise the rule's SCALING branch (q_ext_sim5 at driver scales only
     // reaches the 16 floor): 2048 vectors at targetCellSize=64 → 32 cells

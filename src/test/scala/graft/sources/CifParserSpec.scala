@@ -213,6 +213,87 @@ class CifParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a multiple"))
   }
 
+  test("loop-free CIF expands symmetry from the H-M symbol (rock salt, Fm-3m)") {
+    val doc =
+      """data_nacl
+        |_symmetry_space_group_name_H-M 'F m -3 m'
+        |_cell_length_a 5.64
+        |_cell_length_b 5.64
+        |_cell_length_c 5.64
+        |_cell_angle_alpha 90.0
+        |_cell_angle_beta 90.0
+        |_cell_angle_gamma 90.0
+        |loop_
+        |_atom_site_type_symbol
+        |_atom_site_fract_x
+        |_atom_site_fract_y
+        |_atom_site_fract_z
+        |Na 0.0 0.0 0.0
+        |Cl 0.5 0.5 0.5
+        |""".stripMargin
+    val r = CifParser.parse("nacl", doc)
+    // Fm-3m on the special positions 4a/4b: 4 Na + 4 Cl
+    assert(r.species.count(_ == "Na") === 4)
+    assert(r.species.count(_ == "Cl") === 4)
+    val naSites = r.frac_coords.zip(r.species).collect { case (f, "Na") => f }.toSet
+    assert(naSites === Set(Seq(0.0, 0.0, 0.0), Seq(0.0, 0.5, 0.5), Seq(0.5, 0.0, 0.5), Seq(0.5, 0.5, 0.0)))
+  }
+
+  test("loop-free CIF expands from the IT number and matches the H-M route") {
+    def base(symTag: String) =
+      s"""data_x
+         |$symTag
+         |_cell_length_a 6.0
+         |_cell_length_b 7.0
+         |_cell_length_c 8.0
+         |_cell_angle_alpha 90.0
+         |_cell_angle_beta 101.0
+         |_cell_angle_gamma 90.0
+         |loop_
+         |_atom_site_type_symbol
+         |_atom_site_fract_x
+         |_atom_site_fract_y
+         |_atom_site_fract_z
+         |C 0.11 0.22 0.33
+         |""".stripMargin
+    val viaHm = CifParser.parse("a", base("_symmetry_space_group_name_H-M 'P 21/c'"))
+    val viaNum = CifParser.parse("b", base("_space_group_IT_number 14"))
+    val viaHall = CifParser.parse("c", base("_space_group_name_Hall '-P 2ybc'"))
+    assert(viaHm.species.length === 4) // P21/c general position multiplicity
+    assert(viaHm.frac_coords.toSet === viaNum.frac_coords.toSet)
+    assert(viaHm.frac_coords.toSet === viaHall.frac_coords.toSet)
+    // the general-position images of (x, y, z) under P21/c
+    val f = viaHm.frac_coords.map(_.map(v => math.rint(v * 100) / 100)).toSet
+    assert(f === Set(Seq(0.11, 0.22, 0.33), Seq(0.89, 0.72, 0.17),
+      Seq(0.89, 0.78, 0.67), Seq(0.11, 0.28, 0.83)))
+  }
+
+  test("an explicit symop loop wins over the space-group tags; unknown symbols fail loudly") {
+    val withLoop =
+      """data_y
+        |_symmetry_space_group_name_H-M 'F m -3 m'
+        |_cell_length_a 4.0
+        |_cell_length_b 4.0
+        |_cell_length_c 4.0
+        |_cell_angle_alpha 90.0
+        |_cell_angle_beta 90.0
+        |_cell_angle_gamma 90.0
+        |loop_
+        |_symmetry_equiv_pos_as_xyz
+        |'x, y, z'
+        |loop_
+        |_atom_site_type_symbol
+        |_atom_site_fract_x
+        |_atom_site_fract_y
+        |_atom_site_fract_z
+        |Cu 0.0 0.0 0.0
+        |""".stripMargin
+    assert(CifParser.parse("y", withLoop).species === Seq("Cu")) // loop (P1) wins
+    val badSym = withLoop.replace("'F m -3 m'", "'Qq 9 9'")
+      .replace("loop_\n_symmetry_equiv_pos_as_xyz\n'x, y, z'\n", "")
+    intercept[IllegalArgumentException](CifParser.parse("z", badSym))
+  }
+
   test("CIF 1.1 quoting: an embedded quote not followed by whitespace stays inside the value") {
     val doc =
       """data_q
