@@ -50,8 +50,13 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables (e.g. ScaleGen output) are DIRECTORIES of
+        # part files; the driver's testdata tables are single files.
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
