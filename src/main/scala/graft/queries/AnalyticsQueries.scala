@@ -204,9 +204,13 @@ object AnalyticsQueries {
           .select(col("n_triangles"), col("n_edges"), col("wedges"),
             expr("n_triangles * 3 * 1000000 DIV wedges").as("clustering_x1e6"))
       },
+      // MATERIALIZED: without it DuckDB 1.0 inlines `und` (and transitively
+      // the 4-way-join `e`) at each of its 6 references and picks a plan that
+      // runs >200 s / spills >80 GB at the sf1 rehearsal scale; with it the
+      // same query is 0.6 s. Semantics identical — DuckDB-only hint.
       Some(
-        s"WITH e AS ($tradeFlowEdgesSql), " +
-          "und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
+        s"WITH e AS MATERIALIZED ($tradeFlowEdgesSql), " +
+          "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b " +
           "FROM e WHERE src <> dst), " +
           "deg AS (SELECT node, count(*) AS deg FROM " +
           "(SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1), " +
