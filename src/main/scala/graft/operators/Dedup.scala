@@ -208,9 +208,16 @@ object Dedup {
     * as [[jaccardPairs]], with document frequency measured over BOTH
     * corpora combined.
     */
+  /** @param broadcastLeft hint that `left` is query-sized (an anchor/batch
+    *        set, NOT a corpus): its hashed token postings are broadcast into
+    *        the intersection join, so the corpus side is never shuffled on
+    *        token hash — the join output (intersection-sized) is all that
+    *        moves. Caller-asserted; a corpus-sized left would OOM the
+    *        broadcast, which is why this is opt-in and default-off. */
   def jaccardPairsBetween(left: DataFrame, right: DataFrame, idCol: String,
                           textCol: String, threshold: Double, shingleN: Int = 1,
-                          maxShingleDf: Int = 10000): DataFrame = {
+                          maxShingleDf: Int = 10000,
+                          broadcastLeft: Boolean = false): DataFrame = {
     val la = tokenArrays(left, idCol, textCol, shingleN)
     val ra = tokenArrays(right, idCol, textCol, shingleN)
     def hashed(arrays: DataFrame) = arrays
@@ -219,7 +226,8 @@ object Dedup {
     val (lt, rt) = (hashed(la), hashed(ra))
     val lsz = la.select(col("id"), size(col("toks")).as("sz"))
     val rsz = ra.select(col("id"), size(col("toks")).as("sz"))
-    def pairCounts(a: DataFrame, b: DataFrame): DataFrame = a.as("a")
+    def pairCounts(a: DataFrame, b: DataFrame): DataFrame =
+      (if (broadcastLeft) broadcast(a.as("a")) else a.as("a"))
       .join(b.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th"))
       .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -639,7 +647,12 @@ object Dedup {
       s"block banding is complete only for maxDist < numBlocks (got $maxDist >= $numBlocks)")
     val bits = 64 / numBlocks
     val mask = (1L << bits) - 1
-    val sig = simHash(docs, idCol, textCol)
+    // materialize the signature pass once: the hot-bucket census and BOTH
+    // sides of the banding self-join would otherwise each re-tokenize and
+    // re-hash the whole corpus (measured: 3 extra signature passes ≈ half
+    // the operator's steady-state cost at sf0.1). The checkpoint is
+    // 16 bytes × n — negligible next to the corpus it summarizes.
+    val sig = simHash(docs, idCol, textCol).localCheckpoint()
     val blocked = sig.select(col("id"), col("simhash"),
       explode(array((0 until numBlocks).map(i =>
         struct(lit(i).as("ci"), shiftright(col("simhash"), i * bits).bitwiseAND(mask).as("cv"))): _*)).as("ch"))

@@ -125,8 +125,17 @@ object SpaceGroups {
     case a => throw new IllegalArgumentException(s"screw subscript on non-principal axis '$a'")
   }
 
+  // Op sets are immutable and there are ≤230 conventional settings (plus the
+  // occasional shifted variant), so the closure is generated once per JVM per
+  // symbol — a per-row CIF parse (q_ing6: one per document) must not re-run
+  // the Seitz closure 50k times per executor.
+  private val opsCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Op]]()
+
   /** Parse one Hall symbol into the full operation set (closed group). */
-  def opsForHall(hall: String): Seq[Op] = {
+  def opsForHall(hall: String): Seq[Op] =
+    opsCache.computeIfAbsent(hall, computeOpsForHall(_))
+
+  private def computeOpsForHall(hall: String): Seq[Op] = {
     var s = hall.trim
     require(s.nonEmpty, "empty Hall symbol")
     // optional origin-shift suffix "(va vb vc)" in twelfths

@@ -1,0 +1,32 @@
+package graft.tools
+import graft._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure q_ext_dedup4's SimHash candidate recall + cost at several
+  * maxBucket caps against the anchored exact pairs (runMain with an sfDir). */
+object DedupRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = GraftSession.build("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val qDiv = docs.agg(greatest(lit(1L), floor(count(lit(1)) / 500.0).cast("long")).as("qdiv"))
+    val anchors = docs.crossJoin(broadcast(qDiv))
+      .filter(col("doc_id") % col("qdiv") === 0).select(col("doc_id"), col("text"))
+    val exact = Dedup.jaccardPairsBetween(anchors, docs, "doc_id", "text",
+        threshold = 0.9, shingleN = 3)
+      .filter(col("d1") =!= col("d2"))
+      .groupBy(least(col("d1"), col("d2")).as("d1"), greatest(col("d1"), col("d2")).as("d2"))
+      .agg(max(col("jac")).as("jac")).localCheckpoint()
+    val nExact = exact.count()
+    for (cap <- Seq(1500L, 800L, 400L, 200L)) {
+      val t0 = System.nanoTime()
+      val cand = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
+        numBlocks = 8, maxBucket = cap).select("d1", "d2")
+      val hit = exact.join(cand.dropDuplicates("d1", "d2"), Seq("d1", "d2"), "left_semi").count()
+      println(f"[recall] cap=$cap%5d recall=${hit.toDouble / nExact}%.3f ($hit/$nExact) in ${(System.nanoTime()-t0)/1e9}%6.2f s")
+    }
+    spark.stop()
+  }
+}
