@@ -285,6 +285,33 @@ object Dedup {
     }
   }
 
+  /** ~`targetAnchors` deterministic anchor docs (`id % ceil(n/target) = 0`)
+    * and their exact shingle-Jaccard ≥ `threshold` pairs against the WHOLE
+    * corpus, normalized to `d1 < d2` (anchor×anchor pairs arrive in both
+    * orientations with identical symmetric jac) — the O(target·n) exact arm
+    * used by q_ext_dedup4's oracle AND by [[graft.tools.DedupRecallProbe]].
+    * One definition so the probe measures the query's actual physical plan
+    * (anchors broadcast into the token join, corpus never shuffled on token
+    * hash). Pair-count-sized and localCheckpoint'd: callers reference it
+    * from both an output and a recall guard, so the shingle join runs once.
+    */
+  def anchoredJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           targetAnchors: Long = 500L, threshold: Double = 0.9,
+                           shingleN: Int = 3): DataFrame = {
+    val qDiv = docs.agg(
+      greatest(lit(1L), floor(count(lit(1)) / targetAnchors.toDouble).cast("long")).as("qdiv"))
+    val anchors = docs.crossJoin(broadcast(qDiv))
+      .filter(col(idCol) % col("qdiv") === 0)
+      .select(col(idCol), col(textCol))
+    jaccardPairsBetween(anchors, docs, idCol, textCol, threshold, shingleN,
+        broadcastLeft = true)
+      .filter(col("d1") =!= col("d2"))
+      .groupBy(least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+      .agg(max(col("jac")).as("jac"))
+      .localCheckpoint()
+  }
+
   /** Candidate (d1, d2) pairs sharing at least one shingle with document
     * frequency <= maxShingleDf. Public so tests and profiling can measure
     * the fan-in bound directly.
@@ -406,6 +433,13 @@ object Dedup {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
+    // a store persisted by the pre-segment layout (root-level toks/ +
+    // bands/) must be rebuilt, not appended to: segment readers only see
+    // seg-* dirs, so a silent append here would make every later probe
+    // dedup against the new batch alone and LOSE the legacy corpus
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "toks")),
+      s"MinHash store at $dir uses the legacy root-level toks/bands layout — " +
+        "rebuild it with buildMinHashStore before appending")
     readParams(dir, conf) match {
       case Some(stored) =>
         require(stored == (numBands, rowsPerBand, shingleN),
@@ -443,6 +477,11 @@ object Dedup {
     * segments under `_staging` are dropped (their batch never became
     * visible — re-append it). Committed segments are never touched.
     * Idempotent; returns the staging ids removed.
+    *
+    * QUIESCE CONTRACT (same as `ParquetDatabase.recover`): run only when no
+    * appender is live on this store — staging debris is indistinguishable
+    * from a live append's in-flight staging, and deleting the latter
+    * corrupts or kills that append.
     */
   def recoverMinHashStore(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging")
@@ -480,10 +519,7 @@ object Dedup {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
     else {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(buf) finally in.close()
-      val Array(b, r, n) = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      val Array(b, r, n) = graft.sources.HadoopText.read(fs, p)
         .trim.split('|').map(_.toInt)
       Some((b, r, n))
     }
@@ -492,11 +528,8 @@ object Dedup {
   private def writeParams(dir: String, params: (Int, Int, Int),
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val p = paramsPath(dir)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(s"${params._1}|${params._2}|${params._3}"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.sources.HadoopText.write(p.getFileSystem(conf), p,
+      s"${params._1}|${params._2}|${params._3}")
   }
 
   /** Near-dup pairs (batch doc, stored doc) with exact Jaccard >= threshold,

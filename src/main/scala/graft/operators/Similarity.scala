@@ -79,20 +79,8 @@ object Similarity {
     *                 broadcast (it is hinted)
     */
   def cosineTopK(vectors: DataFrame, queries: DataFrame,
-                 idCol: String, vecCol: String, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(queries.sparkSession)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      norm(col(vecCol)).as("qn"))
-    val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      norm(col(vecCol)).as("nn"))
-    val scored = v.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("rn"), col("cos"))
-  }
+                 idCol: String, vecCol: String, k: Int): DataFrame =
+    cosineTopKImpl(vectors, queries, idCol, vecCol, k, roundScale = None)
 
   /** [[cosineTopK]] variant ranking on `round(cos, scale)` with the id as
     * tie-break — for queries whose ORACLE must re-rank identically in
@@ -102,15 +90,21 @@ object Similarity {
     */
   def cosineTopKRounded(vectors: DataFrame, queries: DataFrame,
                         idCol: String, vecCol: String, k: Int,
-                        scale: Int = 4): DataFrame = {
+                        scale: Int = 4): DataFrame =
+    cosineTopKImpl(vectors, queries, idCol, vecCol, k, roundScale = Some(scale))
+
+  private def cosineTopKImpl(vectors: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             roundScale: Option[Int]): DataFrame = {
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       norm(col(vecCol)).as("qn"))
     val v = spread(vectors).select(col(idCol).as("nid"), col(vecCol).as("nv"),
       norm(col(vecCol)).as("nn"))
+    val rawCos = cosinePre(col("qv"), col("nv"), col("qn"), col("nn"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosinePre(col("qv"), col("nv"), col("qn"), col("nn")), scale))
+      .withColumn("cos", roundScale.fold(rawCos)(s => round(rawCos, s)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -319,7 +313,20 @@ object Similarity {
     */
   def ensureIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      vectors: DataFrame, idCol: String, vecCol: String,
-                     numCentroids: Int, kmeansIterations: Int = 2): Unit = {
+                     numCentroids: Int, kmeansIterations: Int = 2): Unit =
+    ensureIvfIndexSized(spark, dir, vectors, idCol, vecCol,
+      _ => numCentroids, kmeansIterations)
+
+  /** Sizing-rule form of [[ensureIvfIndex]]: `sizeRule` receives the corpus
+    * row count — taken from the SAME aggregate that computes the identity
+    * fingerprint, so deployment sizing (e.g. [[autoCentroids]]) costs no
+    * extra corpus pass — and returns the centroid count. Returns
+    * (corpusRows, centroids used).
+    */
+  def ensureIvfIndexSized(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          vectors: DataFrame, idCol: String, vecCol: String,
+                          sizeRule: Long => Int,
+                          kmeansIterations: Int = 2): (Long, Int) = {
     graft.functions.GraftFunctions.register(spark)
     // an interrupted append's pending marker resolves to a consistent
     // fingerprint first — without this, a crashed-but-landed append reads
@@ -327,25 +334,21 @@ object Similarity {
     recoverIvfIndex(spark, dir)
     val idRow = vectors.agg(
       count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
-    val fp = s"ivf-v1|n=${idRow.getLong(0)}|xor=${idRow.get(1)}" +
+    val n = idRow.getLong(0)
+    val numCentroids = sizeRule(n)
+    val fp = s"ivf-v1|n=$n|xor=${idRow.get(1)}" +
       s"|k=$numCentroids|iters=$kmeansIterations"
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(vectors.sparkSession.sessionState.newHadoopConf())
     val current =
       if (!fs.exists(fpPath)) None
-      else {
-        val buf = new Array[Byte](fs.getFileStatus(fpPath).getLen.toInt)
-        val in = fs.open(fpPath)
-        try { in.readFully(buf); Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8)) }
-        finally in.close()
-      }
+      else Some(graft.sources.HadoopText.read(fs, fpPath))
     if (!current.contains(fp)) {
       persistIvfIndex(
         buildIvfIndex(vectors, idCol, vecCol, numCentroids, kmeansIterations), dir)
-      val out = fs.create(fpPath, true)
-      try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      graft.sources.HadoopText.write(fs, fpPath, fp)
     }
+    (n, numCentroids)
   }
 
   /** Incrementally add vectors to a PERSISTED index — the per-ingest-tick
@@ -442,19 +445,12 @@ object Similarity {
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
-                            p: org.apache.hadoop.fs.Path): String = {
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(buf) finally in.close()
-    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-  }
+                            p: org.apache.hadoop.fs.Path): String =
+    graft.sources.HadoopText.read(fs, p)
 
   private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
-                             p: org.apache.hadoop.fs.Path, text: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                             p: org.apache.hadoop.fs.Path, text: String): Unit =
+    graft.sources.HadoopText.write(fs, p, text)
 
   /** Reopen a persisted index (for [[ivfSelfTopK]] or ad-hoc probing).
     * `assigned` keeps its cell-partitioned layout, so any filter on `cell`
@@ -464,6 +460,21 @@ object Similarity {
     IvfIndex(
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assigned"))
+
+  /** Cell ids that actually have a `cell=` partition directory on disk.
+    * Empty cells are legitimate (kmeansCentroids keeps them so k never
+    * shrinks; assignCells breaks ties toward the smaller cid) and write NO
+    * directory — a probed-vs-scanned partition-count comparison must
+    * intersect with this set or it fails spuriously the first time a probe
+    * ranks an empty cell. Metadata-sized: one directory listing,
+    * ≤ numCentroids entries. */
+  def existingCells(spark: org.apache.spark.sql.SparkSession, dir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("cell="))
+      .map(_.stripPrefix("cell=").toLong).toSet
+  }
 
   /** Probe a PERSISTED index with storage-level cell pruning: the probed
     * cell set (≤ numCentroids values — broadcast-sized by construction) is

@@ -596,22 +596,11 @@ object ExtQueries {
       "q_ext_dedup4",
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val qDiv = docs.agg(
-          greatest(lit(1L), floor(count(lit(1)) / 500.0).cast("long")).as("qdiv"))
-        val anchors = docs.crossJoin(broadcast(qDiv))
-          .filter(col("doc_id") % col("qdiv") === 0)
-          .select(col("doc_id"), col("text"))
-        // anchored exact pairs, normalized to d1 < d2 (anchor×anchor pairs
-        // arrive in both orientations with identical symmetric jac); tiny
-        // (pair-count-sized) and referenced by both the output and the
-        // recall guard — localCheckpoint'd so the shingle join runs once
-        val exact = Dedup.jaccardPairsBetween(anchors, docs, "doc_id", "text",
-            threshold = 0.9, shingleN = 3, broadcastLeft = true)
-          .filter(col("d1") =!= col("d2"))
-          .groupBy(least(col("d1"), col("d2")).as("d1"),
-            greatest(col("d1"), col("d2")).as("d2"))
-          .agg(max(col("jac")).as("jac"))
-          .localCheckpoint()
+        // anchored exact pairs (shared with DedupRecallProbe so the probe's
+        // timings reflect this query's physical plan — see
+        // Dedup.anchoredJaccardPairs for normalization + checkpoint notes)
+        val exact = Dedup.anchoredJaccardPairs(docs, "doc_id", "text",
+          targetAnchors = 500L, threshold = 0.9, shingleN = 3)
         // maxBucket 800: measured candidate recall 0.84 (sf0.01) / 0.77
         // (sf0.1) / 0.78 (sf1) vs 0.84/0.81/0.86 at the previous 1500 —
         // well clear of the 0.5 guard at every driver scale, for ~40% less
@@ -772,10 +761,17 @@ object ExtQueries {
             s"(partitionFilters=${scan.partitionFilters})")
         // exact-pruning assertion: the scan lists precisely the probed cell
         // dirs — stronger and scale-stable vs "< total" (five queries' probe
-        // union can legitimately cover every cell at nprobe=8 of 16)
-        require(scan.selectedPartitions.partitionCount == probed.length,
+        // union can legitimately cover every cell at nprobe=8 of 16).
+        // Intersected with the cells that exist on disk: empty cells are
+        // legitimate (k is pinned, assignment can starve a cell) and write
+        // no directory, so a probed-but-empty cell must not count.
+        val expected3 = {
+          val present = Similarity.existingCells(s, dir)
+          probed.count(present.contains)
+        }
+        require(scan.selectedPartitions.partitionCount == expected3,
           s"q_ext_sim3: scan read ${scan.selectedPartitions.partitionCount} cell dirs, " +
-            s"expected exactly the ${probed.length} probed")
+            s"expected exactly the $expected3 probed-and-present (of ${probed.length} probed)")
         val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
           .localCheckpoint()
         exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),
@@ -879,11 +875,12 @@ object ExtQueries {
       "q_ext_sim5",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        val n = emb.count()
-        val kAuto = Similarity.autoCentroids(n)
         val dir = "target/tmp/ivf/embeddings_auto"
-        Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding",
-          numCentroids = kAuto)
+        // sizing rule applied inside the index's own fingerprint aggregate —
+        // one corpus pass computes (n, identity) and derives k, instead of a
+        // separate count() job paid on every timed run
+        val (n, kAuto) = Similarity.ensureIvfIndexSized(s, dir, emb,
+          "vec_id", "embedding", Similarity.autoCentroids(_))
         val kStored = Similarity.loadIvfIndex(s, dir).centroids.count()
         require(kStored == kAuto,
           s"q_ext_sim5: persisted index carries $kStored centroids, " +
@@ -896,9 +893,17 @@ object ExtQueries {
         require(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
           s"q_ext_sim5: no cell partition filter on the index scan " +
             s"(partitionFilters=${scan.partitionFilters})")
-        require(scan.selectedPartitions.partitionCount == probed.length,
+        // probed ∩ present, not probed: with autoCentroids scaling k (157 at
+        // sf1) and nprobe = ceil(k/2), the odds a probe ranks an EMPTY cell
+        // (which writes no cell= dir) grow with scale — counting it would
+        // fail the assertion even though pruning worked
+        val expected5 = {
+          val present = Similarity.existingCells(s, dir)
+          probed.count(present.contains)
+        }
+        require(scan.selectedPartitions.partitionCount == expected5,
           s"q_ext_sim5: scan read ${scan.selectedPartitions.partitionCount} cell dirs, " +
-            s"expected exactly the ${probed.length} probed")
+            s"expected exactly the $expected5 probed-and-present (of ${probed.length} probed)")
         val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
           .localCheckpoint()
         exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),

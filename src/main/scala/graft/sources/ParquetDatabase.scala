@@ -65,13 +65,34 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       .map("%02x".format(_)).mkString
   }
 
-  /** Mutator-entry capture: repair interrupted-swap debris FIRST (so the
-    * fingerprint reflects the recovered table, not the debris), then
-    * fingerprint the state this mutation's read is about to see.
+  /** A `__patch_old` manifest names originals that are NOT in the live
+    * tree: the table is mid-patch (crashed, or a writer is live) and cannot
+    * be read consistently without [[recover]]. A manifest whose touched
+    * originals are all present is a not-yet-started patch (crash before any
+    * rename, or a concurrent writer still staging) — the live tree is
+    * complete and must be left alone.
+    */
+  private def patchRepairNeeded(): Boolean = {
+    val pOld = new Path(s"${dir}__patch_old")
+    val manifest = new Path(pOld, "_manifest")
+    fs.exists(manifest) && readTextFile(manifest).linesIterator
+      .filter(_.startsWith("touched\t"))
+      .exists(l => !fs.exists(new Path(l.stripPrefix("touched\t"))))
+  }
+
+  /** Mutator-entry capture: recover ONLY when the live tree itself is
+    * unreadable — the table dir is missing (interrupted swap) or a patch
+    * manifest shows moved-aside originals. Healthy-table staging siblings
+    * (`__normalize_tmp`, a manifest with all originals present, …) are NOT
+    * reclaimed here: with optimistic concurrency they may belong to a LIVE
+    * writer mid-stage, and deleting them would strand its swap (round-10
+    * review finding). Stale staging from a real crash is clobbered by the
+    * next writer's own overwrite-mode stage, or reclaimed by an explicit
+    * [[recover]] — which, like any rename-protocol repair, requires no
+    * writer to be live.
     */
   private def entryFingerprint(): String = {
-    if (Seq("__normalize_tmp", "__old", "__patch_tmp", "__patch_old")
-        .exists(sfx => fs.exists(new Path(s"$dir$sfx")))) recover()
+    if (!fs.exists(new Path(dir)) || patchRepairNeeded()) recover()
     fingerprint()
   }
 
@@ -209,13 +230,21 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
                           expected: Option[String] = None): Unit = {
     val tmp = s"${dir}__normalize_tmp"
     val old = s"${dir}__old"
-    // never start a swap over un-repaired debris from an interrupted one —
-    // recover() archives/restores it exactly; a blind delete here could
-    // destroy snapshot-pinned files
-    if (fs.exists(new Path(old)) || fs.exists(new Path(tmp))) recover()
+    // stale `tmp` from a crashed rewrite is clobbered by our own
+    // overwrite-mode stage below — no recover() at entry: a concurrent
+    // writer's live staging must not be reclaimed from here
     newData.write.mode("overwrite").options(options).parquet(tmp)
     preSwapHook()
     conflictCheck(expected, Seq(new Path(tmp)))
+    // stale `old` (a crash AFTER its swap committed but before cleanup) is
+    // reclaimed only now, AFTER the conflict check passed: a live writer's
+    // `old` exists only once it has committed, and a commit since our read
+    // fails the check — so an `old` surviving to this point is crash
+    // debris, archived-then-dropped exactly like recover() would
+    if (fs.exists(new Path(old))) {
+      archiveReferenced(new Path(old), p => relativize(old, p))
+      fs.delete(new Path(old), true)
+    }
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
@@ -327,9 +356,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // partition value for any concurrent reader of the table
     val tmp = new Path(s"${dir}__patch_tmp")
     val old = new Path(s"${dir}__patch_old")
-    // interrupted-swap debris is repaired (snapshot-aware), never blindly
-    // deleted — a previous crash's moved-aside originals may be pinned
-    if (fs.exists(tmp) || fs.exists(old)) recover()
+    // repair ONLY when a prior patch left the live tree incomplete (moved-
+    // aside originals) — that state is unreadable and recover() restores it
+    // snapshot-aware. Stale __patch_tmp and a not-yet-started manifest are
+    // clobbered by our own overwrite-mode stage / manifest write below;
+    // reclaiming them via recover() here would destroy a LIVE concurrent
+    // writer's staging (round-10 review finding).
+    if (patchRepairNeeded()) recover()
     newData.write.mode("overwrite").parquet(tmp.toString)
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     preSwapHook()
@@ -362,18 +395,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     fs.delete(tmp, true)
   }
 
-  private def writeTextFile(p: Path, text: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeTextFile(p: Path, text: String): Unit =
+    HadoopText.write(fs, p, text)
 
-  private def readTextFile(p: Path): String = {
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(buf) finally in.close()
-    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-  }
+  private def readTextFile(p: Path): String =
+    HadoopText.read(fs, p)
 
   /** Recover from an interrupted `normalize`/`upsert`/`deleteWhere`/
     * `compactSmallFiles` swap — the one-rename (or manifest-driven) repair
@@ -393,6 +419,14 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * originals are renamed back where they came from, and the temp dirs
     * dropped. Never loses data: every byte is in the table, `__patch_old`,
     * or `__patch_tmp` at all times.
+    *
+    * QUIESCE CONTRACT: run recover() only when no writer is live on this
+    * table. A rename-based staging protocol cannot distinguish a crashed
+    * writer's debris from a live writer's in-flight staging, so recovery
+    * while a writer runs can roll back its commit or reclaim its staging
+    * mid-swap. Mutators therefore auto-recover only the states that make
+    * the live tree unreadable (missing table dir, moved-aside patch
+    * originals); everything else waits for this explicit, quiesced call.
     */
   def recover(): Seq[String] = {
     val actions = scala.collection.mutable.ListBuffer[String]()

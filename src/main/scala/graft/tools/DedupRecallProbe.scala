@@ -11,14 +11,10 @@ object DedupRecallProbe {
     val spark = GraftSession.build("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.load(spark, sfDir, "documents")
-    val qDiv = docs.agg(greatest(lit(1L), floor(count(lit(1)) / 500.0).cast("long")).as("qdiv"))
-    val anchors = docs.crossJoin(broadcast(qDiv))
-      .filter(col("doc_id") % col("qdiv") === 0).select(col("doc_id"), col("text"))
-    val exact = Dedup.jaccardPairsBetween(anchors, docs, "doc_id", "text",
-        threshold = 0.9, shingleN = 3)
-      .filter(col("d1") =!= col("d2"))
-      .groupBy(least(col("d1"), col("d2")).as("d1"), greatest(col("d1"), col("d2")).as("d2"))
-      .agg(max(col("jac")).as("jac")).localCheckpoint()
+    // the query's OWN exact arm (same helper as q_ext_dedup4), so recall AND
+    // cost are measured against the plan the query actually runs
+    val exact = Dedup.anchoredJaccardPairs(docs, "doc_id", "text",
+      targetAnchors = 500L, threshold = 0.9, shingleN = 3)
     val nExact = exact.count()
     for (cap <- Seq(1500L, 800L, 400L, 200L)) {
       val t0 = System.nanoTime()

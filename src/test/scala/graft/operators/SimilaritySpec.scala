@@ -47,16 +47,10 @@ class SimilaritySpec extends SparkSpec {
     val dir = s"target/tmp/ivf_spec_crash/${java.util.UUID.randomUUID}"
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    def readText(name: String): String = {
-      val p = new org.apache.hadoop.fs.Path(dir, name)
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
-    }
-    def writeText(name: String, text: String): Unit = {
-      val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
-      try out.write(text.getBytes("UTF-8")) finally out.close()
-    }
+    def readText(name: String): String =
+      graft.sources.HadoopText.read(fs, new org.apache.hadoop.fs.Path(dir, name))
+    def writeText(name: String, text: String): Unit =
+      graft.sources.HadoopText.write(fs, new org.apache.hadoop.fs.Path(dir, name), text)
     val base = clustered(60, 16, 4, jitter = 0.05).toDF("vec_id", "embedding")
     Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
     val oldFp = readText("_fingerprint")

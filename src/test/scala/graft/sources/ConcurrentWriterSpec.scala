@@ -65,6 +65,44 @@ class ConcurrentWriterSpec extends SparkSpec {
     assert(a.nRows === 1010L)
   }
 
+  test("a benign concurrent entry does not reclaim a live writer's staging") {
+    // round-10 review finding: entry-point auto-recover treated a LIVE
+    // writer's __normalize_tmp as crash debris — writer B entering any
+    // mutator while A was staged (but pre-swap) deleted A's tmp; A's
+    // conflict check then passed (B committed nothing), rename(dir -> __old)
+    // succeeded, rename(tmp -> dir) failed, and the table was GONE until a
+    // manual recover(). Auto-recover now fires only when the live tree is
+    // unreadable, so A must complete.
+    val a = freshDb("benignentry")
+    a.create(spark.range(500).toDF("id"))
+    val b = new ParquetDatabase(spark, a.dir)
+    a.preSwapHook = () => b.deleteWhere(col("id") > 10000) // matches nothing, commits nothing
+    a.normalize(maxRowsPerFile = 100)
+    a.preSwapHook = () => ()
+    assert(a.nRows === 500L) // table present and intact — no stranded swap
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    Seq("__normalize_tmp", "__old").foreach(sfx =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + sfx)), s"debris at $sfx"))
+  }
+
+  test("a crashed rewrite's stale staging is clobbered by the next writer, not fatal") {
+    // the narrowed entry-recover must not break single-writer crash flow:
+    // stale __normalize_tmp (no live writer) is simply overwritten by the
+    // next rewrite's own stage, and stale __old is reclaimed pre-swap
+    val a = freshDb("staleclobber")
+    a.create(spark.range(100).toDF("id"))
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // fake crash debris: a half-written tmp and a committed-but-uncleaned old
+    fs.mkdirs(new org.apache.hadoop.fs.Path(a.dir + "__normalize_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(a.dir + "__old"))
+    a.normalize(maxRowsPerFile = 50)
+    assert(a.nRows === 100L)
+    Seq("__normalize_tmp", "__old").foreach(sfx =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + sfx)), s"debris at $sfx"))
+  }
+
   test("deleteWhere detects a concurrent commit; unchanged tables fingerprint-stably mutate") {
     val a = freshDb("delconflict")
     a.create(spark.range(50).select(col("id"), (col("id") % 5).as("g")))
