@@ -21,4 +21,16 @@ object HadoopText {
     val out = fs.create(p, true)
     try out.write(text.getBytes(UTF_8)) finally out.close()
   }
+
+  /** Create-no-overwrite write: returns false (writing nothing) if the file
+    * already exists. `create(overwrite = false)` is atomic on HDFS and
+    * local FS — the poor-man's lock a rename-based commit protocol uses to
+    * serialize two writers that both reached their commit step.
+    */
+  def writeIfAbsent(fs: FileSystem, p: Path, text: String): Boolean =
+    try {
+      val out = fs.create(p, false)
+      try out.write(text.getBytes(UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
 }

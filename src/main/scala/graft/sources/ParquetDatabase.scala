@@ -43,23 +43,35 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *
     * Residual window: the check and the first rename are not one atomic
     * step, so two writers whose swaps land inside the same rename-latency
-    * window can still both pass — on a filesystem with atomic rename the
-    * second writer's `rename(dir, old)` then fails (dir already moved) and
-    * aborts before data loss. A multi-writer fleet on an object store
-    * without atomic rename needs a conditional-put commit log; this check's
-    * failure mode (abort with nothing renamed) is what such a log slots
-    * under.
+    * window can still both pass. Every interleaving from there aborts
+    * without silent loss on a filesystem with atomic rename: a second
+    * writer renaming while the first is mid-swap fails outright (dir
+    * already moved), a second REWRITER renaming after the first fully
+    * committed is caught by [[rewriteWith]]'s post-lock re-check (the
+    * moved-aside tree no longer fingerprints as the expected state — it is
+    * restored and the writer aborts), and a second PATCHER is serialized
+    * by the create-no-overwrite manifest gate in [[replaceFiles]]. A
+    * multi-writer fleet on an object store without atomic rename needs a
+    * conditional-put commit log; these aborts' failure mode (nothing
+    * renamed, or renamed-then-restored) is what such a log slots under.
     */
-  def fingerprint(): String = {
+  def fingerprint(): String = fingerprintOfTree(dir)
+
+  /** [[fingerprint]] of an arbitrary tree with table-relative names —
+    * a directory rename preserves every file's length and mtime, so the
+    * moved-aside `__old` tree fingerprints identically to the live table
+    * it was seconds ago (the post-swap-rename re-check relies on this).
+    */
+  private def fingerprintOfTree(root: String): String = {
     val sb = new StringBuilder
     def walk(p: Path): Unit = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
         fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
-      else sb.append(relativize(dir, p)).append('|').append(st.getLen)
+      else sb.append(relativize(root, p)).append('|').append(st.getLen)
         .append('|').append(st.getModificationTime).append('\n')
     }
-    if (exists) walk(new Path(dir))
+    if (fs.exists(new Path(root))) walk(new Path(root))
     java.security.MessageDigest.getInstance("MD5")
       .digest(sb.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -101,6 +113,12 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * two-writer spec drives a concurrent commit through.
     */
   private[sources] var preSwapHook: () => Unit = () => ()
+
+  /** Test seam: runs after the conflict check passes and immediately before
+    * the swap's dir -> __old rename — the check-to-rename gap the post-lock
+    * re-check spec drives a full concurrent commit through.
+    */
+  private[sources] var preRenameHook: () => Unit = () => ()
 
   private def conflictCheck(expected: Option[String], tmps: Seq[Path]): Unit =
     expected.foreach { e =>
@@ -179,8 +197,8 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * Swap order matters for crash safety: the live dir is renamed aside
     * before the rewritten dir takes its place, so there is no window where
     * the data exists only in a temp dir — a crash at any point leaves the
-    * table recoverable by a single rename (of either `__old` or
-    * `__normalize_tmp`), never deleted.
+    * table recoverable by a single rename (of either `__old` or the
+    * invocation-unique `__normalize_tmp_<token>`), never deleted.
     */
   /** @param sortBy optional layout key: range-partition + sort the rewrite
     *  by these columns, so parquet row-group min/max stats become tight,
@@ -228,11 +246,17 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   private def rewriteWith(newData: DataFrame, options: Map[String, String] = Map.empty,
                           expected: Option[String] = None): Unit = {
-    val tmp = s"${dir}__normalize_tmp"
+    // staging is INVOCATION-UNIQUE: with a shared tmp name, writer B's
+    // overwrite-mode stage silently replaces writer A's staged bytes while
+    // A is pre-swap, and A then commits B's content as its own (a lost
+    // update the conflict check cannot see — the live table never changed).
+    // The stage takes minutes at scale, so that window is the COMMON
+    // concurrent case, not the narrow check-to-rename race. Crashed-stage
+    // debris (tmp_<token> with no live writer) is invisible to readers and
+    // swept by the quiesced recover(), which globs the prefix.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"${dir}__normalize_tmp_$token"
     val old = s"${dir}__old"
-    // stale `tmp` from a crashed rewrite is clobbered by our own
-    // overwrite-mode stage below — no recover() at entry: a concurrent
-    // writer's live staging must not be reclaimed from here
     newData.write.mode("overwrite").options(options).parquet(tmp)
     preSwapHook()
     conflictCheck(expected, Seq(new Path(tmp)))
@@ -245,11 +269,34 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       archiveReferenced(new Path(old), p => relativize(old, p))
       fs.delete(new Path(old), true)
     }
+    preRenameHook()
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
     if (!fs.rename(new Path(dir), new Path(old)))
       throw new java.io.IOException(s"rewrite: failed to move $dir aside to $old; table untouched")
+    // POST-LOCK re-check: dir -> __old succeeding makes this writer the
+    // exclusive swapper (any competing rename of dir now fails — dir is
+    // gone). But a competitor that FULLY committed inside our
+    // check-to-rename gap left a changed table that our rename just moved
+    // aside; committing tmp over it would silently drop that writer's
+    // committed rows with both writers reporting success. The moved-aside
+    // tree fingerprints identically to the live table it was (rename
+    // preserves lengths and mtimes), so compare it against our entry
+    // capture — on mismatch, put it back and abort with nothing lost.
+    expected.foreach { e =>
+      if (fingerprintOfTree(old) != e) {
+        if (!fs.rename(new Path(old), new Path(dir)))
+          throw new java.io.IOException(
+            s"rewrite: conflict detected after the swap rename but restoring $old -> $dir " +
+              "failed — run recover()")
+        fs.delete(new Path(tmp), true)
+        throw new java.util.ConcurrentModificationException(
+          s"optimistic-concurrency conflict on $dir: another writer committed between " +
+            "this mutation's conflict check and its swap rename. The live table was " +
+            "restored untouched; staged output dropped — re-read and retry.")
+      }
+    }
     if (!fs.rename(new Path(tmp), new Path(dir)))
       throw new java.io.IOException(
         s"rewrite: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
@@ -353,29 +400,52 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
                            expected: Option[String] = None): Unit = {
     // temp siblings always hang off the TABLE root, never inside it: a
     // `<partition>=x__patch_tmp` child of the root would parse as a bogus
-    // partition value for any concurrent reader of the table
-    val tmp = new Path(s"${dir}__patch_tmp")
+    // partition value for any concurrent reader of the table. The tmp is
+    // INVOCATION-UNIQUE for the same reason as rewriteWith's: a shared
+    // name lets a concurrent patcher's overwrite stage clobber this one's
+    // staged files mid-flight.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(s"${dir}__patch_tmp_$token")
     val old = new Path(s"${dir}__patch_old")
     // repair ONLY when a prior patch left the live tree incomplete (moved-
     // aside originals) — that state is unreadable and recover() restores it
-    // snapshot-aware. Stale __patch_tmp and a not-yet-started manifest are
-    // clobbered by our own overwrite-mode stage / manifest write below;
-    // reclaiming them via recover() here would destroy a LIVE concurrent
-    // writer's staging (round-10 review finding).
+    // snapshot-aware. Stale __patch_tmp_* and a not-yet-started manifest
+    // are a crashed writer's debris OR a live writer's staging; neither is
+    // reclaimed here (round-10 review finding).
     if (patchRepairNeeded()) recover()
     newData.write.mode("overwrite").parquet(tmp.toString)
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     preSwapHook()
     conflictCheck(expected, Seq(tmp))
+    // a manifest surviving to this point with every touched original still
+    // live (patchRepairNeeded() was false) is a crash-before-any-rename
+    // leftover — same post-conflict-check reasoning as rewriteWith's stale
+    // __old: a live patcher past its manifest write either committed
+    // (fails the check above) or sits in the milliseconds between manifest
+    // and first rename (the documented residual window). Reclaim it via
+    // the exact manifest-driven rollback, never a blind delete — an
+    // empty-touched patch that crashed mid-append must drop its partially
+    // landed replacement files.
+    if (fs.exists(new Path(old, "_manifest")))
+      rollbackPatchOld(new scala.collection.mutable.ListBuffer[String])
     fs.mkdirs(old)
     // manifest BEFORE any rename: [[recover]] needs to know which live-name
     // files are replacements (delete on rollback) and where each moved-aside
     // original belongs — without it, a crash between steps 2 and 3 would be
     // ambiguous (rolling back originals while leaving new files in place
-    // would duplicate rows)
-    writeTextFile(new Path(old, "_manifest"),
+    // would duplicate rows). create-no-overwrite is the COMMIT GATE: two
+    // patchers inside the same residual check-to-rename window serialize
+    // here, and the loser aborts loudly with the live table untouched.
+    val manifestWritten = HadoopText.writeIfAbsent(fs, new Path(old, "_manifest"),
       (touched.map(p => s"touched\t$p") ++
         newFiles.map(f => s"new\t$targetDir/${f.getName}")).mkString("\n"))
+    if (!manifestWritten) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"optimistic-concurrency conflict on $dir: another writer's patch manifest " +
+          "appeared between this mutation's conflict check and its commit. Aborted " +
+          "before any rename — staged output dropped, table untouched; re-read and retry.")
+    }
     touched.foreach { f =>
       val p = new Path(f)
       if (!fs.rename(p, new Path(old, p.getName)))
@@ -408,9 +478,10 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * the actions taken (empty = nothing to repair).
     *
     * Rewrite swaps: if the live dir is missing, a COMPLETE rewrite
-    * (`_SUCCESS` present in `__normalize_tmp`) is rolled FORWARD into
-    * place; otherwise the original at `__old` is rolled back. Leftover temp
-    * dirs beside a healthy live dir are simply dropped.
+    * (`_SUCCESS` present in exactly ONE `__normalize_tmp*` sibling —
+    * staging names carry an invocation-unique suffix) is rolled FORWARD
+    * into place; otherwise the original at `__old` is rolled back.
+    * Leftover temp dirs beside a healthy live dir are simply dropped.
     *
     * Patch swaps: the `__patch_old/_manifest` written before any rename
     * lists every replacement file path and every moved-aside original, so
@@ -418,7 +489,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * deleted (their fresh-UUID names cannot collide with originals),
     * originals are renamed back where they came from, and the temp dirs
     * dropped. Never loses data: every byte is in the table, `__patch_old`,
-    * or `__patch_tmp` at all times.
+    * or a `__patch_tmp*` sibling at all times.
     *
     * QUIESCE CONTRACT: run recover() only when no writer is live on this
     * table. A rename-based staging protocol cannot distinguish a crashed
@@ -430,14 +501,21 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   def recover(): Seq[String] = {
     val actions = scala.collection.mutable.ListBuffer[String]()
-    val nTmp = new Path(s"${dir}__normalize_tmp")
     val nOld = new Path(s"${dir}__old")
-    val pTmp = new Path(s"${dir}__patch_tmp")
-    val pOld = new Path(s"${dir}__patch_old")
+    // staging dirs carry an invocation-unique suffix; the bare legacy names
+    // are just the empty-suffix case of the same prefix
+    val nTmps = stagingSiblings("__normalize_tmp")
+    val pTmps = stagingSiblings("__patch_tmp")
     if (!fs.exists(new Path(dir))) {
-      if (fs.exists(nTmp) && fs.exists(new Path(nTmp, "_SUCCESS"))) {
+      val complete = nTmps.filter(t => fs.exists(new Path(t, "_SUCCESS")))
+      if (complete.size == 1) {
         // rewrite finished writing; crash hit between the two renames —
-        // roll FORWARD (the rewrite is the intended state)
+        // roll FORWARD (the rewrite is the intended state). Only when the
+        // complete candidate is unambiguous: two complete stages mean two
+        // crashed writers, and only the one whose dir->__old rename won is
+        // the intended state — unknowable after the fact, so fall through
+        // to the always-safe rollback.
+        val nTmp = complete.head
         if (!fs.rename(nTmp, new Path(dir)))
           throw new java.io.IOException(s"recover: failed to move $nTmp into place")
         actions += s"completed interrupted rewrite: $nTmp -> $dir"
@@ -446,12 +524,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
           if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $nOld"
           fs.delete(nOld, true); actions += s"dropped $nOld"
         }
+        for (t <- nTmps if t != nTmp && fs.exists(t)) {
+          fs.delete(t, true); actions += s"dropped incomplete $t"
+        }
       } else if (fs.exists(nOld)) {
-        // rewrite incomplete — roll back the original
+        // rewrite incomplete (or ambiguous) — roll back the original
         if (!fs.rename(nOld, new Path(dir)))
           throw new java.io.IOException(s"recover: failed to restore $nOld")
         actions += s"rolled back interrupted rewrite: $nOld -> $dir"
-        if (fs.exists(nTmp)) { fs.delete(nTmp, true); actions += s"dropped incomplete $nTmp" }
+        for (t <- nTmps if fs.exists(t)) {
+          fs.delete(t, true); actions += s"dropped incomplete $t"
+        }
+      } else if (complete.size > 1) {
+        throw new java.io.IOException(
+          s"recover: $dir is missing with ${complete.size} complete staged rewrites " +
+            s"(${complete.mkString(", ")}) and no __old to roll back to — pick one " +
+            "and rename it into place manually")
       }
     } else {
       // live dir healthy: any rewrite leftovers are droppable debris —
@@ -460,10 +548,35 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         val a = archiveReferenced(nOld, p => relativize(nOld.toString, p))
         if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $nOld"
       }
-      for (p <- Seq(nTmp, nOld) if fs.exists(p)) {
+      for (p <- nTmps :+ nOld if fs.exists(p)) {
         fs.delete(p, true); actions += s"dropped leftover $p"
       }
     }
+    rollbackPatchOld(actions)
+    for (t <- pTmps if fs.exists(t)) { fs.delete(t, true); actions += s"dropped $t" }
+    actions.toList
+  }
+
+  /** Table-dir siblings whose name starts with `<tableName><prefix>` —
+    * the invocation-unique staging dirs plus their bare legacy-named
+    * forms. Metadata-sized: one listing of the parent directory.
+    */
+  private def stagingSiblings(prefix: String): Seq[Path] = {
+    val base = new Path(dir)
+    val parent = base.getParent
+    val namePrefix = base.getName + prefix
+    if (parent == null || !fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(namePrefix)).toSeq.sortBy(_.toString)
+  }
+
+  /** The manifest-driven exact rollback of `__patch_old` — shared by
+    * [[recover]] and by [[replaceFiles]]'s post-conflict-check reclaim of
+    * a crash-before-any-rename manifest. No-op when `__patch_old` is
+    * absent.
+    */
+  private def rollbackPatchOld(actions: scala.collection.mutable.ListBuffer[String]): Unit = {
+    val pOld = new Path(s"${dir}__patch_old")
     if (fs.exists(pOld)) {
       val manifest = new Path(pOld, "_manifest")
       if (fs.exists(manifest)) {
@@ -499,8 +612,6 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       }
       fs.delete(pOld, true); actions += s"dropped $pOld"
     }
-    if (fs.exists(pTmp)) { fs.delete(pTmp, true); actions += s"dropped $pTmp" }
-    actions.toList
   }
 
   /** Compact the small-file tail: bin-pack ONLY the files smaller than

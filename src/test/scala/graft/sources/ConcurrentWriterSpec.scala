@@ -15,9 +15,13 @@ class ConcurrentWriterSpec extends SparkSpec {
     val dir = s"target/tmp/pqdb_ccw/$name"
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    Seq("", "__snapshots", "__archive", "__old", "__normalize_tmp",
-      "__patch_tmp", "__patch_old").foreach(sfx =>
-      fs.delete(new org.apache.hadoop.fs.Path(dir + sfx), true))
+    // sweep the table AND every state sibling (`__snapshots`, `__old`,
+    // invocation-unique `__normalize_tmp_<token>` debris, …) by prefix —
+    // fixed-name deletion leaks the unique-suffixed staging across reruns
+    if (fs.exists(p.getParent))
+      fs.listStatus(p.getParent).map(_.getPath)
+        .filter(s => s.getName == name || s.getName.startsWith(name + "__"))
+        .foreach(fs.delete(_, true))
     new ParquetDatabase(spark, dir)
   }
 
@@ -86,21 +90,79 @@ class ConcurrentWriterSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + sfx)), s"debris at $sfx"))
   }
 
-  test("a crashed rewrite's stale staging is clobbered by the next writer, not fatal") {
+  test("a crashed rewrite's stale staging never blocks the next writer; recover() sweeps it") {
     // the narrowed entry-recover must not break single-writer crash flow:
-    // stale __normalize_tmp (no live writer) is simply overwritten by the
-    // next rewrite's own stage, and stale __old is reclaimed pre-swap
-    val a = freshDb("staleclobber")
+    // stale __old (a crash after its swap committed) is reclaimed by the
+    // next rewrite once its conflict check passed; stale staging is simply
+    // IGNORED (each invocation stages under its own unique name) and waits
+    // for the quiesced recover() — a writer cannot tell dead staging from
+    // a live peer's, so it must not reclaim it inline
+    val a = freshDb("staledebris")
     a.create(spark.range(100).toDF("id"))
     val fs = new org.apache.hadoop.fs.Path(a.dir)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
     // fake crash debris: a half-written tmp and a committed-but-uncleaned old
-    fs.mkdirs(new org.apache.hadoop.fs.Path(a.dir + "__normalize_tmp"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(a.dir + "__normalize_tmp_dead1"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(a.dir + "__old"))
     a.normalize(maxRowsPerFile = 50)
     assert(a.nRows === 100L)
-    Seq("__normalize_tmp", "__old").foreach(sfx =>
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + sfx)), s"debris at $sfx"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__old")), "stale __old not reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__normalize_tmp_dead1")),
+      "stale staging must be left for the quiesced recover(), not reclaimed inline")
+    val acts = a.recover()
+    assert(acts.exists(_.contains("__normalize_tmp_dead1")), acts.mkString("; "))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__normalize_tmp_dead1")))
+    assert(a.nRows === 100L)
+  }
+
+  test("concurrent stagers cannot clobber each other: a committer lands ITS bytes") {
+    // with a SHARED staging name, writer B's overwrite-mode stage replaced
+    // writer A's staged bytes while A sat pre-swap; A's conflict check then
+    // passed (the live table never changed) and A committed B's content
+    // while reporting its own mutation succeeded — a silent lost update
+    // with a stage-duration-wide window. Staging is now invocation-unique.
+    val a = freshDb("stageiso")
+    a.create(spark.range(500).select(col("id"), (col("id") % 5).as("g")),
+      partitionBy = Seq("g"))
+    val b = new ParquetDatabase(spark, a.dir)
+    b.preSwapHook = () => throw new RuntimeException("simulated crash pre-swap")
+    a.preSwapHook = () => {
+      // b stages a DIFFERENT rewrite (delete >= 400) and dies before its
+      // swap, leaving b's staged bytes on disk while a is pre-swap
+      intercept[RuntimeException] { b.deleteWhere(col("id") >= 400) }
+      ()
+    }
+    a.deleteWhere(col("id") >= 450) // partitioned layout -> whole-dir rewrite path
+    a.preSwapHook = () => ()
+    assert(a.nRows === 450L) // a's bytes, not b's 400-row stage
+    // b's orphaned stage is debris for the quiesced recover()
+    val acts = a.recover()
+    assert(acts.exists(_.contains("__normalize_tmp")), acts.mkString("; "))
+    assert(a.nRows === 450L)
+  }
+
+  test("a commit landing inside the check-to-rename gap is detected post-rename, not dropped") {
+    // the narrowest race: writer B fully commits AFTER writer A's conflict
+    // check passes and BEFORE A's dir -> __old rename. A's rename then
+    // succeeds — against B's COMMITTED table — and without the post-lock
+    // re-check A would commit its stage over it, silently dropping B's
+    // rows with both writers reporting success. The re-check fingerprints
+    // the moved-aside tree (rename preserves lengths/mtimes), restores it,
+    // and aborts A.
+    val a = freshDb("gapcommit")
+    a.create(spark.range(500).select(col("id"), (col("id") % 5).as("g")),
+      partitionBy = Seq("g"))
+    val b = new ParquetDatabase(spark, a.dir)
+    a.preRenameHook = () => b.deleteWhere(col("id") >= 400) // full commit inside the gap
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      a.deleteWhere(col("id") >= 450)
+    }
+    a.preRenameHook = () => ()
+    assert(ex.getMessage.contains("swap rename"))
+    assert(a.nRows === 400L) // B's committed table survived; A's stage dropped
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__old")), "swap debris left behind")
   }
 
   test("deleteWhere detects a concurrent commit; unchanged tables fingerprint-stably mutate") {
