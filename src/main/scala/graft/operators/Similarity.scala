@@ -394,7 +394,16 @@ object Similarity {
       case f => f
     }.mkString("|")
     val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
-    writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
+    // create-no-overwrite: recoverIvfIndex above resolved any crashed
+    // append's marker, so a marker appearing here belongs to a LIVE
+    // concurrent appender — overwriting it would make BOTH appends'
+    // crash resolution ambiguous (the marker must name exactly one
+    // old-state/new-state pair). Abort loudly instead.
+    if (!graft.sources.HadoopText.writeIfAbsent(fs, pendingPath,
+        s"${fields.mkString("|")}\n$newFp"))
+      throw new java.util.ConcurrentModificationException(
+        s"appendToIvfIndex: another append is in flight on $dir " +
+          "(_append_pending exists) — retry after it completes")
     val centroids = spark.read.parquet(s"$dir/centroids")
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
       .create(assignCells(spread(newVectors), idCol, vecCol, centroids),

@@ -23,14 +23,37 @@ object HadoopText {
   }
 
   /** Create-no-overwrite write: returns false (writing nothing) if the file
-    * already exists. `create(overwrite = false)` is atomic on HDFS and
-    * local FS — the poor-man's lock a rename-based commit protocol uses to
-    * serialize two writers that both reached their commit step.
+    * already exists. `create(overwrite = false)` is atomic on HDFS (the
+    * namenode serializes the create) — the poor-man's lock a rename-based
+    * commit protocol uses to serialize two writers that both reached their
+    * commit step. On the local FS the exists-check and create are two
+    * steps, so the gate is best-effort there — the scale deployment target
+    * (HDFS-semantics stores) is where the guarantee is needed and holds.
     */
-  def writeIfAbsent(fs: FileSystem, p: Path, text: String): Boolean =
-    try {
-      val out = fs.create(p, false)
-      try out.write(text.getBytes(UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+  def writeIfAbsent(fs: FileSystem, p: Path, text: String): Boolean = {
+    // only "already exists" maps to false — any other failure is a genuine
+    // IO error and must surface, not masquerade as a concurrency conflict.
+    // RawLocalFileSystem signals the existing file with a plain IOException,
+    // so the fallback re-probes existence before deciding.
+    val created =
+      try Some(fs.create(p, false))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+        case e: java.io.IOException => if (fs.exists(p)) None else throw e
+      }
+    created match {
+      case None => false
+      case Some(out) =>
+        // a failure after the create must not leave a truncated file behind
+        // — a partial commit marker wedges every later writer at the gate
+        // and can crash its crash-recovery parser
+        try { out.write(text.getBytes(UTF_8)); out.close(); true }
+        catch {
+          case e: Throwable =>
+            try out.close() catch { case _: Throwable => () }
+            try fs.delete(p, false) catch { case _: Throwable => () }
+            throw e
+        }
+    }
+  }
 }

@@ -95,13 +95,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   /** Mutator-entry capture: recover ONLY when the live tree itself is
     * unreadable — the table dir is missing (interrupted swap) or a patch
     * manifest shows moved-aside originals. Healthy-table staging siblings
-    * (`__normalize_tmp`, a manifest with all originals present, …) are NOT
-    * reclaimed here: with optimistic concurrency they may belong to a LIVE
-    * writer mid-stage, and deleting them would strand its swap (round-10
-    * review finding). Stale staging from a real crash is clobbered by the
-    * next writer's own overwrite-mode stage, or reclaimed by an explicit
-    * [[recover]] — which, like any rename-protocol repair, requires no
-    * writer to be live.
+    * (`__normalize_tmp_<token>`, a manifest with all originals present, …)
+    * are NOT reclaimed here: with optimistic concurrency they may belong
+    * to a LIVE writer mid-stage, and deleting them would strand its swap
+    * (round-10 review finding). Crashed-stage debris is invisible to
+    * readers and swept ONLY by an explicit, quiesced [[recover]] — it
+    * accumulates disk (each staged rewrite is table-sized) until one runs,
+    * so a fleet deployment schedules recover() in its maintenance window.
     */
   private def entryFingerprint(): String = {
     if (!fs.exists(new Path(dir)) || patchRepairNeeded()) recover()
@@ -270,11 +270,38 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       fs.delete(new Path(old), true)
     }
     preRenameHook()
+    // a competitor's __old reappearing here means a commit is IN FLIGHT
+    // (it exists only between a competitor's swap and its cleanup) — on
+    // HDFS, renaming dir onto an existing directory would NEST the table
+    // inside it instead of failing. Abort before renaming anything.
+    if (fs.exists(new Path(old))) {
+      fs.delete(new Path(tmp), true)
+      throw new java.util.ConcurrentModificationException(
+        s"optimistic-concurrency conflict on $dir: another writer's swap is in flight " +
+          s"($old reappeared after the conflict check). Aborted with nothing renamed — " +
+          "re-read and retry.")
+    }
     // Hadoop rename signals failure by returning false — a failed swap must
     // abort loudly BEFORE any delete, or the "crash leaves the table
     // recoverable by a single rename" contract above is broken.
     if (!fs.rename(new Path(dir), new Path(old)))
       throw new java.io.IOException(s"rewrite: failed to move $dir aside to $old; table untouched")
+    // safety net for the instruction-thin gap between the exists check and
+    // the rename: if a competitor created __old in that gap, HDFS rename
+    // semantics nested our table inside it — un-nest and abort before the
+    // polluted tree can be promoted.
+    val nested = new Path(old, new Path(dir).getName)
+    if (fs.exists(nested)) {
+      if (!fs.rename(nested, new Path(dir)))
+        throw new java.io.IOException(
+          s"rewrite: swap rename nested the table at $nested and un-nesting failed — " +
+            s"rename it back to $dir manually")
+      fs.delete(new Path(tmp), true)
+      throw new java.util.ConcurrentModificationException(
+        s"optimistic-concurrency conflict on $dir: the swap rename landed inside a " +
+          "competitor's in-flight cleanup tree and was un-nested. Table restored — " +
+          "re-read and retry.")
+    }
     // POST-LOCK re-check: dir -> __old succeeding makes this writer the
     // exclusive swapper (any competing rename of dir now fails — dir is
     // gone). But a competitor that FULLY committed inside our
@@ -284,13 +311,25 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // tree fingerprints identically to the live table it was (rename
     // preserves lengths and mtimes), so compare it against our entry
     // capture — on mismatch, put it back and abort with nothing lost.
+    // ORDER MATTERS on the abort path: tmp is deleted BEFORE the restore
+    // rename, so a crash mid-abort leaves (dir missing, __old = the
+    // competitor's committed table, no complete staged rewrite) — a state
+    // recover() repairs by rolling __old BACK, which is correct here.
+    // Restoring first would leave our stale complete stage beside the
+    // moved-aside table, and recover() would roll the stale stage FORWARD
+    // over the competitor's commit.
+    // COST NOTE: this walk runs while dir is absent, so the reader-visible
+    // outage of a rewrite commit is one metadata listing of the table, not
+    // just two renames. At fleet scale, readers of actively-mutating
+    // tables should use snapshot reads; an object-store deployment slots a
+    // conditional-put commit log here and drops the walk entirely.
     expected.foreach { e =>
       if (fingerprintOfTree(old) != e) {
+        fs.delete(new Path(tmp), true)
         if (!fs.rename(new Path(old), new Path(dir)))
           throw new java.io.IOException(
             s"rewrite: conflict detected after the swap rename but restoring $old -> $dir " +
               "failed — run recover()")
-        fs.delete(new Path(tmp), true)
         throw new java.util.ConcurrentModificationException(
           s"optimistic-concurrency conflict on $dir: another writer committed between " +
             "this mutation's conflict check and its swap rename. The live table was " +
@@ -300,6 +339,12 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     if (!fs.rename(new Path(tmp), new Path(dir)))
       throw new java.io.IOException(
         s"rewrite: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
+    // nest-guard before dropping our cleanup tree: a racer that renamed
+    // the (committed) table while our __old still existed nested it INSIDE
+    // __old — restore it rather than deleting a live table with the debris
+    val nestedInOld = new Path(old, new Path(dir).getName)
+    if (fs.exists(nestedInOld) && !fs.exists(new Path(dir)))
+      fs.rename(nestedInOld, new Path(dir))
     // the moved-aside tree IS the previous table version: park whatever a
     // snapshot still references in the archive before dropping the rest
     archiveReferenced(new Path(old), p => relativize(old, p))
@@ -417,17 +462,23 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     preSwapHook()
     conflictCheck(expected, Seq(tmp))
-    // a manifest surviving to this point with every touched original still
-    // live (patchRepairNeeded() was false) is a crash-before-any-rename
-    // leftover — same post-conflict-check reasoning as rewriteWith's stale
-    // __old: a live patcher past its manifest write either committed
-    // (fails the check above) or sits in the milliseconds between manifest
-    // and first rename (the documented residual window). Reclaim it via
-    // the exact manifest-driven rollback, never a blind delete — an
-    // empty-touched patch that crashed mid-append must drop its partially
-    // landed replacement files.
-    if (fs.exists(new Path(old, "_manifest")))
-      rollbackPatchOld(new scala.collection.mutable.ListBuffer[String])
+    // a manifest surviving to this point is EITHER crash-before-any-rename
+    // debris OR a live patcher that won the gate after our conflict check
+    // and is mid-rename right now. Reclaiming it here (the round-10 first
+    // attempt ran the manifest rollback) loses that distinction: rolling
+    // back a LIVE patcher restores originals it is concurrently moving
+    // aside and then recursively deletes its __patch_old — an original
+    // renamed in between is gone from table, aside dir, AND archive.
+    // Abort loudly instead; genuine debris is cleared by the quiesced
+    // recover(), after which a retry proceeds.
+    if (fs.exists(new Path(old, "_manifest"))) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"optimistic-concurrency conflict on $dir: another patch's manifest is present " +
+          s"at $old — a concurrent patcher is mid-commit, or a crashed patch left " +
+          "debris (clear with a quiesced recover()). Aborted with nothing renamed — " +
+          "re-read and retry.")
+    }
     fs.mkdirs(old)
     // manifest BEFORE any rename: [[recover]] needs to know which live-name
     // files are replacements (delete on rollback) and where each moved-aside
@@ -570,10 +621,10 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       .filter(_.getName.startsWith(namePrefix)).toSeq.sortBy(_.toString)
   }
 
-  /** The manifest-driven exact rollback of `__patch_old` — shared by
-    * [[recover]] and by [[replaceFiles]]'s post-conflict-check reclaim of
-    * a crash-before-any-rename manifest. No-op when `__patch_old` is
-    * absent.
+  /** The manifest-driven exact rollback of `__patch_old` (the [[recover]]
+    * patch-swap arm). No-op when `__patch_old` is absent. Quiesced-only,
+    * like all of recover(): running it against a LIVE patcher's manifest
+    * restores originals mid-rename and deletes its aside dir.
     */
   private def rollbackPatchOld(actions: scala.collection.mutable.ListBuffer[String]): Unit = {
     val pOld = new Path(s"${dir}__patch_old")

@@ -25,6 +25,18 @@ class ConcurrentWriterSpec extends SparkSpec {
     new ParquetDatabase(spark, dir)
   }
 
+  test("HadoopText.writeIfAbsent never overwrites: the loser sees false, content survives") {
+    // the commit gate replaceFiles and appendToIvfIndex serialize on
+    val fs = new org.apache.hadoop.fs.Path("target/tmp")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val p = new org.apache.hadoop.fs.Path(
+      s"target/tmp/pqdb_ccw/gate_${java.util.UUID.randomUUID().toString.take(8)}")
+    assert(HadoopText.writeIfAbsent(fs, p, "winner"))
+    assert(!HadoopText.writeIfAbsent(fs, p, "loser"))
+    assert(HadoopText.read(fs, p) === "winner")
+    fs.delete(p, false)
+  }
+
   test("interleaved upserts: the second committer wins, the stale one aborts with nothing lost") {
     val a = freshDb("interleave")
     a.create(spark.range(100).select(col("id"), lit("base").as("v")))
@@ -163,6 +175,29 @@ class ConcurrentWriterSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(a.dir)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__old")), "swap debris left behind")
+  }
+
+  test("a foreign patch manifest aborts the patcher loudly; recover() clears it for retry") {
+    // a manifest at __patch_old when a patcher reaches its commit step is
+    // either crash debris or a LIVE patcher mid-rename — indistinguishable,
+    // so the only safe move is a loud abort (the first round-10 cut ran the
+    // manifest rollback here, which could restore a live patcher's
+    // originals mid-rename and then delete files it was moving aside)
+    val a = freshDb("patchgate")
+    a.create(spark.range(100).toDF("id").repartition(2))
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val pOld = new org.apache.hadoop.fs.Path(a.dir + "__patch_old")
+    fs.mkdirs(pOld)
+    HadoopText.write(fs, new org.apache.hadoop.fs.Path(pOld, "_manifest"), "")
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      a.deleteWhere(col("id") >= 50) // flat layout -> patch path
+    }
+    assert(ex.getMessage.contains("manifest"))
+    assert(a.nRows === 100L) // nothing renamed
+    a.recover() // quiesced: clears the (empty-manifest) debris
+    a.deleteWhere(col("id") >= 50)
+    assert(a.nRows === 50L)
   }
 
   test("deleteWhere detects a concurrent commit; unchanged tables fingerprint-stably mutate") {
