@@ -64,13 +64,19 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   private def fingerprintOfTree(root: String): String = {
     val sb = new StringBuilder
-    def walk(p: Path): Unit = {
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory)
-        fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
-      else sb.append(relativize(root, p)).append('|').append(st.getLen)
-        .append('|').append(st.getModificationTime).append('\n')
-    }
+    def walk(p: Path): Unit =
+      // a concurrent writer's swap can delete entries between the parent
+      // listing and this stat — skip them rather than crash the mutation
+      // entry. The resulting print describes a state that no longer
+      // exists, so any CAS against it simply conflicts (safe), and the
+      // walk stays usable while peers mutate.
+      try {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory)
+          fs.listStatus(p).sortBy(_.getPath.getName).foreach(s => walk(s.getPath))
+        else sb.append(relativize(root, p)).append('|').append(st.getLen)
+          .append('|').append(st.getModificationTime).append('\n')
+      } catch { case _: java.io.FileNotFoundException => () }
     if (fs.exists(new Path(root))) walk(new Path(root))
     java.security.MessageDigest.getInstance("MD5")
       .digest(sb.result().getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -119,6 +125,30 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * re-check spec drives a full concurrent commit through.
     */
   private[sources] var preRenameHook: () => Unit = () => ()
+
+  /** Run a staging write with conflict-aware failure handling: any failure
+    * drops the half-written temp (otherwise every aborted attempt leaves a
+    * table-sized debris dir for recover()), and a failure caused by table
+    * files vanishing mid-scan — the read-side signature of a peer's swap
+    * landing underneath the staging read — is rethrown as the documented
+    * retryable `ConcurrentModificationException` instead of a raw Spark
+    * task failure.
+    */
+  private def stageOrAbort(tmp: Path)(write: => Unit): Unit =
+    try write catch {
+      case t: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        val vanishedUnderneath = Iterator.iterate(t)(_.getCause)
+          .takeWhile(_ != null).take(20)
+          .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+            String.valueOf(c.getMessage).contains("FILE_NOT_EXIST"))
+        if (vanishedUnderneath)
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic-concurrency conflict on $dir: table files vanished underneath " +
+              "this mutation's staging read (another writer swapped the table mid-scan). " +
+              "Staged output dropped, table untouched — re-read and retry.", t)
+        else throw t
+    }
 
   private def conflictCheck(expected: Option[String], tmps: Seq[Path]): Unit =
     expected.foreach { e =>
@@ -257,7 +287,9 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${dir}__normalize_tmp_$token"
     val old = s"${dir}__old"
-    newData.write.mode("overwrite").options(options).parquet(tmp)
+    stageOrAbort(new Path(tmp)) {
+      newData.write.mode("overwrite").options(options).parquet(tmp)
+    }
     preSwapHook()
     conflictCheck(expected, Seq(new Path(tmp)))
     // stale `old` (a crash AFTER its swap committed but before cleanup) is
@@ -458,7 +490,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // are a crashed writer's debris OR a live writer's staging; neither is
     // reclaimed here (round-10 review finding).
     if (patchRepairNeeded()) recover()
-    newData.write.mode("overwrite").parquet(tmp.toString)
+    stageOrAbort(tmp) { newData.write.mode("overwrite").parquet(tmp.toString) }
     val newFiles = ParquetStats.listParquetFiles(tmp.toString, hconf)
     preSwapHook()
     conflictCheck(expected, Seq(tmp))

@@ -25,6 +25,65 @@ class ConcurrentWriterSpec extends SparkSpec {
     new ParquetDatabase(spark, dir)
   }
 
+  test("stress: two genuinely concurrent writers converge with every committed mutation applied") {
+    // real threads, real races: each writer deletes its own disjoint id
+    // slices through the whole-dir rewrite path, retrying on the protocol's
+    // loud aborts (ConcurrentModificationException from the CAS / gates,
+    // IOException from a lost rename race or a peer's entry-recover rolling
+    // a complete stage forward). The protocol's promise is NOT that
+    // interleavings never collide — it is that every collision is loud,
+    // the table stays readable, and a retry converges with no committed
+    // row silently lost or resurrected.
+    val a = freshDb("stress2w")
+    a.create(spark.range(600).select(col("id"), (col("id") % 3).as("g")),
+      partitionBy = Seq("g"))
+    val slices = Map(
+      0 -> Seq((560L, 580L), (500L, 520L), (440L, 460L), (380L, 400L)),
+      1 -> Seq((580L, 600L), (520L, 540L), (460L, 480L), (400L, 420L)))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = slices.map { case (tid, ranges) =>
+      new Thread(() => {
+        val db = new ParquetDatabase(spark, a.dir)
+        try ranges.foreach { case (lo, hi) =>
+          var attempt = 0
+          var done = false
+          while (!done) {
+            try { db.deleteWhere(col("id") >= lo && col("id") < hi); done = true }
+            catch {
+              // the protocol's retryable aborts: CAS/gate conflicts (CME,
+              // incl. files-vanished-mid-scan mapped by stageOrAbort), a
+              // lost rename race (IOException), and the table dir briefly
+              // absent at the eager read while a peer is mid-swap
+              // (AnalysisException PATH_NOT_FOUND)
+              case e @ (_: java.util.ConcurrentModificationException | _: java.io.IOException
+                        | _: org.apache.spark.sql.AnalysisException) =>
+                attempt += 1
+                if (attempt > 30) throw new IllegalStateException(
+                  s"writer $tid failed to converge on [$lo,$hi) after 30 retries", e)
+                Thread.sleep(20L * attempt)
+            }
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"stress-writer-$tid")
+    }.toSeq
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(errors.isEmpty, s"writer errors: ${errors.toArray.mkString("; ")}")
+    // every slice applied exactly once: the surviving ids are EXACTLY the
+    // complement of the union of all slices — no committed delete lost, no
+    // deleted row resurrected by a stale stage landing late
+    val deleted = slices.values.flatten.toSeq
+    val expectedSurvivors = (0L until 600L)
+      .filterNot(id => deleted.exists { case (lo, hi) => id >= lo && id < hi })
+    assert(a.nRows === expectedSurvivors.size.toLong)
+    val got = a.read().select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expectedSurvivors, "surviving id set diverged from the slice complement")
+    // the table is healthy; anything recover() finds is droppable staging
+    // debris from aborted attempts, never a rollback/restore
+    val acts = a.recover()
+    assert(!acts.exists(s => s.contains("rolled back") || s.contains("restored")
+      || s.contains("completed")), acts.mkString("; "))
+  }
+
   test("HadoopText.writeIfAbsent never overwrites: the loser sees false, content survives") {
     // the commit gate replaceFiles and appendToIvfIndex serialize on
     val fs = new org.apache.hadoop.fs.Path("target/tmp")
