@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * relative to the corpus — and rewrites via a retire-then-promote rename
   * sequence that keeps a complete copy on disk at every step (see
   * [[mergeBatchIntoStore]] for the crash-window analysis).
+  *
+  * SINGLE-WRITER CONTRACT: the merge paths stage under fixed sibling names
+  * and recover by idempotent batch REPLAY (HLL union of the same batch is
+  * a no-op — spec-asserted), a design that deliberately differs from
+  * [[graft.sources.ParquetDatabase]]'s multi-writer optimistic concurrency:
+  * a commit gate here would wedge the crash-replay story that IS the
+  * store's recovery mechanism. Exactly one writer owns a store at a time —
+  * naturally satisfied by the intended owner, a single streaming query
+  * ([[graft.streaming.EventStreams.distinctStoreStream]], batchId-guarded
+  * against re-delivery). Two concurrent mergers would clobber each other's
+  * staging and can lose one batch's fold on a shared bucket; coordinate at
+  * the caller if a store must be shared.
   */
 object DistinctSketch {
 
