@@ -650,4 +650,30 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("d1"), col("d2"), col("cos"))
   }
+
+  /** SemDeDup-style near-dup candidate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means CELLS are the blocking key — every vector
+    * is scored exactly against its own cell's members, so total pair work
+    * is Σ|cell|², which the [[autoCentroids]] rule pins at ~targetCellSize
+    * per cell regardless of corpus size; the corpus² join never exists in
+    * the plan. The alternative candidate generator to
+    * [[cosineNearDupPairs]]'s SRP-LSH: one k-means pass instead of
+    * multi-table hashing, and misses are exactly the pairs straddling a
+    * cell boundary (recall is measured in-plan by the declared query's
+    * guard rather than assumed).
+    * Returns (d1, d2, cos) with d1 < d2 and exact cos >= threshold.
+    */
+  def cellNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, numCentroids: Int,
+                       kmeansIterations: Int = 2): DataFrame = {
+    val idx = buildIvfIndex(vectors, idCol, vecCol, numCentroids, kmeansIterations)
+    val a = idx.assigned.select(col("nid"), col("nv"), norm(col("nv")).as("nn"), col("cell"))
+    a.select(col("nid").as("d1"), col("nv").as("v1"), col("nn").as("n1"), col("cell"))
+      .join(a.select(col("nid").as("d2"), col("nv").as("v2"), col("nn").as("n2"), col("cell")),
+        Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos", cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
 }

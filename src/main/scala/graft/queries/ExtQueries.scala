@@ -730,6 +730,75 @@ object ExtQueries {
           "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
           "ORDER BY 1, 2")),
 
+    // SemDeDup-style semantic dedup on the oracle gate: the emitted rows
+    // are the KEEPER SET of the exact cosine>=0.95 duplicate graph — one
+    // row per connected component (rep = min vec_id) with its size —
+    // deterministic and mirrored by a WITH RECURSIVE oracle, while the
+    // plan ALSO runs the deployment path: k-means-CELL blocking
+    // (Similarity.cellNearDupPairs) sized by the autoCentroids rule, with
+    // an in-plan raise_error if the cell candidates recall < 0.7 of the
+    // exact pairs. The cell path's pair work is Σ|cell|² (bounded per
+    // cell by the sizing rule), never corpus² — the exact arm exists for
+    // the oracle, the cell arm is what a 100 TB deployment runs.
+    DeclaredQuery(
+      "q_ext_dedup10",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        // the base embeddings are near-uniform (max pairwise cos ~0.5-0.6
+        // below sf1), so the dup graph is PLANTED in-plan: a x2.0-scaled
+        // copy (exact in float; cosine is scale-invariant, so cos ~ 1.0)
+        // of every 20th vector under the collision-free id -vec_id-1 —
+        // derived identically by the oracle, non-vacuous at every scale
+        val aug = emb.select(col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(col("vec_id") % 20 === 0)
+            .select((-col("vec_id") - 1).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
+        val e1 = aug.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+          Similarity.norm(col("embedding")).as("n1"))
+        val e2 = aug.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+          Similarity.norm(col("embedding")).as("n2"))
+        // exact duplicate graph; pair-count-sized, referenced by both the
+        // output and the recall guard — checkpointed so it runs once
+        val exact = e1.crossJoin(e2).filter(col("d1") < col("d2"))
+          .withColumn("cos", Similarity.cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
+          .filter(col("cos") >= 0.95)
+          .select(col("d1"), col("d2"))
+          .localCheckpoint()
+        val kAuto = Similarity.autoCentroids(aug.count())
+        val cand = Similarity.cellNearDupPairs(aug, "vec_id", "embedding",
+            threshold = 0.95, numCentroids = kAuto)
+          .select(col("d1"), col("d2"))
+        val comps = Dedup.connectedComponents(exact)
+        val members = aug.select(col("vec_id"))
+          .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .withColumn("comp", coalesce(col("rep"), col("vec_id")))
+        val sizes = members.groupBy("comp").agg(count(lit(1)).as("n_members"))
+        members.filter(col("vec_id") === col("comp"))
+          .join(sizes, Seq("comp"))
+          .crossJoin(broadcast(pairRecall(exact, cand, Seq("d1", "d2"))))
+          .select(col("vec_id"),
+            when(col("recall") >= 0.7, col("n_members"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_dedup10: cell-blocked candidate recall "),
+                col("recall").cast("string"), lit(" below 0.7")))).as("n_members"))
+          .orderBy("vec_id")
+      },
+      Some(
+        "WITH RECURSIVE aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings " +
+          "UNION ALL SELECT -vec_id - 1, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) " +
+          "FROM embeddings WHERE vec_id % 20 = 0), " +
+          "p AS (SELECT a.vec_id d1, b.vec_id d2 FROM aug a JOIN aug b ON a.vec_id < b.vec_id " +
+          "WHERE list_cosine_similarity(a.e, b.e) >= 0.95), " +
+          "edges AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2, d1 FROM p), " +
+          "reach(u, v) AS (SELECT u, v FROM edges UNION " +
+          "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
+          "rep AS (SELECT u, least(min(v), u) AS rep FROM reach GROUP BY u), " +
+          "m AS (SELECT a.vec_id, coalesce(r.rep, a.vec_id) AS comp FROM aug a " +
+          "LEFT JOIN rep r ON a.vec_id = r.u), " +
+          "sz AS (SELECT comp, count(*) AS n_members FROM m GROUP BY 1) " +
+          "SELECT m.vec_id, sz.n_members FROM m JOIN sz USING (comp) " +
+          "WHERE m.vec_id = m.comp ORDER BY 1")),
+
     // IVF ANN over a PERSISTED index, promoted to the oracle gate: the
     // emitted rows are the exact cosine top-10 for query vectors 10..14; the
     // plan additionally probes the stored index (k-means centroids built +

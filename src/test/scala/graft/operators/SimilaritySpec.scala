@@ -355,4 +355,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
     assert(pairs === Set((100L, 101L)))
   }
+
+  test("cellNearDupPairs finds planted near-duplicates via cell blocking, none unrelated") {
+    // near-identical vectors land in the same k-means cell (the SemDeDup
+    // assumption), so the cell-blocked pair join must emit the planted
+    // pair and nothing else — cross-cell pairs never get scored
+    val rng = new java.util.SplittableRandom(11L)
+    val base = Seq.fill(32)(rng.nextDouble() * 2 - 1)
+    val dup1 = base.map(x => (x + 0.001).toFloat)
+    val dup2 = base.map(x => (x - 0.001).toFloat)
+    val others = (0 until 40).map(_ => Seq.fill(32)((rng.nextDouble() * 2 - 1).toFloat))
+    val df = ((100L, dup1) +: (101L, dup2) +: others.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cellNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.99, numCentroids = 4)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
 }
