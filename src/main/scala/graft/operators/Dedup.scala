@@ -47,6 +47,18 @@ object Dedup {
     * the corpus. Used by `minHashPairs`; `jaccardPairs` reaches the same
     * exact values through its hot-shingle correction term instead.
     */
+  /** Public form of the candidate confirm pass: exact word-`shingleN`-gram
+    * Jaccard over the given (d1, d2) candidate pairs, keeping pairs at or
+    * above `threshold`. Candidate-bounded — the cost driver is the pair
+    * list, not the corpus — which is what makes externally-generated
+    * candidates (e.g. [[graft.streaming.DocStreams.nearDupCandidateStream]]'s
+    * online LSH discovery) exact after the fact.
+    */
+  def exactJaccardForPairs(candidates: DataFrame, docs: DataFrame,
+                           idCol: String, textCol: String, shingleN: Int,
+                           threshold: Double): DataFrame =
+    verifyPairsExact(candidates, docs, idCol, textCol, shingleN, threshold)
+
   private def verifyPairsExact(candidates: DataFrame, docs: DataFrame,
                                idCol: String, textCol: String, shingleN: Int,
                                threshold: Double): DataFrame = {

@@ -1875,5 +1875,47 @@ object ExtQueries {
       },
       Some(
         "SELECT event_type, count(DISTINCT user_id) AS n_users " +
-          "FROM events GROUP BY 1 ORDER BY 1")))
+          "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // ONLINE near-dup discovery over a DOCUMENT stream — the ingest-time
+    // form of q_ext_dedup3: documents replay in 4 micro-batches; per-row
+    // HOF MinHash + LSH banding feeds the one stateful operator (band-
+    // bucket membership, ids only, flatMapGroupsWithState), candidates
+    // append to parquet, and a candidate-bounded batch pass confirms exact
+    // word-3-gram Jaccard — so the output is the exact near-dup report
+    // (dropped doc, earliest keeper, dup count, best score) and the oracle
+    // is the plain exact-pair SQL. Pair emission is oriented (min id, max
+    // id) whichever side arrives first — a pure function of the document
+    // set, immune to batch boundaries. LSH miss < 1e-7 per true pair at
+    // jac >= 0.8 with 16x2 banding (the q_ext_dedup8 argument).
+    DeclaredQuery(
+      "q_ext_stream14",
+      (s, d) => {
+        val root = graft.Scratch.dir("stream_neardup")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        docs.repartition(4).write.parquet(s"$root/src")
+        val nBatches = graft.streaming.DocStreams.nearDupCandidateStream(
+          s, s"$root/src", s"$root/cand", s"$root/ck")
+        require(nBatches >= 2,
+          s"q_ext_stream14: replay collapsed into $nBatches micro-batch(es) — " +
+            "the cross-batch state path was not exercised")
+        val cand = s.read.parquet(s"$root/cand").select("d1", "d2").distinct()
+        Dedup.exactJaccardForPairs(cand, docs, "doc_id", "text",
+            shingleN = 3, threshold = 0.8)
+          .select(col("d2").as("doc_id"), col("d1"), col("jac"))
+          .groupBy("doc_id")
+          .agg(min(col("d1")).as("dup_of"),
+            count(lit(1)).as("n_dups"),
+            f4(max(col("jac"))).as("max_jac"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"WITH $jaccardCtes " +
+          "SELECT i.d2 AS doc_id, min(i.d1) AS dup_of, count(*) AS n_dups, " +
+          "floor(max(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c))*10000)/10000 AS max_jac " +
+          "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 " +
+          "GROUP BY 1 ORDER BY 1")))
 }
