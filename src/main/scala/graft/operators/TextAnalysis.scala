@@ -166,4 +166,56 @@ object TextAnalysis {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("dup_tokens"), lit(0L)) / col("dl"), 4).as("dup_frac"))
   }
+
+  /** The corpus's most frequent word `n`-gram as a 1-row frame (`g`):
+    * positional occurrences (NOT distinct-per-doc), count-desc with
+    * lexicographic tie-break — deterministic across engines with exact
+    * integer counts. Stays fully lazy; callers broadcast it, never
+    * collect it.
+    */
+  def topPhrase(docs: DataFrame, textCol: String, n: Int = 3): DataFrame =
+    docs.select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g"))
+      .limit(1)
+      .select(col("g"))
+
+  /** Positional inverted-index PHRASE search: per-document occurrence
+    * counts of an exact word sequence — the search-engine primitive over a
+    * postings list (token, doc, position), not a substring scan.
+    *
+    * `phrase` is a 1-row frame with a space-separated phrase column `g`
+    * (e.g. [[topPhrase]]'s output) so the whole query is one lazy plan —
+    * no driver collect between phrase selection and search.
+    *
+    * Dataflow built for a 100 TB corpus:
+    *  - the phrase explodes to its (offset, word) rows and BROADCASTS;
+    *    the postings side (`posexplode` of the token array) joins against
+    *    it map-side, so only postings of the phrase's words — a vanishing
+    *    fraction of the corpus, bounded by those words' document
+    *    frequency — ever reach a shuffle;
+    *  - a matching posting at position p for offset o votes for candidate
+    *    start p−o; a start with all `k` distinct offsets present is an
+    *    occurrence (one aggregation keyed (doc, start), map-side
+    *    combinable, correct even when the phrase repeats a word);
+    *  - per-doc occurrence roll-up is the second (tiny) aggregation.
+    *    A deployment would persist the postings table once and reuse it
+    *    across queries; building it in-plan here keeps the operator
+    *    self-contained.
+    */
+  def phraseOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                        phrase: DataFrame): DataFrame = {
+    val words = broadcast(
+      phrase.select(col("g"), posexplode(split(col("g"), " ")).as(Seq("off", "w")))
+        .withColumn("k", size(split(col("g"), " "))))
+    val postings = OpUtils.spread(docs).select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    postings.join(words, col("tok") === col("w"))
+      .select(col("id"), col("g"), col("k"), (col("pos") - col("off")).as("start"), col("off"))
+      .groupBy("id", "g", "k", "start")
+      .agg(countDistinct(col("off")).as("hits"))
+      .filter(col("hits") === col("k"))
+      .groupBy(col("id"), col("g").as("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }

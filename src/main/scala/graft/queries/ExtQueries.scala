@@ -257,6 +257,29 @@ object ExtQueries {
         "SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id " +
           "FROM documents GROUP BY 1 ORDER BY 1")),
 
+    // positional inverted-index PHRASE search: the corpus's top word
+    // 3-gram (count-desc, lexicographic tie-break — derived in-plan, no
+    // collect) searched as an exact word sequence through a postings list
+    // (token, doc, position) with offset-alignment voting. Only the phrase
+    // words' postings reach a shuffle (broadcast word filter), so search
+    // cost is bounded by those words' document frequency, not corpus size.
+    DeclaredQuery(
+      "q_ext_search1",
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        TextAnalysis.phraseOccurrences(docs, "doc_id", "text",
+            TextAnalysis.topPhrase(docs, "text", n = 3))
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(
+        "WITH words AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+          "sh AS (SELECT doc_id, unnest(list_transform(" +
+          "generate_series(1, greatest(len(w)-2,0)), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS g FROM words), " +
+          "top AS (SELECT g FROM sh GROUP BY g ORDER BY count(*) DESC, g LIMIT 1) " +
+          "SELECT doc_id, g AS phrase, count(*) AS n_occ FROM sh JOIN top USING (g) " +
+          "GROUP BY 1, 2 ORDER BY doc_id")),
+
     // ---- dedup ----
     DeclaredQuery(
       "q_ext_dedup2",
@@ -1917,5 +1940,37 @@ object ExtQueries {
           "floor(max(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c))*10000)/10000 AS max_jac " +
           "FROM inter i JOIN sz sa ON sa.doc_id=i.d1 JOIN sz sb ON sb.doc_id=i.d2 " +
           "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 " +
-          "GROUP BY 1 ORDER BY 1")))
+          "GROUP BY 1 ORDER BY 1")),
+
+    // STREAMING maintenance of the persisted MinHash store — q_ext_dedup8's
+    // store built from 4 document micro-batches instead of one shot (one
+    // SEGMENT per batch, batchId inside the segment rename so re-delivery
+    // no-ops), then the incoming tick (doc_id % 10 == 0) dedups against it
+    // without re-reading corpus text. Segment union is associative, so the
+    // N-batch stream build probes identically to the one-shot build
+    // (spec-asserted) and dedup8's exact cross-corpus SQL is the oracle.
+    DeclaredQuery(
+      "q_ext_stream15",
+      (s, d) => {
+        val root = graft.Scratch.dir("stream_minhash")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val docs = Tables.load(s, d, "documents")
+        docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+          .repartition(4).write.parquet(s"$root/src")
+        val nBatches = graft.streaming.DocStreams.minHashStoreStream(
+          s, s"$root/src", s"$root/store", s"$root/ck")
+        require(nBatches >= 2,
+          s"q_ext_stream15: replay collapsed into $nBatches micro-batch(es) — " +
+            "the incremental segment-append path was not exercised")
+        Dedup.minHashPairsAgainstStore(docs.filter(col("doc_id") % 10 === 0),
+            "doc_id", "text", s"$root/store", threshold = 0.8)
+          .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))
+          .orderBy("d1", "d2")
+      },
+      Some(
+        s"WITH $jaccardCtes2 " +
+          "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
+          "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 ORDER BY 1,2")))
 }

@@ -154,4 +154,48 @@ object DocStreams {
     q.awaitTermination()
     q.recentProgress.count(_.numInputRows > 0).toLong
   }
+
+  /** STREAMING maintenance of the persisted MinHash signature store — the
+    * ingest tick that keeps [[graft.operators.Dedup.minHashPairsAgainstStore]]
+    * serving dedup against an always-current corpus: each micro-batch of
+    * documents appends one SEGMENT to the store (shingle + signature work
+    * is paid once per document, history never re-read or re-tokenized).
+    *
+    * Exactly-once composes from the store's own protocol, not from this
+    * wrapper: the batchId rides INSIDE the segment
+    * (`appendToMinHashStore(batchMarker=...)`), and segment visibility is
+    * a single atomic rename — so a foreachBatch re-delivery after a crash
+    * finds the committed marker and no-ops, and a crash mid-append leaves
+    * only `_staging` debris for `recoverMinHashStore`. No side marker file
+    * to race with the data commit (contrast `BatchMarker`'s documented
+    * one-batch exposure in [[EventStreams.mergeStreamToTable]] — additive
+    * merges can't carry their marker inside the data, segment appends can).
+    *
+    * @return number of micro-batches that carried input rows.
+    */
+  def minHashStoreStream(spark: SparkSession, srcDir: String, storeDir: String,
+                         checkpointDir: String, numBands: Int = 16,
+                         rowsPerBand: Int = 2, shingleN: Int = 3,
+                         maxFilesPerTrigger: Int = 1): Long = {
+    val src = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    val q =
+      try {
+        spark.conf.set(partKey, "8")
+        src.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.operators.Dedup.appendToMinHashStore(batch, "doc_id", "text",
+              storeDir, numBands, rowsPerBand, shingleN,
+              batchMarker = Some(batchId.toString))
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(partKey, oldParts)
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0).toLong
+  }
 }

@@ -62,6 +62,8 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_dedup7" -> "string_split (Spark: split)",
     "q_ext_dedup8" -> "string_split (Spark: split)",
     "q_ext_stream14" -> "string_split (Spark: split)",
+    "q_ext_search1" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_stream15" -> "string_split (Spark: split)",
     "q_ext_pack1" -> "string_split (Spark: split)",
     "q_ext_mix2" -> "string_split (Spark: split)",
     "q_ext_pii1" -> "regexp_matches (Spark: RLIKE; DuckDB lacks the keyword)",

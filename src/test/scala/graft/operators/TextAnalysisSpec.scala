@@ -55,4 +55,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === ((6L, 0, 0L, 0.0)))
     assert(out(4L) === ((2L, 0, 0L, 0.0)))
   }
+
+  test("phrase search counts exact positional occurrences, overlapping and with repeated words") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a c"),      // "a b a" occurs at 1 and (overlapping) 3
+      (2L, "a b a"),            // one occurrence
+      (3L, "b a b a"),          // one occurrence at position 2
+      (4L, "a b c a b"),        // zero: no "a b a"
+      (5L, "x y z")             // zero, unrelated
+    ).toDF("doc_id", "text")
+    val phrase = Seq("a b a").toDF("g")
+    val out = TextAnalysis.phraseOccurrences(docs, "doc_id", "text", phrase)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "a b a", 2L), (2L, "a b a", 1L), (3L, "a b a", 1L)))
+  }
+
+  test("topPhrase picks the most frequent positional 3-gram with lexicographic tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r p q r"),      // "p q r" x2, "q r p" x1, "r p q" x1
+      (2L, "p q r s")           // "p q r" x1 -> total 3
+    ).toDF("doc_id", "text")
+    val g = TextAnalysis.topPhrase(docs, "text", 3).collect().map(_.getString(0))
+    assert(g.toSeq === Seq("p q r"))
+  }
 }

@@ -110,6 +110,28 @@ class DocStreamsSpec extends SparkSpec {
     assert(oldOnly(candAfter.toSeq) === oldOnly(candBefore.toSeq))
   }
 
+  test("stream-built MinHash store probes identically to the one-shot build") {
+    val docs = fixture.filter(col("doc_id") =!= 8) // keep shingle-bearing docs
+    val corpus = docs.filter(col("doc_id") <= 5)
+    val probe = docs.filter(col("doc_id") > 5) // doc 6 near-dups 1 and 2
+    val root = graft.Scratch.dir("spec_docstream_store")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    corpus.repartition(3).write.parquet(s"$root/src")
+    val nBatches = DocStreams.minHashStoreStream(spark, s"$root/src",
+      s"$root/streamed", s"$root/ck")
+    assert(nBatches >= 2, s"replay collapsed into $nBatches batch(es)")
+    Dedup.buildMinHashStore(corpus, "doc_id", "text", s"$root/oneshot")
+    def probes(dir: String) =
+      Dedup.minHashPairsAgainstStore(probe, "doc_id", "text", dir, threshold = 0.8)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = probes(s"$root/streamed")
+    assert(streamed === probes(s"$root/oneshot"))
+    // doc 6 duplicates doc 1 exactly (jac 1.0); vs doc 2 the one-word edit
+    // leaves jac 15/21 ~ 0.714, below the 0.8 threshold
+    assert(streamed === Set((6L, 1L)))
+  }
+
   test("a degenerate hot bucket fails loudly at maxBucket") {
     import spark.implicits._
     val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
