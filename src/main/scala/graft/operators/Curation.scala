@@ -159,6 +159,40 @@ object Curation {
       .withColumn("bin_offset", col("start_tok") % capacity)
   }
 
+  /** Power-of-two sequence-length bucketing with padding-waste accounting —
+    * the batching-efficiency report a training pipeline runs before fixing
+    * bucket boundaries: each doc rounds up to the smallest bucket in
+    * {minBucket, 2·minBucket, …, maxBucket} that holds its token count
+    * (longer docs clamp to maxBucket — the truncation column counts them),
+    * and per bucket the report gives docs, used tokens (post-truncation),
+    * padded slots (bucket × docs) and the waste fraction.
+    *
+    * One aggregation, map-side combinable, output bounded by the bucket
+    * count — scale-free at any corpus size. All arithmetic is exact
+    * integers until the final waste ratio (cross-engine-stable).
+    */
+  def lengthBucketStats(df: DataFrame, nTokens: Column,
+                        minBucket: Int = 16, maxBucket: Int = 1024): DataFrame = {
+    require(minBucket > 0 && Integer.bitCount(minBucket) == 1 &&
+      Integer.bitCount(maxBucket) == 1 && maxBucket >= minBucket,
+      s"lengthBucketStats: buckets must be powers of two with min <= max, " +
+        s"got ($minBucket, $maxBucket)")
+    val sizes = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val n = nTokens.cast("long")
+    val bucket = sizes.init.foldRight(lit(sizes.last): Column) { (b, acc) =>
+      when(n <= b, lit(b)).otherwise(acc)
+    }
+    df.select(bucket.as("bucket"), n.as("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n") > col("bucket")).cast("long")).as("n_trunc"),
+        sum(least(col("n"), col("bucket"))).as("used_tok"))
+      .withColumn("padded_slots", col("bucket") * col("n_docs"))
+      .withColumn("waste_frac",
+        lit(1.0) - col("used_tok").cast("double") / col("padded_slots"))
+  }
+
   /** Export a corpus as `numShards` deterministic shards under `dir`
     * (`shard=<k>/` directories) and return a manifest of what landed on
     * disk — the handoff format a trainer consumes: shards enumerable,

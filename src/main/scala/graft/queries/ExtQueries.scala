@@ -507,6 +507,30 @@ object ExtQueries {
           "SELECT doc_id, shard, CAST(floor(start_tok/2048.0) AS BIGINT) AS bin, " +
           "CAST(start_tok % 2048 AS BIGINT) AS bin_offset, n_tok FROM c ORDER BY doc_id")),
 
+    // sequence-length bucketing + padding-waste report (the batching-
+    // efficiency audit run before fixing bucket boundaries): power-of-two
+    // round-up with maxBucket truncation accounting — one map-side-
+    // combinable aggregation, output bounded by the bucket count
+    DeclaredQuery(
+      "q_ext_pack2",
+      (s, d) =>
+        graft.operators.Curation.lengthBucketStats(
+            Tables.load(s, d, "documents"),
+            TextFunctions.tokenCount(col("text")), minBucket = 16, maxBucket = 128)
+          .select(col("bucket"), col("n_docs"), col("n_trunc"),
+            col("used_tok"), col("padded_slots"), f4(col("waste_frac")).as("waste_frac"))
+          .orderBy("bucket"),
+      Some(
+        "WITH t AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents), " +
+          "b AS (SELECT CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " +
+          "WHEN n <= 64 THEN 64 ELSE 128 END AS BIGINT) AS bucket, n FROM t) " +
+          "SELECT bucket, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN n > bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc, " +
+          "CAST(sum(least(n, bucket)) AS BIGINT) AS used_tok, " +
+          "bucket * count(*) AS padded_slots, " +
+          "floor((1.0 - CAST(sum(least(n, bucket)) AS DOUBLE)/(bucket*count(*)))*10000)/10000 AS waste_frac " +
+          "FROM b GROUP BY 1 ORDER BY 1")),
+
     // PII-style masking + well-formedness flag (curation before a corpus
     // leaves the pipeline); the mask is the same SQL text on both engines
     DeclaredQuery(

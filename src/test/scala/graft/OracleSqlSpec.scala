@@ -65,6 +65,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_search1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_stream15" -> "string_split (Spark: split)",
     "q_ext_pack1" -> "string_split (Spark: split)",
+    "q_ext_pack2" -> "string_split (Spark: split)",
     "q_ext_mix2" -> "string_split (Spark: split)",
     "q_ext_pii1" -> "regexp_matches (Spark: RLIKE; DuckDB lacks the keyword)",
     "q_ext_sim1" -> "unnest (Spark: explode)",

@@ -232,4 +232,26 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("null values in group column") ||
       Option(e.getCause).exists(_.getMessage.contains("null values in group column")))
   }
+
+  test("lengthBucketStats: power-of-two round-up, truncation accounting, exact waste") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // token counts 5, 16, 17, 200 with buckets {16, 32}: 200 clamps to 32
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, ("w " * 15).trim + " x"),
+      (3L, ("y " * 16).trim + " z"),
+      (4L, ("q " * 200).trim)
+    ).toDF("doc_id", "text")
+    val out = Curation.lengthBucketStats(docs,
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        minBucket = 16, maxBucket = 32)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // bucket 16: docs 1 (5 toks) and 2 (16) -> used 21 of 32 slots
+    assert(out(0) === ((16L, 2L, 0L, 21L, 32L, 1.0 - 21.0 / 32)))
+    // bucket 32: doc 3 (17) and doc 4 (200, TRUNCATED to 32) -> used 49 of 64
+    assert(out(1) === ((32L, 2L, 1L, 49L, 64L, 1.0 - 49.0 / 64)))
+  }
 }

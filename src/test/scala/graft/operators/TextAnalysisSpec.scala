@@ -71,6 +71,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Set((1L, "a b a", 2L), (2L, "a b a", 1L), (3L, "a b a", 1L)))
   }
 
+  test("phrase search equals brute-force sliding-window counts on generated corpora (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet => dense repeats, overlaps, and repeated-word phrases
+    val docGen: Gen[List[String]] =
+      Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    (0 until 12).foreach { i =>
+      val seed = Seed(i.toLong * 7 + 1)
+      val docs = (1L to 8L).map { id =>
+        (id, docGen(Gen.Parameters.default, seed.reseed(id)).get.mkString(" "))
+      }
+      val phraseWords = docGen(Gen.Parameters.default, seed.reseed(99))
+        .get.take(3).padTo(2, "a") // length 2-3
+      val phrase = phraseWords.mkString(" ")
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.sliding(phraseWords.length).count(_.sameElements(phraseWords))
+        if (n > 0) Some((id, phrase, n.toLong)) else None
+      }.toSet
+      val got = TextAnalysis.phraseOccurrences(docs.toDF("doc_id", "text"),
+          "doc_id", "text", Seq(phrase).toDF("g"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === expected, s"iteration $i, phrase '$phrase', docs $docs")
+    }
+  }
+
   test("topPhrase picks the most frequent positional 3-gram with lexicographic tie-break") {
     import spark.implicits._
     val docs = Seq(
