@@ -485,25 +485,166 @@ object Dedup {
         s"appendToMinHashStore: failed to commit $staging to $seg — staged data intact")
   }
 
-  /** Repair an interrupted [[appendToMinHashStore]]: staged-but-uncommitted
-    * segments under `_staging` are dropped (their batch never became
-    * visible — re-append it). Committed segments are never touched.
-    * Idempotent; returns the staging ids removed.
+  /** Compact all committed segments of a MinHash store into ONE — the
+    * maintenance pass a streaming ingest needs:
+    * [[graft.streaming.DocStreams.minHashStoreStream]] appends one segment
+    * per micro-batch, so an unbounded ingest accumulates unbounded
+    * small-parquet segment dirs and every probe unions them all. Compaction
+    * rewrites the union as a single segment while preserving the store's
+    * exactly-once contract: every replaced segment's `_batch-*` markers are
+    * copied into the compacted segment, so a foreachBatch re-delivery of
+    * ANY already-merged batch still no-ops afterwards (spec-asserted).
+    *
+    * Protocol (retire-then-promote, the `DistinctSketch` family):
+    *  1. stage the compacted segment under `_staging/<uuid>`, including a
+    *     `_replaces` manifest naming the segments it subsumes;
+    *  2. RETIRE each replaced segment by renaming it under
+    *     `_retired/<uuid>/` — per-segment atomic, and the live set only
+    *     shrinks (no moment shows a doc's signatures twice);
+    *  3. PROMOTE the staged segment with one atomic rename to `seg-<uuid>`;
+    *  4. drop `_retired/<uuid>`.
+    * Every crash window is repaired by [[recoverMinHashStore]]: a partial
+    * retire rolls BACK (retired segments restored, staging dropped), a
+    * full retire that never promoted rolls FORWARD (promote, then drop
+    * retired), a promote that never cleaned up drops the leftovers.
+    *
+    * QUIESCE CONTRACT: compaction is a maintenance write under the store's
+    * single-writer operating contract — no concurrent appends or probes
+    * (mid-retire the store is transiently incomplete for readers).
+    *
+    * @return number of segments replaced (0 = already compact, no-op).
+    */
+  def compactMinHashStore(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Int =
+    compactMinHashStoreImpl(spark, dir, crashAfterRetires = Int.MaxValue)
+
+  /** Test seam: `crashAfterRetires` = simulated crash (exception) once that
+    * many segments have been retired; Int.MaxValue = never.
+    */
+  private[graft] def compactMinHashStoreImpl(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      crashAfterRetires: Int): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val segs = segmentDirs(fs, root)
+    if (segs.size <= 1) return 0
+    val segId = java.util.UUID.randomUUID.toString
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging/$segId")
+    spark.read.parquet(segs.map(p => s"$p/toks"): _*)
+      .write.mode("overwrite").parquet(s"$staging/toks")
+    spark.read.parquet(segs.map(p => s"$p/bands"): _*)
+      .write.mode("overwrite").parquet(s"$staging/bands")
+    // carry every replaced segment's batch markers forward
+    segs.foreach { seg =>
+      fs.listStatus(seg).filter(_.getPath.getName.startsWith("_batch-"))
+        .foreach { m =>
+          fs.create(new org.apache.hadoop.fs.Path(staging, m.getPath.getName),
+            true).close()
+        }
+    }
+    val replaces = segs.map(_.getName)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staging, "_replaces"), true)
+    try out.write(replaces.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val retired = new org.apache.hadoop.fs.Path(s"$dir/_retired/$segId")
+    fs.mkdirs(retired)
+    var done = 0
+    segs.foreach { seg =>
+      if (done >= crashAfterRetires)
+        throw new java.io.IOException(
+          s"compactMinHashStore: simulated crash after $done retire(s)")
+      if (!fs.rename(seg, new org.apache.hadoop.fs.Path(retired, seg.getName)))
+        throw new java.io.IOException(
+          s"compactMinHashStore: failed to retire $seg — run recoverMinHashStore")
+      done += 1
+    }
+    if (done >= crashAfterRetires)
+      throw new java.io.IOException(
+        s"compactMinHashStore: simulated crash after $done retire(s), before promote")
+    val seg = new org.apache.hadoop.fs.Path(dir, s"seg-$segId")
+    if (!fs.rename(staging, seg))
+      throw new java.io.IOException(
+        s"compactMinHashStore: failed to promote $staging — run recoverMinHashStore")
+    fs.delete(retired, true)
+    segs.size
+  }
+
+  /** Repair an interrupted [[appendToMinHashStore]] or
+    * [[compactMinHashStore]]. Append debris (staged-but-uncommitted
+    * segments with no `_replaces` manifest) is dropped — that batch never
+    * became visible, re-append it. Interrupted compactions resolve by
+    * their crash window: retired set == `_replaces` manifest → roll
+    * FORWARD (promote the staged compacted segment, drop the retired
+    * copies); anything less → roll BACK (restore retired segments, drop
+    * the staging); a promoted compaction's leftover `_retired` dir is
+    * dropped. Committed segments are never touched. Idempotent; returns
+    * the staging ids removed plus `forward-`/`rollback-`/`dropped-retired-`
+    * action tags for compaction repairs.
     *
     * QUIESCE CONTRACT (same as `ParquetDatabase.recover`): run only when no
-    * appender is live on this store — staging debris is indistinguishable
-    * from a live append's in-flight staging, and deleting the latter
-    * corrupts or kills that append.
+    * writer is live on this store — staging debris is indistinguishable
+    * from a live writer's in-flight staging, and deleting the latter
+    * corrupts or kills that writer.
     */
   def recoverMinHashStore(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
-    val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging")
-    val fs = staging.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(staging)) Seq.empty
-    else {
-      val ids = fs.listStatus(staging).toSeq.map(_.getPath.getName)
-      fs.delete(staging, true)
-      ids
+    val conf = spark.sessionState.newHadoopConf()
+    val stagingRoot = new org.apache.hadoop.fs.Path(s"$dir/_staging")
+    val retiredRoot = new org.apache.hadoop.fs.Path(s"$dir/_retired")
+    val fs = stagingRoot.getFileSystem(conf)
+    val actions = Seq.newBuilder[String]
+    if (fs.exists(retiredRoot)) {
+      fs.listStatus(retiredRoot).foreach { st =>
+        val id = st.getPath.getName
+        val promoted = new org.apache.hadoop.fs.Path(dir, s"seg-$id")
+        val stg = new org.apache.hadoop.fs.Path(stagingRoot, id)
+        val manifest = new org.apache.hadoop.fs.Path(stg, "_replaces")
+        if (fs.exists(promoted)) {
+          // crash between promote and cleanup — the compacted data is live
+          fs.delete(st.getPath, true)
+          actions += s"dropped-retired-$id"
+        } else if (fs.exists(manifest)) {
+          val replaces = graft.sources.HadoopText.read(fs, manifest)
+            .split('\n').map(_.trim).filter(_.nonEmpty).toSet
+          val retired = fs.listStatus(st.getPath).map(_.getPath.getName).toSet
+          if (retired == replaces) {
+            // all replaced segments retired — finish the promote
+            if (!fs.rename(stg, promoted))
+              throw new java.io.IOException(
+                s"recoverMinHashStore: failed to promote $stg")
+            fs.delete(st.getPath, true)
+            actions += s"forward-$id"
+          } else {
+            // partial retire — restore and drop the staged compaction
+            retired.foreach { n =>
+              if (!fs.rename(new org.apache.hadoop.fs.Path(st.getPath, n),
+                  new org.apache.hadoop.fs.Path(dir, n)))
+                throw new java.io.IOException(
+                  s"recoverMinHashStore: failed to restore $n")
+            }
+            fs.delete(st.getPath, true)
+            fs.delete(stg, true)
+            actions += s"rollback-$id"
+          }
+        } else {
+          // retired dir with neither promote nor manifest: restore contents
+          fs.listStatus(st.getPath).foreach { c =>
+            fs.rename(c.getPath, new org.apache.hadoop.fs.Path(dir, c.getPath.getName))
+          }
+          fs.delete(st.getPath, true)
+          actions += s"rollback-$id"
+        }
+      }
+      if (fs.exists(retiredRoot) && fs.listStatus(retiredRoot).isEmpty)
+        fs.delete(retiredRoot, true)
     }
+    if (fs.exists(stagingRoot)) {
+      val ids = fs.listStatus(stagingRoot).toSeq.map(_.getPath.getName)
+      fs.delete(stagingRoot, true)
+      actions ++= ids
+    }
+    actions.result()
   }
 
   private def segmentDirs(fs: org.apache.hadoop.fs.FileSystem,

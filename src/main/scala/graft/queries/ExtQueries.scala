@@ -1987,6 +1987,13 @@ object ExtQueries {
         require(nBatches >= 2,
           s"q_ext_stream15: replay collapsed into $nBatches micro-batch(es) — " +
             "the incremental segment-append path was not exercised")
+        // maintenance pass on the gate: the N per-batch segments compact to
+        // one (retire-then-promote, markers carried), and the probe below
+        // must answer identically off the compacted store
+        val compacted = Dedup.compactMinHashStore(s, s"$root/store")
+        require(compacted.toLong == nBatches,
+          s"q_ext_stream15: compacted $compacted segments but the replay " +
+            s"committed $nBatches batches — segment-per-batch drifted")
         Dedup.minHashPairsAgainstStore(docs.filter(col("doc_id") % 10 === 0),
             "doc_id", "text", s"$root/store", threshold = 0.8)
           .select(col("d1"), col("d2"), f4(col("jac")).as("jac"))

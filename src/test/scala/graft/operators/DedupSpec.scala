@@ -190,6 +190,86 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet === Set((9L, 1L), (9L, 2L)))
   }
 
+  test("MinHash store compaction: one segment, identical probes, markers carried forward") {
+    val dir = "target/tmp/minhash_store/spec_compact"
+    val fsPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(fsPath, true)
+    val mk = (id: Long) => (id, s"alpha beta gamma delta epsilon zeta eta doc$id")
+    val probe = Seq((99L, mk(1L)._2)).toDF("doc_id", "text")
+    Dedup.appendToMinHashStore(Seq(mk(1)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchMarker = Some("0"))
+    Dedup.appendToMinHashStore(Seq(mk(2)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchMarker = Some("1"))
+    Dedup.appendToMinHashStore(Seq(mk(3)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchMarker = Some("2"))
+    def pairs() = Dedup.minHashPairsAgainstStore(probe, "doc_id", "text", dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def segNames() = fs.listStatus(fsPath).map(_.getPath.getName)
+      .filter(_.startsWith("seg-")).toSeq
+    val before = pairs()
+    // the one-word tail edit keeps jac = 5/7 ~ 0.714 >= 0.6 for every doc
+    assert(before === Set((99L, 1L), (99L, 2L), (99L, 3L)), s"fixture drifted: $before")
+    assert(segNames().size === 3)
+    assert(Dedup.compactMinHashStore(spark, dir) === 3)
+    assert(segNames().size === 1)
+    assert(pairs() === before)
+    assert(Dedup.compactMinHashStore(spark, dir) === 0) // already compact
+    // a re-delivered pre-compaction batch still no-ops: its marker moved
+    // into the compacted segment
+    Dedup.appendToMinHashStore(Seq(mk(2)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchMarker = Some("1"))
+    assert(segNames().size === 1, "re-delivered batch appended after compaction")
+  }
+
+  test("MinHash store compaction crash drill: every window repairs to an equivalent store") {
+    val dirBase = "target/tmp/minhash_store/spec_compact_crash"
+    val conf = spark.sessionState.newHadoopConf()
+    def build(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(conf).delete(p, true)
+      (1L to 3L).foreach { i =>
+        Dedup.appendToMinHashStore(
+          Seq((i, s"alpha beta gamma delta epsilon zeta eta doc$i"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", dir, batchMarker = Some((i - 1).toString))
+      }
+    }
+    val probe = Seq((99L, "alpha beta gamma delta epsilon zeta eta doc1"))
+      .toDF("doc_id", "text")
+    def pairs(dir: String) =
+      Dedup.minHashPairsAgainstStore(probe, "doc_id", "text", dir, 0.6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // window 1: crash after a PARTIAL retire -> roll back
+    val d1 = s"$dirBase/w1"
+    build(d1)
+    val want = pairs(d1)
+    intercept[java.io.IOException] {
+      Dedup.compactMinHashStoreImpl(spark, d1, crashAfterRetires = 1)
+    }
+    val acts1 = Dedup.recoverMinHashStore(spark, d1)
+    assert(acts1.exists(_.startsWith("rollback-")), s"got $acts1")
+    assert(pairs(d1) === want)
+    val fs1 = new org.apache.hadoop.fs.Path(d1).getFileSystem(conf)
+    assert(fs1.listStatus(new org.apache.hadoop.fs.Path(d1))
+      .map(_.getPath.getName).count(_.startsWith("seg-")) === 3)
+    // window 2: crash after ALL retires, before promote -> roll forward
+    val d2 = s"$dirBase/w2"
+    build(d2)
+    intercept[java.io.IOException] {
+      Dedup.compactMinHashStoreImpl(spark, d2, crashAfterRetires = 3)
+    }
+    val acts2 = Dedup.recoverMinHashStore(spark, d2)
+    assert(acts2.exists(_.startsWith("forward-")), s"got $acts2")
+    assert(pairs(d2) === want)
+    val fs2 = new org.apache.hadoop.fs.Path(d2).getFileSystem(conf)
+    assert(fs2.listStatus(new org.apache.hadoop.fs.Path(d2))
+      .map(_.getPath.getName).count(_.startsWith("seg-")) === 1)
+    // recovery is idempotent in both windows
+    assert(Dedup.recoverMinHashStore(spark, d1).isEmpty)
+    assert(Dedup.recoverMinHashStore(spark, d2).isEmpty)
+  }
+
   test("connectedComponents labels every vertex with the min id of its component") {
     val pairs = Seq((1L, 2L), (2L, 5L), (7L, 8L), (3L, 9L), (9L, 4L), (4L, 3L))
       .toDF("d1", "d2")
