@@ -119,6 +119,24 @@ object Fetcher {
     .followRedirects(HttpClient.Redirect.NORMAL)
     .build()
 
+  /** One-shot GET for protocol METADATA (API pages, tree listings): returns
+    * (status, response headers, body). File payloads keep using
+    * [[streamDownload]] — this buffers the whole body, which is right for
+    * the KB-sized JSON the REST clients page through and wrong for archives.
+    */
+  private[sources] def get(url: String, headers: Seq[(String, String)] = Nil,
+      timeoutSeconds: Int = 60): (Int, Map[String, Seq[String]], Array[Byte]) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong)).GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    import scala.jdk.CollectionConverters._
+    val hs = resp.headers().map().asScala.map { case (k, vs) =>
+      k.toLowerCase -> vs.asScala.toSeq
+    }.toMap
+    (resp.statusCode(), hs, resp.body())
+  }
+
   private def open(url: String, timeoutSeconds: Int): InputStream = {
     val uri = URI.create(url)
     if (uri.getScheme == "file") {

@@ -1,0 +1,110 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Hugging Face Hub snapshot client — the wire protocol behind the
+  * reference's `snapshot_download(repo_id, repo_type="dataset", local_dir)`
+  * (`crystpqdb/download.py:11-18`), re-implemented from the PUBLIC hub HTTP
+  * API (huggingface.co/docs/hub/api):
+  *
+  *   - tree listing: `GET {endpoint}/api/{type}s/{repo}/tree/{rev}?recursive=true`
+  *     returning `[{"type":"file"|"directory","path":…,"size":…}, …]`,
+  *     paginated via the standard `Link: <url>; rel="next"` response header,
+  *   - file payloads: `GET {endpoint}/datasets/{repo}/resolve/{rev}/{path}`
+  *     (the `datasets/` prefix is the dataset-repo form; models resolve at
+  *     the bare repo path), streamed through [[Fetcher.streamDownload]]'s
+  *     temp-then-rename + skip-if-exists caching,
+  *   - fan-out: [[Fetcher.downloadAll]]'s worker pool, like the
+  *     reference's threaded uploads (`download.py:21-29`).
+  *
+  * After the fan-out every staged file's on-disk length is cross-checked
+  * against the tree listing's `size` — the same trust-but-verify step
+  * `ParquetDatabase.pushTo` applies to replicas. Loopback-exercised in
+  * ProtocolClientsSpec; only the live hub endpoint is unreachable from the
+  * zero-egress build environment.
+  */
+object HubClient {
+
+  private val mapper = new ObjectMapper()
+
+  final case class TreeEntry(path: String, size: Long)
+
+  /** List every FILE in the repo tree at `revision` (directories recursed
+    * server-side via `recursive=true`), following `Link rel="next"` pages.
+    */
+  def listTree(endpoint: String, repoId: String, repoType: String = "dataset",
+      revision: String = "main", timeoutSeconds: Int = 60,
+      maxPages: Int = 10000): Seq[TreeEntry] = {
+    val first =
+      s"$endpoint/api/${repoType}s/$repoId/tree/$revision?recursive=true"
+    val out = Seq.newBuilder[TreeEntry]
+    var next: Option[String] = Some(first)
+    var pages = 0
+    while (next.isDefined) {
+      pages += 1
+      if (pages > maxPages)
+        throw new java.io.IOException(
+          s"HubClient: tree listing still paging after $maxPages pages — refusing to loop forever")
+      val url = next.get
+      val (status, headers, body) = Fetcher.get(url, Nil, timeoutSeconds)
+      if (status / 100 != 2)
+        throw new java.io.IOException(
+          s"GET $url -> HTTP $status: ${new String(body, StandardCharsets.UTF_8).take(200)}")
+      val root = mapper.readTree(body)
+      if (!root.isArray)
+        throw new java.io.IOException(
+          s"HubClient: tree page was not a JSON array: ${new String(body, StandardCharsets.UTF_8).take(200)}")
+      root.forEach { n =>
+        if (n.path("type").asText == "file")
+          out += TreeEntry(n.path("path").asText, n.path("size").asLong)
+      }
+      next = nextLink(headers)
+    }
+    out.result()
+  }
+
+  /** Download the full repo snapshot into `localDir`, preserving the tree's
+    * relative paths. Returns the staged files in tree order. Re-runs are
+    * incremental (skip-if-exists per file). Tree paths that would escape
+    * `localDir` fail loudly — same traversal guard as [[Fetcher.unzip]].
+    */
+  def snapshotDownload(endpoint: String, repoId: String, localDir: String,
+      repoType: String = "dataset", revision: String = "main",
+      numWorkers: Int = 8, timeoutSeconds: Int = 60): Seq[File] = {
+    val entries = listTree(endpoint, repoId, repoType, revision, timeoutSeconds)
+    val resolveBase = repoType match {
+      case "dataset" => s"$endpoint/datasets/$repoId"
+      case "space"   => s"$endpoint/spaces/$repoId"
+      case _         => s"$endpoint/$repoId" // model repos resolve at the bare path
+    }
+    val destRoot = new File(localDir).getCanonicalPath + File.separator
+    val plan = entries.map { e =>
+      val dest = new File(localDir, e.path)
+      if (!(dest.getCanonicalPath + File.separator).startsWith(destRoot))
+        throw new SecurityException(s"tree entry escapes local_dir: ${e.path}")
+      (s"$resolveBase/resolve/$revision/${e.path}", dest.getPath)
+    }
+    val files = Fetcher.downloadAll(plan, numWorkers, timeoutSeconds)
+    // trust-but-verify: a truncated transfer that slipped past the
+    // temp-then-rename (e.g. a server that closed early with 200) must not
+    // be silently cached forever by skip-if-exists
+    entries.zip(files).foreach { case (e, f) =>
+      if (f.length != e.size)
+        throw new java.io.IOException(
+          s"HubClient: ${e.path} staged ${f.length} bytes but the tree lists ${e.size} — " +
+            "delete the file and re-run to re-fetch")
+    }
+    files
+  }
+
+  /** `Link: <url1>; rel="..."` header → the rel="next" URL, if any. */
+  private[sources] def nextLink(headers: Map[String, Seq[String]]): Option[String] =
+    headers.getOrElse("link", Nil).flatMap(_.split(",")).collectFirst {
+      case LinkRe(url, rel) if rel == "next" => url
+    }
+
+  private val LinkRe = """\s*<([^>]+)>\s*;\s*rel="([^"]+)"\s*""".r
+}
