@@ -340,9 +340,14 @@ object Similarity {
       s"|k=$numCentroids|iters=$kmeansIterations"
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(vectors.sparkSession.sessionState.newHadoopConf())
+    // the comparison strips a streaming-maintenance lastBatch field: a
+    // batch-markered append updates (n, xor) compositionally, so an ensure
+    // over the grown corpus must recognize the appended index as current
+    // rather than rebuild it just because the ledger field is present
     val current =
       if (!fs.exists(fpPath)) None
-      else Some(graft.sources.HadoopText.read(fs, fpPath))
+      else Some(graft.sources.HadoopText.read(fs, fpPath)
+        .split('|').filterNot(_.startsWith("lastBatch=")).mkString("|"))
     if (!current.contains(fp)) {
       persistIvfIndex(
         buildIvfIndex(vectors, idCol, vecCol, numCentroids, kmeansIterations), dir)
@@ -368,7 +373,8 @@ object Similarity {
     * as current instead of rebuilding. Returns the rows appended.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       newVectors: DataFrame, idCol: String, vecCol: String): Long = {
+                       newVectors: DataFrame, idCol: String, vecCol: String,
+                       batchMarker: Option[Long] = None): Long = {
     graft.functions.GraftFunctions.register(spark)
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -382,17 +388,33 @@ object Similarity {
     val kv = fields.collect { case f if f.contains("=") =>
       val Array(k, v) = f.split("=", 2); k -> v
     }.toMap
+    // exactly-once under foreachBatch re-delivery: the LAST applied batch
+    // id lives INSIDE the fingerprint, so it commits in the same atomic
+    // write as the append's visibility and the crash protocol preserves
+    // the right semantics in both directions — roll-forward restores the
+    // marker (re-delivery no-ops), roll-back drops it (re-delivery
+    // re-applies). Structured Streaming only ever re-delivers the most
+    // recent uncommitted batch, so one monotone id suffices as the ledger.
+    val lastBatch = kv.get("lastBatch").map(_.toLong).getOrElse(-1L)
+    if (batchMarker.exists(_ <= lastBatch)) return 0L
     // batch identity BEFORE any write: the pending marker must name both
     // the state being left and the state being entered, so a crash at any
     // point is resolvable by comparing the store's ACTUAL ids to the two
     val idRow = newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
     val nBatch = idRow.getLong(0)
     val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
-    val newFp = fields.map {
+    val bumped = fields.map {
       case f if f.startsWith("n=") => s"n=${kv("n").toLong + nBatch}"
       case f if f.startsWith("xor=") => s"xor=${kv("xor").toLong ^ xorBatch}"
       case f => f
-    }.mkString("|")
+    }
+    val newFp = (batchMarker match {
+      case None => bumped
+      case Some(b) =>
+        if (bumped.exists(_.startsWith("lastBatch=")))
+          bumped.map { case f if f.startsWith("lastBatch=") => s"lastBatch=$b"; case f => f }
+        else bumped :+ s"lastBatch=$b"
+    }).mkString("|")
     val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
     // create-no-overwrite: recoverIvfIndex above resolved any crashed
     // append's marker, so a marker appearing here belongs to a LIVE

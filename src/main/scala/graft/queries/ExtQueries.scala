@@ -2003,5 +2003,58 @@ object ExtQueries {
         s"WITH $jaccardCtes2 " +
           "SELECT i.d1, i.d2, floor(CAST(c AS DOUBLE)/(sa.sz+sb.sz-c)*10000)/10000 AS jac " +
           "FROM inter2 i JOIN sz2 sa ON sa.doc_id=i.d1 JOIN sz2 sb ON sb.doc_id=i.d2 " +
-          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 ORDER BY 1,2")))
+          "WHERE CAST(c AS DOUBLE)/(sa.sz+sb.sz-c) >= 0.8 ORDER BY 1,2")),
+
+    // STREAMING maintenance of the persisted IVF index — the vector-index
+    // member of the store-maintenance triad (q_ext_stream13 = HLL store,
+    // q_ext_stream15 = MinHash store): the index builds once from 3/4 of
+    // the corpus under the autoCentroids deployment rule, the remaining
+    // 1/4 arrives as embedding micro-batches appended by
+    // DocStreams.ivfIndexStream (batchId committed INSIDE the fingerprint
+    // — the append's own atomic visibility point — so foreachBatch
+    // re-delivery no-ops and every crash window resolves via
+    // recoverIvfIndex), and the probe runs against the MAINTAINED index.
+    // An assigned-store count proves every appended vector is searchable
+    // (a lost or doubled batch fails the require, not just the recall
+    // guard), the emitted result is the exact cosine top-k over the FULL
+    // corpus, and the in-plan recall guard keeps the maintained index's
+    // probe quality on the gate — q_ext_sim5's promotion pattern.
+    DeclaredQuery(
+      "q_ext_stream16",
+      (s, d) => {
+        val root = graft.Scratch.dir("stream_ivf")
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+        val emb = Tables.load(s, d, "embeddings")
+        val base = emb.filter(col("vec_id") % 4 =!= 0)
+        emb.filter(col("vec_id") % 4 === 0)
+          .repartition(4).write.parquet(s"$root/src")
+        val (_, kAuto) = Similarity.ensureIvfIndexSized(s, s"$root/ivf", base,
+          "vec_id", "embedding", Similarity.autoCentroids(_))
+        val nBatches = graft.streaming.DocStreams.ivfIndexStream(
+          s, s"$root/src", s"$root/ivf", s"$root/ck")
+        require(nBatches >= 2,
+          s"q_ext_stream16: replay collapsed into $nBatches micro-batch(es) — " +
+            "the incremental append path was not exercised")
+        val nIndexed = s.read.parquet(s"$root/ivf/assigned").count()
+        val nCorpus = emb.count()
+        require(nIndexed == nCorpus,
+          s"q_ext_stream16: maintained index holds $nIndexed vectors, corpus has " +
+            s"$nCorpus — a streamed batch was lost or double-applied")
+        val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        val out = Similarity.ivfTopKPersisted(s, s"$root/ivf", q,
+          "vec_id", "embedding", k = 10, nprobe = (kAuto + 1) / 2)
+        val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+          .localCheckpoint()
+        exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),
+            Seq("qid", "nid"))))
+          .select(col("qid"),
+            when(col("recall") >= 0.55, col("rn"))
+              .otherwise(raise_error(concat(
+                lit("q_ext_stream16: maintained-IVF top-k recall "),
+                col("recall").cast("string"), lit(" below 0.55")))).as("rn"),
+            col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      Some(cosineTopKSql("vec_id >= 100 AND vec_id < 105", 10))))
 }

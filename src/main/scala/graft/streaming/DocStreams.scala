@@ -198,4 +198,58 @@ object DocStreams {
     q.awaitTermination()
     q.recentProgress.count(_.numInputRows > 0).toLong
   }
+
+  /** Streaming sources require an explicit schema (embedding streams). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** STREAMING maintenance of a persisted IVF index — the vector-index
+    * member of the store-maintenance triad ([[EventStreams
+    * .distinctStoreStream]] for the HLL store, [[minHashStoreStream]] for
+    * the MinHash store): each embedding micro-batch is assigned to the
+    * index's EXISTING centroids and appended into the cell-partitioned
+    * store via [[graft.operators.Similarity.appendToIvfIndex]], so the
+    * index never re-runs k-means or rewrites history as the corpus grows.
+    *
+    * Exactly-once comes from the index's own fingerprint protocol: the
+    * batchId commits INSIDE the fingerprint in the same atomic write that
+    * makes the append visible, so a foreachBatch re-delivery no-ops, a
+    * crash before the fingerprint write rolls back (re-delivery
+    * re-applies), and a crash after it rolls forward (re-delivery no-ops)
+    * — all three windows resolved by `recoverIvfIndex` against the
+    * store's actual ids.
+    *
+    * The index must exist before the stream starts (`ensureIvfIndex` on
+    * the initial corpus) — the classical IVF maintenance contract: cells
+    * stay anchored to the original centroid geometry and a distribution
+    * drift eventually warrants a rebuild (appendToIvfIndex scaladoc).
+    *
+    * @return number of micro-batches that carried input rows.
+    */
+  def ivfIndexStream(spark: SparkSession, srcDir: String, indexDir: String,
+                     checkpointDir: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     maxFilesPerTrigger: Int = 1): Long = {
+    val src = spark.readStream.schema(embeddingsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val partKey = "spark.sql.shuffle.partitions"
+    val oldParts = spark.conf.get(partKey)
+    val q =
+      try {
+        spark.conf.set(partKey, "8")
+        src.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.operators.Similarity.appendToIvfIndex(spark, indexDir,
+              batch, idCol, vecCol, batchMarker = Some(batchId))
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(partKey, oldParts)
+    q.awaitTermination()
+    q.recentProgress.count(_.numInputRows > 0).toLong
+  }
 }

@@ -132,6 +132,82 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed === Set((6L, 1L)))
   }
 
+  test("stream-maintained IVF index applies each batch exactly once and stays ensure-fresh") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val root = graft.Scratch.dir("spec_ivfstream")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(8)(j => (((i * 7 + j * 3) % 13) + 1).toFloat)
+    val emb = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    emb.filter($"vec_id" % 4 === 0).repartition(3).write.parquet(s"$root/src")
+    Similarity.ensureIvfIndex(spark, s"$root/ivf", base, "vec_id", "embedding",
+      numCentroids = 4)
+    val nBatches = DocStreams.ivfIndexStream(spark, s"$root/src", s"$root/ivf", s"$root/ck")
+    assert(nBatches >= 2, s"replay collapsed into $nBatches batch(es)")
+    def assignedCount = spark.read.parquet(s"$root/ivf/assigned").count()
+    assert(assignedCount === 40L)
+    val fpPath = new org.apache.hadoop.fs.Path(s"$root/ivf", "_fingerprint")
+    val fp = graft.sources.HadoopText.read(fs, fpPath)
+    assert(fp.contains("lastBatch="), s"fingerprint carries no batch ledger: $fp")
+    val last = fp.split('|').find(_.startsWith("lastBatch=")).get.split("=")(1).toLong
+
+    // foreachBatch re-delivery (same or older marker) must no-op
+    val dup = emb.filter($"vec_id" % 4 === 0).limit(3)
+    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", dup, "vec_id", "embedding",
+      batchMarker = Some(last)) === 0L)
+    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", dup, "vec_id", "embedding",
+      batchMarker = Some(last - 1)) === 0L)
+    assert(assignedCount === 40L)
+
+    // the next batch id applies normally
+    val extra = Seq((100L, vec(100)), (101L, vec(101))).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", extra, "vec_id", "embedding",
+      batchMarker = Some(last + 1)) === 2L)
+    assert(assignedCount === 42L)
+
+    // ensure over the grown corpus with the same k recognizes the
+    // maintained index as current — a rebuild would write a ledger-free
+    // fingerprint, so the surviving lastBatch field is the no-rebuild proof
+    Similarity.ensureIvfIndex(spark, s"$root/ivf", emb.unionByName(extra),
+      "vec_id", "embedding", numCentroids = 4)
+    val committed = graft.sources.HadoopText.read(fs, fpPath)
+    assert(committed.contains(s"lastBatch=${last + 1}"),
+      "ensureIvfIndex rebuilt a healthy stream-maintained index")
+
+    // crash between the batch's data commit and the fingerprint write:
+    // roll-forward restores the ledger, so the re-delivered batch STILL
+    // no-ops afterwards (exactly-once across the crash)
+    graft.sources.HadoopText.write(fs, fpPath, fp)
+    graft.sources.HadoopText.write(fs,
+      new org.apache.hadoop.fs.Path(s"$root/ivf", "_append_pending"),
+      s"$fp\n$committed")
+    assert(Similarity.recoverIvfIndex(spark, s"$root/ivf") === Some("rolled-forward"))
+    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", extra, "vec_id", "embedding",
+      batchMarker = Some(last + 1)) === 0L)
+    assert(assignedCount === 42L)
+
+    // crash BEFORE the batch's data landed: roll-back drops that batch's
+    // ledger entry, so its re-delivery re-applies instead of being lost
+    val fakeNew = committed.split('|').map {
+      case f if f.startsWith("n=") => s"n=${f.drop(2).toLong + 2}"
+      case f if f.startsWith("lastBatch=") => s"lastBatch=${last + 2}"
+      case f => f
+    }.mkString("|")
+    graft.sources.HadoopText.write(fs,
+      new org.apache.hadoop.fs.Path(s"$root/ivf", "_append_pending"),
+      s"$committed\n$fakeNew")
+    assert(Similarity.recoverIvfIndex(spark, s"$root/ivf") === Some("rolled-back"))
+    assert(graft.sources.HadoopText.read(fs, fpPath) === committed)
+    val retry = Seq((200L, vec(200)), (201L, vec(201))).toDF("vec_id", "embedding")
+    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", retry, "vec_id", "embedding",
+      batchMarker = Some(last + 2)) === 2L)
+    assert(assignedCount === 44L)
+  }
+
   test("a degenerate hot bucket fails loudly at maxBucket") {
     import spark.implicits._
     val same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
