@@ -394,9 +394,19 @@ object Similarity {
     // the right semantics in both directions — roll-forward restores the
     // marker (re-delivery no-ops), roll-back drops it (re-delivery
     // re-applies). Structured Streaming only ever re-delivers the most
-    // recent uncommitted batch, so one monotone id suffices as the ledger.
+    // recent uncommitted batch, so one monotone id suffices as the ledger
+    // — and a marker STRICTLY below it can only mean the stream's
+    // checkpoint and this index are no longer a pair (reset/foreign
+    // checkpoint restarting ids at 0): fail loudly, because silently
+    // no-opping would drop genuinely new data batch after batch.
     val lastBatch = kv.get("lastBatch").map(_.toLong).getOrElse(-1L)
-    if (batchMarker.exists(_ <= lastBatch)) return 0L
+    if (batchMarker.exists(_ == lastBatch)) return 0L
+    batchMarker.foreach { b =>
+      if (b < lastBatch) throw new IllegalStateException(
+        s"appendToIvfIndex: batch $b is older than the index's ledger " +
+          s"(lastBatch=$lastBatch at $dir) — the streaming checkpoint and this " +
+          "index are mismatched; re-pair them or rebuild the index")
+    }
     // batch identity BEFORE any write: the pending marker must name both
     // the state being left and the state being entered, so a crash at any
     // point is resolvable by comparing the store's ACTUAL ids to the two

@@ -137,6 +137,17 @@ object Fetcher {
     (resp.statusCode(), hs, resp.body())
   }
 
+  /** [[get]] that fails loudly on non-2xx with a body snippet — the one
+    * error contract both REST clients share. */
+  private[sources] def getChecked(url: String, headers: Seq[(String, String)] = Nil,
+      timeoutSeconds: Int = 60): (Map[String, Seq[String]], Array[Byte]) = {
+    val (status, hs, body) = get(url, headers, timeoutSeconds)
+    if (status / 100 != 2)
+      throw new java.io.IOException(
+        s"GET $url -> HTTP $status: ${new String(body, java.nio.charset.StandardCharsets.UTF_8).take(200)}")
+    (hs, body)
+  }
+
   private def open(url: String, timeoutSeconds: Int): InputStream = {
     val uri = URI.create(url)
     if (uri.getScheme == "file") {

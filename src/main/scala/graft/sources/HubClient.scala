@@ -49,10 +49,7 @@ object HubClient {
         throw new java.io.IOException(
           s"HubClient: tree listing still paging after $maxPages pages — refusing to loop forever")
       val url = next.get
-      val (status, headers, body) = Fetcher.get(url, Nil, timeoutSeconds)
-      if (status / 100 != 2)
-        throw new java.io.IOException(
-          s"GET $url -> HTTP $status: ${new String(body, StandardCharsets.UTF_8).take(200)}")
+      val (headers, body) = Fetcher.getChecked(url, Nil, timeoutSeconds)
       val root = mapper.readTree(body)
       if (!root.isArray)
         throw new java.io.IOException(
@@ -73,8 +70,9 @@ object HubClient {
     */
   def snapshotDownload(endpoint: String, repoId: String, localDir: String,
       repoType: String = "dataset", revision: String = "main",
-      numWorkers: Int = 8, timeoutSeconds: Int = 60): Seq[File] = {
-    val entries = listTree(endpoint, repoId, repoType, revision, timeoutSeconds)
+      numWorkers: Int = 8, timeoutSeconds: Int = 60,
+      maxPages: Int = 10000): Seq[File] = {
+    val entries = listTree(endpoint, repoId, repoType, revision, timeoutSeconds, maxPages)
     val resolveBase = repoType match {
       case "dataset" => s"$endpoint/datasets/$repoId"
       case "space"   => s"$endpoint/spaces/$repoId"
@@ -100,11 +98,16 @@ object HubClient {
     files
   }
 
-  /** `Link: <url1>; rel="..."` header → the rel="next" URL, if any. */
+  /** `Link: <url1>; rel="..."` header → the rel="next" URL, if any.
+    * Scans for `<url>; rel="…"` pairs instead of splitting on commas —
+    * a comma is legal INSIDE a URI (query values), and `[^>]+` cannot
+    * run past the closing angle bracket, so comma-bearing next-URLs
+    * parse instead of silently ending pagination early.
+    */
   private[sources] def nextLink(headers: Map[String, Seq[String]]): Option[String] =
-    headers.getOrElse("link", Nil).flatMap(_.split(",")).collectFirst {
-      case LinkRe(url, rel) if rel == "next" => url
-    }
+    headers.getOrElse("link", Nil).iterator
+      .flatMap(LinkRe.findAllMatchIn)
+      .collectFirst { case m if m.group(2) == "next" => m.group(1) }
 
-  private val LinkRe = """\s*<([^>]+)>\s*;\s*rel="([^"]+)"\s*""".r
+  private val LinkRe = """<([^>]+)>\s*;\s*rel="([^"]+)"""".r
 }

@@ -41,7 +41,14 @@ object MpRestClient {
     require(apiKey.nonEmpty,
       "MpRestClient: API key not provided (the reference raises the same, mp.py:38-42)")
     require(perPage >= 1, s"MpRestClient: perPage must be >= 1, got $perPage")
-    new File(destDir).mkdirs()
+    val destRoot = new File(destDir)
+    destRoot.mkdirs()
+    // a previous longer run's pages must not survive into this staging:
+    // MpLoader globs $rawDir/*.json, so stale summary_page files would be
+    // silently ingested alongside the fresh ones
+    Option(destRoot.listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith("summary_page") && f.getName.endsWith(".json"))
+      .foreach(_.delete())
     val fieldsParam =
       if (fields.isEmpty) "" else s"&_fields=${fields.mkString(",")}"
     val staged = Seq.newBuilder[File]
@@ -53,10 +60,7 @@ object MpRestClient {
         throw new java.io.IOException(
           s"MpRestClient: server still paging after $maxPages pages — refusing to loop forever")
       val url = s"$baseUrl/materials/summary/?_page=$page&_per_page=$perPage$fieldsParam"
-      val (status, _, body) = Fetcher.get(url, Seq("X-API-KEY" -> apiKey), timeoutSeconds)
-      if (status / 100 != 2)
-        throw new java.io.IOException(
-          s"GET $url -> HTTP $status: ${new String(body, StandardCharsets.UTF_8).take(200)}")
+      val (_, body) = Fetcher.getChecked(url, Seq("X-API-KEY" -> apiKey), timeoutSeconds)
       val root = mapper.readTree(body)
       val data = root.path("data")
       if (!data.isArray)
@@ -70,11 +74,15 @@ object MpRestClient {
       }
       val total = totalDoc(root)
       done = data.size < perPage || total.exists(seen >= _)
-      // a server that reports total_doc but keeps sending full pages past
-      // it is mis-paginating — fail loudly rather than stage duplicates
+      // the total_doc cross-check cuts BOTH ways: over-delivery means the
+      // server is mis-paginating (duplicates would stage silently), and a
+      // short final page below the declared total means a truncated
+      // dataset would feed MpLoader as if complete
       total.foreach { t =>
         if (seen > t) throw new java.io.IOException(
           s"MpRestClient: staged $seen docs but meta.total_doc=$t — server pagination is inconsistent")
+        if (done && seen < t) throw new java.io.IOException(
+          s"MpRestClient: pagination ended at $seen docs but meta.total_doc=$t — partial dataset")
       }
       page += 1
     }

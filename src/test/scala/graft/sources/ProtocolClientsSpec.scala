@@ -53,10 +53,14 @@ class ProtocolClientsSpec extends SparkSpec {
   private def mpHandler(apiKey: String): HttpExchange => Unit = { ex =>
     if (ex.getRequestHeaders.getFirst("X-API-KEY") != apiKey)
       respond(ex, 401, """{"detail":"API key missing or invalid"}""")
+    else if (!queryParam(ex, "_fields").exists(_.contains("material_id")))
+      // contract violations answer 400 rather than assert on the server
+      // dispatch thread — the client surfaces the body in its IOException,
+      // so a regression names itself instead of hiding behind a closed
+      // connection
+      respond(ex, 400, """{"detail":"missing _fields projection"}""")
     else {
       val page = queryParam(ex, "_page").map(_.toInt).getOrElse(1)
-      // the client must project fields — echo-check the parameter exists
-      assert(queryParam(ex, "_fields").exists(_.contains("material_id")))
       val docs = Seq(
         """{"material_id":"mp-1","band_gap":1.0,"total_energy":-2.0}""",
         """{"material_id":"mp-2","band_gap":0.0,"total_energy":-3.0}""",
@@ -108,29 +112,47 @@ class ProtocolClientsSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("pagination is inconsistent"))
     }
+    // under-delivery: the server declares total_doc=5 but ends after 3
+    // docs — a truncated dataset must not stage as if complete
+    val short: HttpExchange => Unit = { ex =>
+      val page = queryParam(ex, "_page").map(_.toInt).getOrElse(1)
+      val body =
+        if (page == 1) """{"data":[{"material_id":"mp-1"},{"material_id":"mp-2"}],"meta":{"total_doc":5}}"""
+        else """{"data":[{"material_id":"mp-3"}],"meta":{"total_doc":5}}"""
+      respond(ex, 200, body)
+    }
+    withServer(Map("/materials/summary/" -> short)) { base =>
+      val e = intercept[java.io.IOException] {
+        MpRestClient.fetchSummary(base, "k", Seq("material_id"), 2, freshDir("mp_short"))
+      }
+      assert(e.getMessage.contains("partial dataset"))
+    }
   }
 
   // ---- Hugging Face hub snapshot ---------------------------------------
 
   test("HubClient.snapshotDownload walks the paginated tree and stages files by resolve path") {
     val local = freshDir("hub_snap")
-    var treeHits = 0
+    // mutated on server dispatch threads, read on the test thread
+    val treeHits = new java.util.concurrent.atomic.AtomicInteger(0)
     // the Link header embeds the server's own base URL, so the server is
     // built first and the contexts reference its bound port
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     val handlers: Map[String, HttpExchange => Unit] = Map(
       "/api/datasets/acme/corpus/tree/main" -> { ex =>
-        treeHits += 1
+        treeHits.incrementAndGet()
         queryParam(ex, "cursor") match {
+          case None if !queryParam(ex, "recursive").contains("true") =>
+            respond(ex, 400, """{"error":"tree listing must be recursive"}""")
           case None =>
-            assert(queryParam(ex, "recursive").contains("true"))
             respond(ex, 200,
               """[{"type":"file","path":"a.txt","size":9},{"type":"directory","path":"sub","size":0}]""",
               "Link" -> s"""<$base/api/datasets/acme/corpus/tree/main?recursive=true&cursor=p2>; rel="next"""")
           case Some("p2") =>
             respond(ex, 200, """[{"type":"file","path":"sub/b.bin","size":4}]""")
-          case other => fail(s"unexpected cursor $other")
+          case other =>
+            respond(ex, 400, s"""{"error":"unexpected cursor $other"}""")
         }
       },
       "/datasets/acme/corpus/resolve/main/a.txt" -> (respond(_, 200, "payload-a")),
@@ -146,9 +168,9 @@ class ProtocolClientsSpec extends SparkSpec {
       assert(Files.readString(Paths.get(s"$local/sub/b.bin")) === "abcd")
 
       // incremental re-run: both files exist → skip-if-exists, no re-fetch
-      val before = treeHits
+      val before = treeHits.get()
       HubClient.snapshotDownload(base, "acme/corpus", local, numWorkers = 2)
-      assert(treeHits === before + 2) // tree is re-listed (2 pages), payloads are not re-read
+      assert(treeHits.get() === before + 2) // tree is re-listed (2 pages), payloads are not re-read
     } finally server.stop(0)
   }
 
@@ -177,5 +199,10 @@ class ProtocolClientsSpec extends SparkSpec {
       Some("http://h/page2"))
     assert(HubClient.nextLink(Map("link" -> Seq("""<http://h/x>; rel="prev""""))) === None)
     assert(HubClient.nextLink(Map.empty) === None)
+    // a comma is legal INSIDE a URI — it must not be read as a Link
+    // separator (naive split-on-comma silently ends pagination here)
+    assert(HubClient.nextLink(Map("link" ->
+      Seq("""<http://h/tree?cursor=a,b&recursive=true>; rel="next""""))) ===
+      Some("http://h/tree?cursor=a,b&recursive=true"))
   }
 }

@@ -155,12 +155,17 @@ class DocStreamsSpec extends SparkSpec {
     assert(fp.contains("lastBatch="), s"fingerprint carries no batch ledger: $fp")
     val last = fp.split('|').find(_.startsWith("lastBatch=")).get.split("=")(1).toLong
 
-    // foreachBatch re-delivery (same or older marker) must no-op
+    // foreachBatch re-delivery (the SAME marker) must no-op; a STRICTLY
+    // older marker means a reset/foreign checkpoint is driving this index
+    // — silent no-op would drop new data batch after batch, so it throws
     val dup = emb.filter($"vec_id" % 4 === 0).limit(3)
     assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", dup, "vec_id", "embedding",
       batchMarker = Some(last)) === 0L)
-    assert(Similarity.appendToIvfIndex(spark, s"$root/ivf", dup, "vec_id", "embedding",
-      batchMarker = Some(last - 1)) === 0L)
+    val mismatch = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(spark, s"$root/ivf", dup, "vec_id", "embedding",
+        batchMarker = Some(last - 1))
+    }
+    assert(mismatch.getMessage.contains("mismatched"))
     assert(assignedCount === 40L)
 
     // the next batch id applies normally
