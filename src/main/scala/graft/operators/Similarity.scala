@@ -111,6 +111,28 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
+  /** EXACT incremental top-k result maintenance (the interactive-session
+    * pattern of "Incremental Framework for Efficient Top-K Similarity
+    * Search", EDBT 2020): merge a PRIOR per-query top-k with the scores of
+    * the same queries against an APPENDED batch, re-rank, keep k. Correct
+    * by containment — every true top-k neighbor over corpus ∪ batch is in
+    * (top-k over corpus) ∪ (top-k over batch) for its query — so the
+    * merged result equals a full recompute EXACTLY, at O(|Q|·(k + |B|))
+    * work instead of O(|Q|·n): at 100 TB the grown corpus is never
+    * re-scored, only the ingest tick is. Both inputs must carry
+    * [[cosineTopK]]'s (qid, nid, cos) columns ranked by the same
+    * full-precision (cos desc, nid) order this merge re-applies.
+    */
+  def mergeTopK(prior: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"Similarity.mergeTopK: k must be >= 1, got $k")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    prior.select("qid", "nid", "cos")
+      .unionByName(delta.select("qid", "nid", "cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+  }
+
   /** Sign-random-projection bucket id: numPlanes sign bits packed into a
     * long, via the native codegen'd [[graft.functions.VectorSrpBucket]]
     * (bit-identical to the HOF formulation it replaced — VectorDotSpec —

@@ -1034,6 +1034,31 @@ object ExtQueries {
       },
       Some(cosineTopKSql("vec_id >= 15 AND vec_id < 20", 10))),
 
+    // EXACT incremental top-k result maintenance (EDBT 2020's interactive-
+    // session pattern): the corpus splits into a standing 4/5 and an
+    // appended 1/5, the standing top-k is computed once (a deployment
+    // reads it from its result store), the ingest tick scores ONLY the
+    // queries × batch — O(|Q|·(k+|B|)), the grown corpus is never
+    // re-scored — and Similarity.mergeTopK re-ranks the union. Correct by
+    // containment (every true neighbor is in one of the two arms' top-k),
+    // so the merged result equals the full-corpus exact top-k EXACTLY and
+    // sits on the same shared oracle as q_ext_sim1/sim5 — no recall
+    // guard, because the algebraic identity leaves nothing approximate.
+    DeclaredQuery(
+      "q_ext_sim6",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") >= 40 && col("vec_id") < 45)
+        val prior = Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 5 =!= 0), q, "vec_id", "embedding", k = 10)
+        val delta = Similarity.cosineTopK(
+          emb.filter(col("vec_id") % 5 === 0), q, "vec_id", "embedding", k = 10)
+        Similarity.mergeTopK(prior, delta, 10)
+          .select(col("qid"), col("rn"), col("nid"), r4(col("cos")).as("cos"))
+          .orderBy("qid", "rn")
+      },
+      Some(cosineTopKSql("vec_id >= 40 AND vec_id < 45", 10))),
+
     // multimodal decode, REAL codec round-trip: generate an id-sized PNG
     // per row (JDK ImageIO — no external codecs needed), decode it back
     // distributed, and check the recovered dimensions against the closed

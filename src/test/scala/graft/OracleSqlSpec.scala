@@ -74,6 +74,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_sim4" -> "list_cosine_similarity (DuckDB list function)",
     "q_ext_sim5" -> "unnest (Spark: explode)",
     "q_ext_stream16" -> "unnest (Spark: explode)",
+    "q_ext_sim6" -> "unnest (Spark: explode)",
     "q_ext_dedup4" -> "string_split (Spark: split)",
     "q_ext_mm1" -> "CAST AS BLOB (Spark: BINARY)",
     "q_ext_mm6" -> "unnest(generate_series) (Spark: explode(sequence))",

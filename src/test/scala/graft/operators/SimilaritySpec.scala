@@ -31,6 +31,32 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoCentroids(Long.MaxValue) === (1 << 20)) // cap, no overflow
   }
 
+  test("mergeTopK over a corpus/batch split equals the full-corpus exact top-k") {
+    val vecs = clustered(60, 16, 4, jitter = 0.05)
+    val full = vecs.toDF("vec_id", "embedding")
+    val q = full.filter($"vec_id" < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rn", "nid").orderBy("qid", "rn")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    for (k <- Seq(3, 10, 25)) {
+      // k=25 > batch size (12 rows at %5==0): the batch arm returns fewer
+      // than k rows and the merge must still be exact
+      val prior = Similarity.cosineTopK(
+        full.filter($"vec_id" % 5 =!= 0), q, "vec_id", "embedding", k)
+      val delta = Similarity.cosineTopK(
+        full.filter($"vec_id" % 5 === 0), q, "vec_id", "embedding", k)
+      val merged = Similarity.mergeTopK(prior, delta, k)
+      val direct = Similarity.cosineTopK(full, q, "vec_id", "embedding", k)
+      assert(rows(merged) === rows(direct), s"merge diverged from recompute at k=$k")
+    }
+    // an empty batch arm degenerates to the prior ranking unchanged
+    val prior = Similarity.cosineTopK(
+      full.filter($"vec_id" % 5 =!= 0), q, "vec_id", "embedding", 10)
+    val none = Similarity.cosineTopK(
+      full.filter($"vec_id" < 0), q, "vec_id", "embedding", 10)
+    assert(rows(Similarity.mergeTopK(prior, none, 10)) === rows(prior))
+  }
+
   test("cosineTopK ranks an identical vector first") {
     val vecs = clustered(40, 16, 4, jitter = 0.05)
     // vector 36 is in cluster 0 alongside 0, 4, 8...
