@@ -148,6 +148,24 @@ object Fetcher {
     (hs, body)
   }
 
+  /** One-shot POST under the same error contract as [[getChecked]] —
+    * the write half of the REST clients (hub commit API). */
+  private[sources] def postChecked(url: String, payload: Array[Byte],
+      contentType: String, headers: Seq[(String, String)] = Nil,
+      timeoutSeconds: Int = 60): Array[Byte] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .header("Content-Type", contentType)
+      .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"POST $url -> HTTP ${resp.statusCode()}: " +
+          new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8).take(200))
+    resp.body()
+  }
+
   private def open(url: String, timeoutSeconds: Int): InputStream = {
     val uri = URI.create(url)
     if (uri.getScheme == "file") {

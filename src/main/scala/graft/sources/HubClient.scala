@@ -98,6 +98,61 @@ object HubClient {
     files
   }
 
+  /** Upload ONE file to the hub via the public commit API — the write half
+    * of the reference's replication (`download.py:21-29` runs one
+    * `upload_file` per parquet shard): `POST {endpoint}/api/{type}s/{repo}
+    * /commit/{revision}` with an `application/x-ndjson` body — a `header`
+    * line (commit summary) then a `file` line carrying the base64 payload —
+    * under `Authorization: Bearer {token}`. Returns the server's commit
+    * response body (opaque JSON).
+    */
+  def uploadFile(endpoint: String, token: String, repoId: String,
+      pathInRepo: String, data: Array[Byte], repoType: String = "dataset",
+      revision: String = "main", summary: String = "upload",
+      timeoutSeconds: Int = 60): Array[Byte] = {
+    require(token.nonEmpty, "HubClient.uploadFile: token not provided")
+    require(!pathInRepo.split('/').contains(".."),
+      s"HubClient.uploadFile: path escapes the repo: $pathInRepo")
+    val header = mapper.createObjectNode()
+    header.put("key", "header")
+    header.putObject("value").put("summary", summary)
+    val file = mapper.createObjectNode()
+    file.put("key", "file")
+    val fv = file.putObject("value")
+    fv.put("path", pathInRepo)
+    fv.put("content", java.util.Base64.getEncoder.encodeToString(data))
+    fv.put("encoding", "base64")
+    val ndjson = (mapper.writeValueAsString(header) + "\n" +
+      mapper.writeValueAsString(file) + "\n").getBytes(StandardCharsets.UTF_8)
+    Fetcher.postChecked(
+      s"$endpoint/api/${repoType}s/$repoId/commit/$revision", ndjson,
+      "application/x-ndjson", Seq("Authorization" -> s"Bearer $token"),
+      timeoutSeconds)
+  }
+
+  /** Threaded per-file upload fan-out — the reference's
+    * `_upload_file_thread` pool (`download.py:21-39`: one commit per
+    * file, files in parallel). Returns the paths uploaded, in input order.
+    */
+  def uploadAll(endpoint: String, token: String, repoId: String,
+      files: Seq[(String, java.io.File)], repoType: String = "dataset",
+      revision: String = "main", numWorkers: Int = 8,
+      timeoutSeconds: Int = 60): Seq[String] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, numWorkers))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = files.map { case (pathInRepo, f) =>
+        (() => {
+          uploadFile(endpoint, token, repoId, pathInRepo,
+            java.nio.file.Files.readAllBytes(f.toPath), repoType, revision,
+            summary = s"upload $pathInRepo", timeoutSeconds = timeoutSeconds)
+          pathInRepo
+        }): java.util.concurrent.Callable[String]
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+
   /** `Link: <url1>; rel="..."` header → the rel="next" URL, if any.
     * Scans for `<url>; rel="…"` pairs instead of splitting on commas —
     * a comma is legal INSIDE a URI (query values), and `[^>]+` cannot

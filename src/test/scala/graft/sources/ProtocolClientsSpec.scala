@@ -193,6 +193,54 @@ class ProtocolClientsSpec extends SparkSpec {
     }
   }
 
+  test("HubClient.uploadAll commits each file via the NDJSON commit API under a Bearer token") {
+    val received = new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+    val handler: HttpExchange => Unit = { ex =>
+      if (ex.getRequestHeaders.getFirst("Authorization") != "Bearer tok-1")
+        respond(ex, 401, """{"error":"invalid token"}""")
+      else if (ex.getRequestHeaders.getFirst("Content-Type") != "application/x-ndjson")
+        respond(ex, 400, """{"error":"commit body must be x-ndjson"}""")
+      else {
+        val lines = new String(ex.getRequestBody.readAllBytes(),
+          StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val parsed = lines.map(mapper.readTree)
+        if (parsed.headOption.exists(_.path("key").asText != "header"))
+          respond(ex, 400, """{"error":"first NDJSON line must be the commit header"}""")
+        else {
+          parsed.drop(1).foreach { n =>
+            if (n.path("key").asText == "file" &&
+                n.path("value").path("encoding").asText == "base64")
+              received.put(n.path("value").path("path").asText,
+                java.util.Base64.getDecoder.decode(n.path("value").path("content").asText))
+          }
+          respond(ex, 200, """{"commitUrl":"http://h/c/1"}""")
+        }
+      }
+    }
+    withServer(Map("/api/datasets/acme/sink/commit/main" -> handler)) { base =>
+      val dir = freshDir("hub_up")
+      val files = Seq("part-0.parquet", "part-1.parquet", "meta/manifest.json").map { name =>
+        val f = new java.io.File(dir, name.replace('/', '_'))
+        Files.write(f.toPath, s"payload-of-$name".getBytes(StandardCharsets.UTF_8))
+        name -> f
+      }
+      val done = HubClient.uploadAll(base, "tok-1", "acme/sink", files, numWorkers = 2)
+      assert(done === files.map(_._1))
+      assert(received.size === 3)
+      assert(new String(received.get("meta/manifest.json"), StandardCharsets.UTF_8)
+        === "payload-of-meta/manifest.json")
+
+      val bad = intercept[java.io.IOException] {
+        HubClient.uploadFile(base, "wrong", "acme/sink", "x.txt", Array[Byte](1))
+      }
+      assert(bad.getMessage.contains("401"))
+      intercept[IllegalArgumentException] {
+        HubClient.uploadFile(base, "tok-1", "acme/sink", "../escape.txt", Array[Byte](1))
+      }
+    }
+  }
+
   test("HubClient.nextLink parses the standard Link header and ignores other rels") {
     assert(HubClient.nextLink(Map("link" ->
       Seq("""<http://h/page2>; rel="next", <http://h/page9>; rel="last""""))) ===
