@@ -179,7 +179,13 @@ object Curation {
         s"got ($minBucket, $maxBucket)")
     val sizes = Iterator.iterate(minBucket.toLong)(_ * 2)
       .takeWhile(_ <= maxBucket).toSeq
-    val n = nTokens.cast("long")
+    // a null token count would otherwise fall through every when(n <= b)
+    // branch (null comparisons are false) into the maxBucket bucket with
+    // its used_tok silently skipped by sum — miscounted, not flagged. An
+    // audit must fail loudly on unauditable input instead.
+    val n = when(nTokens.isNotNull, nTokens.cast("long"))
+      .otherwise(raise_error(lit(
+        "lengthBucketStats: null token count — filter or repair the input first")))
     val bucket = sizes.init.foldRight(lit(sizes.last): Column) { (b, acc) =>
       when(n <= b, lit(b)).otherwise(acc)
     }

@@ -562,8 +562,13 @@ object IngestQueries {
         require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 1")
         require(db.recover().exists(_.contains("rolled back")),
           "q_norm6: incomplete rewrite was not rolled back")
-        // drill 2: complete rewrite (_SUCCESS present), crash between renames
+        // drill 2: complete rewrite (_SUCCESS present), crash between
+        // renames. Roll-forward is token-gated (round-11 __swapper
+        // protocol), so the marker the swap writes before its first
+        // rename is part of the simulated crash state.
         src.repartition(2).write.parquet(db.dir + "__normalize_tmp")
+        graft.sources.HadoopText.write(fs, P(db.dir + "__swapper"),
+          db.dir + "__normalize_tmp")
         require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 2")
         require(db.recover().exists(_.contains("completed")),
           "q_norm6: complete rewrite was not rolled forward")

@@ -32,6 +32,20 @@ object HubClient {
 
   final case class TreeEntry(path: String, size: Long)
 
+  /** Percent-encode a repo-relative path for URL embedding, one segment at
+    * a time with '/' preserved — the same per-segment quoting the
+    * reference's huggingface_hub client applies. Without it a space in a
+    * tree entry makes the request URI invalid, and '#'/'?'/'%' silently
+    * truncate or alter the request (real dataset repos do contain such
+    * filenames, and the size cross-check would then hard-fail the whole
+    * snapshot).
+    */
+  private[sources] def encodePath(path: String): String =
+    path.split("/", -1).map { seg =>
+      // URLEncoder is form encoding: '+' means space there, %20 on a path
+      java.net.URLEncoder.encode(seg, "UTF-8").replace("+", "%20")
+    }.mkString("/")
+
   /** List every FILE in the repo tree at `revision` (directories recursed
     * server-side via `recursive=true`), following `Link rel="next"` pages.
     */
@@ -39,7 +53,7 @@ object HubClient {
       revision: String = "main", timeoutSeconds: Int = 60,
       maxPages: Int = 10000): Seq[TreeEntry] = {
     val first =
-      s"$endpoint/api/${repoType}s/$repoId/tree/$revision?recursive=true"
+      s"$endpoint/api/${repoType}s/${encodePath(repoId)}/tree/${encodePath(revision)}?recursive=true"
     val out = Seq.newBuilder[TreeEntry]
     var next: Option[String] = Some(first)
     var pages = 0
@@ -74,16 +88,16 @@ object HubClient {
       maxPages: Int = 10000): Seq[File] = {
     val entries = listTree(endpoint, repoId, repoType, revision, timeoutSeconds, maxPages)
     val resolveBase = repoType match {
-      case "dataset" => s"$endpoint/datasets/$repoId"
-      case "space"   => s"$endpoint/spaces/$repoId"
-      case _         => s"$endpoint/$repoId" // model repos resolve at the bare path
+      case "dataset" => s"$endpoint/datasets/${encodePath(repoId)}"
+      case "space"   => s"$endpoint/spaces/${encodePath(repoId)}"
+      case _         => s"$endpoint/${encodePath(repoId)}" // model repos resolve at the bare path
     }
     val destRoot = new File(localDir).getCanonicalPath + File.separator
     val plan = entries.map { e =>
       val dest = new File(localDir, e.path)
       if (!(dest.getCanonicalPath + File.separator).startsWith(destRoot))
         throw new SecurityException(s"tree entry escapes local_dir: ${e.path}")
-      (s"$resolveBase/resolve/$revision/${e.path}", dest.getPath)
+      (s"$resolveBase/resolve/${encodePath(revision)}/${encodePath(e.path)}", dest.getPath)
     }
     val files = Fetcher.downloadAll(plan, numWorkers, timeoutSeconds)
     // trust-but-verify: a truncated transfer that slipped past the
@@ -105,6 +119,18 @@ object HubClient {
     * line (commit summary) then a `file` line carrying the base64 payload —
     * under `Authorization: Bearer {token}`. Returns the server's commit
     * response body (opaque JSON).
+    *
+    * SIZE LIMITATION (documented, not yet implemented): the live hub's
+    * commit API accepts inline base64 only for small text-ish payloads —
+    * large/binary files (parquet shards, the reference's exact use case)
+    * must go through the LFS preupload leg (`POST …/preupload/{revision}`
+    * to learn each file's upload mode, then the S3 multipart dance, then a
+    * `lfsFile` commit line carrying the OID instead of content). This
+    * client implements only the inline leg, and it buffers the whole file
+    * (×~1.33 as base64) in heap — [[uploadAll]] holds up to `numWorkers`
+    * such buffers concurrently. Fine for the loopback tests and small
+    * metadata files; a production push of parquet shards needs the LFS leg
+    * added here.
     */
   def uploadFile(endpoint: String, token: String, repoId: String,
       pathInRepo: String, data: Array[Byte], repoType: String = "dataset",
@@ -125,7 +151,7 @@ object HubClient {
     val ndjson = (mapper.writeValueAsString(header) + "\n" +
       mapper.writeValueAsString(file) + "\n").getBytes(StandardCharsets.UTF_8)
     Fetcher.postChecked(
-      s"$endpoint/api/${repoType}s/$repoId/commit/$revision", ndjson,
+      s"$endpoint/api/${repoType}s/${encodePath(repoId)}/commit/${encodePath(revision)}", ndjson,
       "application/x-ndjson", Seq("Authorization" -> s"Bearer $token"),
       timeoutSeconds)
   }

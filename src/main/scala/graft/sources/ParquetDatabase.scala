@@ -93,9 +93,14 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   private def patchRepairNeeded(): Boolean = {
     val pOld = new Path(s"${dir}__patch_old")
     val manifest = new Path(pOld, "_manifest")
-    fs.exists(manifest) && readTextFile(manifest).linesIterator
-      .filter(_.startsWith("touched\t"))
-      .exists(l => !fs.exists(new Path(l.stripPrefix("touched\t"))))
+    // TOCTOU: a concurrent patcher finishing its commit deletes
+    // __patch_old/_manifest between the exists() and the read — that
+    // interleaving means the live tree is complete, i.e. no repair needed
+    try {
+      fs.exists(manifest) && readTextFile(manifest).linesIterator
+        .filter(_.startsWith("touched\t"))
+        .exists(l => !fs.exists(new Path(l.stripPrefix("touched\t"))))
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Mutator-entry capture: recover ONLY when the live tree itself is
@@ -301,6 +306,14 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       archiveReferenced(new Path(old), p => relativize(old, p))
       fs.delete(new Path(old), true)
     }
+    // SWAPPER TOKEN: record which stage THIS swap intends to promote,
+    // BEFORE anything is renamed. recover()'s roll-forward only ever
+    // promotes the stage this marker names — without it, a stale complete
+    // stage left by an earlier crashed writer (invocation-unique staging
+    // deliberately leaves debris in place) could be promoted over a
+    // competitor's committed table when a later writer crashes mid-abort
+    // with __old holding the CURRENT table. Overwrites any stale marker.
+    writeTextFile(new Path(swapperMarker), tmp)
     preRenameHook()
     // a competitor's __old reappearing here means a commit is IN FLIGHT
     // (it exists only between a competitor's swap and its cleanup) — on
@@ -308,6 +321,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // inside it instead of failing. Abort before renaming anything.
     if (fs.exists(new Path(old))) {
       fs.delete(new Path(tmp), true)
+      fs.delete(new Path(swapperMarker), false)
       throw new java.util.ConcurrentModificationException(
         s"optimistic-concurrency conflict on $dir: another writer's swap is in flight " +
           s"($old reappeared after the conflict check). Aborted with nothing renamed — " +
@@ -329,6 +343,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
           s"rewrite: swap rename nested the table at $nested and un-nesting failed — " +
             s"rename it back to $dir manually")
       fs.delete(new Path(tmp), true)
+      fs.delete(new Path(swapperMarker), false)
       throw new java.util.ConcurrentModificationException(
         s"optimistic-concurrency conflict on $dir: the swap rename landed inside a " +
           "competitor's in-flight cleanup tree and was un-nested. Table restored — " +
@@ -345,11 +360,11 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // capture — on mismatch, put it back and abort with nothing lost.
     // ORDER MATTERS on the abort path: tmp is deleted BEFORE the restore
     // rename, so a crash mid-abort leaves (dir missing, __old = the
-    // competitor's committed table, no complete staged rewrite) — a state
-    // recover() repairs by rolling __old BACK, which is correct here.
-    // Restoring first would leave our stale complete stage beside the
-    // moved-aside table, and recover() would roll the stale stage FORWARD
-    // over the competitor's commit.
+    // competitor's committed table, swapper marker naming a now-deleted
+    // stage) — a state recover() repairs by rolling __old BACK, which is
+    // correct here. The swapper token makes this robust even when an
+    // EARLIER crashed writer's complete stage sits beside the table:
+    // recover() never promotes a stage the marker doesn't name.
     // COST NOTE: this walk runs while dir is absent, so the reader-visible
     // outage of a rewrite commit is one metadata listing of the table, not
     // just two renames. At fleet scale, readers of actively-mutating
@@ -358,6 +373,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     expected.foreach { e =>
       if (fingerprintOfTree(old) != e) {
         fs.delete(new Path(tmp), true)
+        fs.delete(new Path(swapperMarker), false)
         if (!fs.rename(new Path(old), new Path(dir)))
           throw new java.io.IOException(
             s"rewrite: conflict detected after the swap rename but restoring $old -> $dir " +
@@ -381,7 +397,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // snapshot still references in the archive before dropping the rest
     archiveReferenced(new Path(old), p => relativize(old, p))
     fs.delete(new Path(old), true)
+    fs.delete(new Path(swapperMarker), false)
   }
+
+  /** Sibling marker naming the staging dir of the swap currently (or last)
+    * in flight — the roll-forward authorization recover() requires.
+    */
+  private def swapperMarker: String = s"${dir}__swapper"
 
   /** Upsert by key (the underlying ParquetDB API's `update` surface —
     * unexercised by the reference's loaders but part of the store's
@@ -560,11 +582,18 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * promise. Idempotent; a no-op on a healthy table. Returns a summary of
     * the actions taken (empty = nothing to repair).
     *
-    * Rewrite swaps: if the live dir is missing, a COMPLETE rewrite
-    * (`_SUCCESS` present in exactly ONE `__normalize_tmp*` sibling —
-    * staging names carry an invocation-unique suffix) is rolled FORWARD
-    * into place; otherwise the original at `__old` is rolled back.
-    * Leftover temp dirs beside a healthy live dir are simply dropped.
+    * Rewrite swaps: if the live dir is missing, roll-forward is
+    * TOKEN-GATED — only the stage the `__swapper` marker names (written by
+    * the swap before its first rename) is ever promoted, and only if it is
+    * COMPLETE (`_SUCCESS` present). Otherwise `__old` is rolled back
+    * whenever it exists: always safe, because a crashed writer never
+    * reported success. An unattributed complete stage is promoted only in
+    * the no-`__old`, no-marker state (nothing else holds table content).
+    * This ordering is what makes crashed-stage debris harmless: a stale
+    * complete stage from an earlier writer can sit beside the table
+    * forever without a later writer's crash mid-abort promoting it over
+    * the committed table. Leftover temp dirs beside a healthy live dir
+    * are simply dropped.
     *
     * Patch swaps: the `__patch_old/_manifest` written before any rename
     * lists every replacement file path and every moved-aside original, so
@@ -589,16 +618,22 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // are just the empty-suffix case of the same prefix
     val nTmps = stagingSiblings("__normalize_tmp")
     val pTmps = stagingSiblings("__patch_tmp")
+    val marker = new Path(swapperMarker)
     if (!fs.exists(new Path(dir))) {
       val complete = nTmps.filter(t => fs.exists(new Path(t, "_SUCCESS")))
-      if (complete.size == 1) {
-        // rewrite finished writing; crash hit between the two renames —
-        // roll FORWARD (the rewrite is the intended state). Only when the
-        // complete candidate is unambiguous: two complete stages mean two
-        // crashed writers, and only the one whose dir->__old rename won is
-        // the intended state — unknowable after the fact, so fall through
-        // to the always-safe rollback.
-        val nTmp = complete.head
+      // roll-forward is TOKEN-GATED: only the stage the crashed swap's own
+      // __swapper marker names may be promoted — an unattributed complete
+      // stage is some EARLIER writer's debris, and promoting it when __old
+      // holds the committed table (a crash mid-abort after the post-lock
+      // conflict check) would silently replace the live table with a
+      // stale rewrite
+      val own = (if (fs.exists(marker)) Some(readTextFile(marker).trim) else None)
+        .map(new Path(_))
+        .filter(t => complete.exists(_.getName == t.getName))
+      if (own.isDefined) {
+        // the in-flight swap finished writing; crash hit between the two
+        // renames — roll FORWARD (the rewrite is the intended state)
+        val nTmp = complete.find(_.getName == own.get.getName).get
         if (!fs.rename(nTmp, new Path(dir)))
           throw new java.io.IOException(s"recover: failed to move $nTmp into place")
         actions += s"completed interrupted rewrite: $nTmp -> $dir"
@@ -610,19 +645,34 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         for (t <- nTmps if t != nTmp && fs.exists(t)) {
           fs.delete(t, true); actions += s"dropped incomplete $t"
         }
+        fs.delete(marker, false)
       } else if (fs.exists(nOld)) {
-        // rewrite incomplete (or ambiguous) — roll back the original
+        // no token-authorized stage — roll back the original: always safe,
+        // the crashed writer never reported success
         if (!fs.rename(nOld, new Path(dir)))
           throw new java.io.IOException(s"recover: failed to restore $nOld")
         actions += s"rolled back interrupted rewrite: $nOld -> $dir"
         for (t <- nTmps if fs.exists(t)) {
           fs.delete(t, true); actions += s"dropped incomplete $t"
         }
+        if (fs.exists(marker)) fs.delete(marker, false)
+      } else if (complete.size == 1) {
+        // no __old and no marker (pre-token debris, or manual surgery):
+        // the single complete stage is the only table content anywhere —
+        // promote it
+        val nTmp = complete.head
+        if (!fs.rename(nTmp, new Path(dir)))
+          throw new java.io.IOException(s"recover: failed to move $nTmp into place")
+        actions += s"completed interrupted rewrite: $nTmp -> $dir"
+        for (t <- nTmps if t != nTmp && fs.exists(t)) {
+          fs.delete(t, true); actions += s"dropped incomplete $t"
+        }
+        if (fs.exists(marker)) fs.delete(marker, false)
       } else if (complete.size > 1) {
         throw new java.io.IOException(
           s"recover: $dir is missing with ${complete.size} complete staged rewrites " +
-            s"(${complete.mkString(", ")}) and no __old to roll back to — pick one " +
-            "and rename it into place manually")
+            s"(${complete.mkString(", ")}), none authorized by a __swapper marker, " +
+            "and no __old to roll back to — pick one and rename it into place manually")
       }
     } else {
       // live dir healthy: any rewrite leftovers are droppable debris —
@@ -631,7 +681,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         val a = archiveReferenced(nOld, p => relativize(nOld.toString, p))
         if (a > 0) actions += s"archived $a snapshot-pinned file(s) from $nOld"
       }
-      for (p <- nTmps :+ nOld if fs.exists(p)) {
+      for (p <- nTmps :+ nOld :+ marker if fs.exists(p)) {
         fs.delete(p, true); actions += s"dropped leftover $p"
       }
     }

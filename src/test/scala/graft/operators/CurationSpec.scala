@@ -254,4 +254,17 @@ class CurationSpec extends SparkSpec {
     // bucket 32: doc 3 (17) and doc 4 (200, TRUNCATED to 32) -> used 49 of 64
     assert(out(1) === ((32L, 2L, 1L, 49L, 64L, 1.0 - 49.0 / 64)))
   }
+
+  test("lengthBucketStats fails loudly on a null token count (r10 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a null count would otherwise be silently miscounted as a maxBucket
+    // doc (null comparisons fall through every when branch)
+    val docs = Seq((1L, Some(5L)), (2L, None)).toDF("doc_id", "n_tok")
+    val ex = intercept[Exception] {
+      Curation.lengthBucketStats(docs, col("n_tok"), minBucket = 16, maxBucket = 32)
+        .collect()
+    }
+    assert(ex.getMessage.contains("null token count"), ex.getMessage)
+  }
 }

@@ -222,13 +222,35 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(db.read().count() === 100L)
     assert(!fs.exists(P(db.dir + "__old")) && !fs.exists(P(db.dir + "__normalize_tmp")))
 
-    // rewrite ROLL-FORWARD: rewrite complete (_SUCCESS present), crash
-    // between the two renames -> the rewrite lands
+    // rewrite ROLL-FORWARD: rewrite complete (_SUCCESS present), the
+    // swap's own __swapper marker names it, crash between the two
+    // renames -> the rewrite lands. Roll-forward is token-gated, so the
+    // marker the real protocol writes before its first rename is part of
+    // the simulated crash state.
     spark.range(200).toDF("id").write.parquet(db.dir + "__normalize_tmp")
+    val sw = fs.create(P(db.dir + "__swapper"), true)
+    try sw.write((db.dir + "__normalize_tmp").getBytes("UTF-8")) finally sw.close()
     assert(fs.rename(P(db.dir), P(db.dir + "__old")))
     val acts2 = db.recover()
     assert(acts2.exists(_.contains("completed")), acts2.mkString("; "))
     assert(db.read().count() === 200L)
+    assert(!fs.exists(P(db.dir + "__swapper")))
+
+    // STALE-STAGE SAFETY (r10 advice, ParquetDatabase.scala swapper token):
+    // an EARLIER crashed writer's complete stage sits beside the table; a
+    // LATER swap crashes mid-abort — its own tmp already deleted, dir
+    // renamed to __old (which therefore holds the CURRENT committed
+    // table), marker naming the now-deleted stage. recover() must roll
+    // __old BACK, never promote the unattributed stale stage.
+    spark.range(999).toDF("id").write.parquet(db.dir + "__normalize_tmp_stale")
+    val sw2 = fs.create(P(db.dir + "__swapper"), true)
+    try sw2.write((db.dir + "__normalize_tmp_gone").getBytes("UTF-8")) finally sw2.close()
+    assert(fs.rename(P(db.dir), P(db.dir + "__old")))
+    val acts2b = db.recover()
+    assert(acts2b.exists(_.contains("rolled back")), acts2b.mkString("; "))
+    assert(db.read().count() === 200L) // the committed table, not the 999-row stale stage
+    assert(!fs.exists(P(db.dir + "__normalize_tmp_stale")))
+    assert(!fs.exists(P(db.dir + "__swapper")))
 
     // patch ROLLBACK mid-move: one original moved aside, one replacement
     // moved in, manifest present -> byte-exact original table restored

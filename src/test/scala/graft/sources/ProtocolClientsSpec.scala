@@ -253,4 +253,13 @@ class ProtocolClientsSpec extends SparkSpec {
       Seq("""<http://h/tree?cursor=a,b&recursive=true>; rel="next""""))) ===
       Some("http://h/tree?cursor=a,b&recursive=true"))
   }
+
+  test("HubClient.encodePath percent-encodes segments, preserving '/' (r10 advice)") {
+    // space would make the request URI invalid; '#'/'?'/'%' would truncate
+    // or alter it; '/' is the segment separator and must survive
+    assert(HubClient.encodePath("data/train-00000-of-00001.parquet") ===
+      "data/train-00000-of-00001.parquet")
+    assert(HubClient.encodePath("a b/c#d.parquet") === "a%20b/c%23d.parquet")
+    assert(HubClient.encodePath("q?x/p%1/r+s") === "q%3Fx/p%251/r%2Bs")
+  }
 }
