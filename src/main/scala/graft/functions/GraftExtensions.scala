@@ -48,5 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(entry("bloom_might_contain",
       "bloom membership probe",
       es => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
+    ext.injectFunction(entry("bpe_token_count",
+      "greedy merges-table BPE subword token count",
+      es => BpeTokenCount(es(0))))
+    ext.injectFunction(entry("bpe_tokens",
+      "greedy merges-table BPE subword tokens",
+      es => BpeTokens(es(0))))
   }
 }

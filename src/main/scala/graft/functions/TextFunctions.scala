@@ -117,15 +117,37 @@ object TextFunctions {
     * once per row, and the whole thing is a codegen'd column program — a
     * 100 TB corpus chunks as a scan, no shuffle, no UDF.
     */
-  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column =
+    chunkTokensBy(tokens(text), chunkSize, overlap)
+
+  /** [[chunkTokens]] generalized over ANY token-array column — the
+    * `tokenizer=` seam: pass `tokens(text)` for whitespace units (the
+    * historical behavior) or [[bpeTokens]] for real subword units, so a
+    * chunker feeding a subword-budgeted trainer counts in the same unit it
+    * packs.
+    */
+  def chunkTokensBy(toks0: Column, chunkSize: Int, overlap: Int): Column = {
     require(chunkSize > 0, s"chunkTokens: chunkSize must be positive, got $chunkSize")
     require(overlap >= 0 && overlap < chunkSize,
       s"chunkTokens: overlap must be in [0, chunkSize), got $overlap")
     val step = chunkSize - overlap
-    flatten(transform(array(tokens(text)), toks =>
+    flatten(transform(array(toks0), toks =>
       transform(sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step)),
         s => struct(
           concat_ws(" ", slice(toks, s, lit(chunkSize))).as("chunk"),
           least(lit(chunkSize), size(toks) - s + 1).cast("int").as("n_toks")))))
   }
+
+  /** REAL greedy merges-table BPE token count (the native codegen'd
+    * [[BpeTokenCount]]; fixture merges, no network) — the subword unit a
+    * training-data budget actually meters, vs [[tokenCount]]'s whitespace
+    * proxy. Pass to `packSequences` / `lengthBucketStats` /
+    * `sampleToTokenBudget` as their `nTokens` argument to run the curation
+    * family on subword budgets. Requires [[GraftFunctions.register]] (or
+    * the GraftExtensions conf) on the session.
+    */
+  def bpeTokenCount(text: Column): Column = call_function("bpe_token_count", text)
+
+  /** The BPE tokens themselves (array<string>) — feeds [[chunkTokensBy]]. */
+  def bpeTokens(text: Column): Column = call_function("bpe_tokens", text)
 }

@@ -183,6 +183,10 @@ object GraftFunctions {
         intLit(exprs(1), "planeOffset"), intLit(exprs(2), "numPlanes")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_bucket", exprs => QuantileBucket(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count", exprs => BpeTokenCount(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_tokens", exprs => BpeTokens(exprs(0)), "built-in")
     // Spark's own runtime-filter expressions, exposed for explicit use by
     // BloomJoin (the optimizer only injects them under its cost heuristics)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -61,8 +61,10 @@ object Similarity {
     * quadratically with corpus size (cell population ∝ n and each vector
     * scores against nprobe whole cells — measured 19× cost at 10× corpus
     * with k=16 frozen, vs ~linear with this rule; PROFILE.md round 9).
-    * The declared q_ext_sim3/sim4 queries pin 16 for oracle-recall
-    * comparability at test scales.
+    * Every declared IVF query (q_ext_sim3/sim4/sim5, q_ext_stream16)
+    * sizes by this rule since round 11 — at the driver's 500/2000-row
+    * bench corpora it resolves to the 16-cell floor, so the measured
+    * recall bounds carry over unchanged.
     */
   def autoCentroids(corpusRows: Long, targetCellSize: Long = 128L): Int = {
     // division-based ceil: the additive form overflows near Long.MaxValue
@@ -352,7 +354,10 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     // an interrupted append's pending marker resolves to a consistent
     // fingerprint first — without this, a crashed-but-landed append reads
-    // as stale and triggers a full rebuild where a marker repair suffices
+    // as stale and triggers a full rebuild where a marker repair suffices.
+    // ensure IS quiesced maintenance (a stale index is rebuilt in place,
+    // which no protocol can reconcile with live appenders), so resolving
+    // markers here cannot race a live writer.
     recoverIvfIndex(spark, dir)
     val idRow = vectors.agg(
       count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
@@ -393,6 +398,17 @@ object Similarity {
     * xor ^ xor_batch) without re-scanning the existing corpus — and a later
     * `ensureIvfIndex` over the grown corpus recognizes the appended index
     * as current instead of rebuilding. Returns the rows appended.
+    *
+    * MULTI-WRITER (round 11): concurrent ingest ticks are CAS-gated by the
+    * `_append_pending` marker, acquired create-no-overwrite BEFORE the
+    * store state is read (acquisition-then-read, so a competitor's commit
+    * can never be composed over). The loser aborts with a loud
+    * ConcurrentModificationException and a retry re-reads and converges —
+    * drilled by the two-writer stress in ConcurrentSketchWriterSpec. A
+    * crashed holder's marker is resolved only by the QUIESCED
+    * [[recoverIvfIndex]] (the streaming owner runs it at stream start);
+    * a live append never resolves markers, because a marker it did not
+    * create may belong to a live competitor mid-commit.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                        newVectors: DataFrame, idCol: String, vecCol: String,
@@ -402,10 +418,26 @@ object Similarity {
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(fpPath),
       s"appendToIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
-    // un-repaired pending marker from an interrupted append: resolve it
-    // first (roll forward or back against the assigned store's actual ids)
-    // so this append composes onto a consistent fingerprint
-    recoverIvfIndex(spark, dir)
+    // interrupted-REBALANCE debris resolves first (rebalance is quiesced
+    // maintenance, so this cannot race a live writer); an interrupted
+    // APPEND's marker is deliberately NOT auto-resolved here — under
+    // multi-writer it is indistinguishable from a LIVE competitor's, and
+    // resolving a live one rolls back its in-flight commit (round-11
+    // multi-writer hardening; crashed markers go through the quiesced
+    // recoverIvfIndex, which the single-writer streaming owner runs at
+    // stream start)
+    recoverIvfRebalance(spark, dir)
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
+    // ACQUIRE BEFORE READING STORE STATE: the marker is the store's commit
+    // mutex (create-no-overwrite = the CAS primitive). Reading the
+    // fingerprint first would let a competitor commit between the read and
+    // the acquisition, and this append would compose its new identity over
+    // a stale base — a lost update. Losers abort loudly and retry.
+    if (!graft.sources.HadoopText.writeIfAbsent(fs, pendingPath, "acquiring"))
+      throw new java.util.ConcurrentModificationException(
+        s"appendToIvfIndex: another append is in flight on $dir " +
+          "(_append_pending exists) — retry after it completes, or run " +
+          "recoverIvfIndex in a quiesced window if the holder crashed")
     val fields = readSmallText(fs, fpPath).split('|').toSeq
     val kv = fields.collect { case f if f.contains("=") =>
       val Array(k, v) = f.split("=", 2); k -> v
@@ -422,17 +454,27 @@ object Similarity {
     // checkpoint restarting ids at 0): fail loudly, because silently
     // no-opping would drop genuinely new data batch after batch.
     val lastBatch = kv.get("lastBatch").map(_.toLong).getOrElse(-1L)
-    if (batchMarker.exists(_ == lastBatch)) return 0L
+    if (batchMarker.exists(_ == lastBatch)) {
+      fs.delete(pendingPath, false) // clean no-op: release the mutex
+      return 0L
+    }
     batchMarker.foreach { b =>
-      if (b < lastBatch) throw new IllegalStateException(
-        s"appendToIvfIndex: batch $b is older than the index's ledger " +
-          s"(lastBatch=$lastBatch at $dir) — the streaming checkpoint and this " +
-          "index are mismatched; re-pair them or rebuild the index")
+      if (b < lastBatch) {
+        fs.delete(pendingPath, false)
+        throw new IllegalStateException(
+          s"appendToIvfIndex: batch $b is older than the index's ledger " +
+            s"(lastBatch=$lastBatch at $dir) — the streaming checkpoint and this " +
+            "index are mismatched; re-pair them or rebuild the index")
+      }
     }
     // batch identity BEFORE any write: the pending marker must name both
     // the state being left and the state being entered, so a crash at any
-    // point is resolvable by comparing the store's ACTUAL ids to the two
-    val idRow = newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
+    // point is resolvable by comparing the store's ACTUAL ids to the two.
+    // A FAILURE here (a thrown exception, not a process death) releases
+    // the mutex — nothing is staged yet, so the abort is clean.
+    val idRow =
+      try newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
+      catch { case t: Throwable => fs.delete(pendingPath, false); throw t }
     val nBatch = idRow.getLong(0)
     val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
     val bumped = fields.map {
@@ -447,17 +489,11 @@ object Similarity {
           bumped.map { case f if f.startsWith("lastBatch=") => s"lastBatch=$b"; case f => f }
         else bumped :+ s"lastBatch=$b"
     }).mkString("|")
-    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
-    // create-no-overwrite: recoverIvfIndex above resolved any crashed
-    // append's marker, so a marker appearing here belongs to a LIVE
-    // concurrent appender — overwriting it would make BOTH appends'
-    // crash resolution ambiguous (the marker must name exactly one
-    // old-state/new-state pair). Abort loudly instead.
-    if (!graft.sources.HadoopText.writeIfAbsent(fs, pendingPath,
-        s"${fields.mkString("|")}\n$newFp"))
-      throw new java.util.ConcurrentModificationException(
-        s"appendToIvfIndex: another append is in flight on $dir " +
-          "(_append_pending exists) — retry after it completes")
+    // the owned marker now names the (old, new) identity pair — a crash
+    // from here on is resolvable by comparing the store's ACTUAL ids to
+    // the two (recoverIvfIndex); failures BEFORE this write released the
+    // mutex with nothing staged
+    writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
     val centroids = spark.read.parquet(s"$dir/centroids")
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
       .create(assignCells(spread(newVectors), idCol, vecCol, centroids),
@@ -480,10 +516,19 @@ object Similarity {
     * loudly. Idempotent; no-op without a marker. Returns the action taken.
     */
   def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Option[String] = {
+    // an interrupted REBALANCE swap leaves the index dir itself missing or
+    // shadowed by staging siblings — resolve that first, so the append
+    // repair below always operates on a present, consistent tree
+    recoverIvfRebalance(spark, dir)
     val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
     val fs = pendingPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(pendingPath)) None
-    else {
+    else if (!readSmallText(fs, pendingPath).contains('\n')) {
+      // crash between mutex acquisition and the identity-pair write:
+      // nothing was staged, the marker is just a held lock — release it
+      fs.delete(pendingPath, false)
+      Some("released-unstarted-append")
+    } else {
       val Array(oldFp, newFp) = readSmallText(fs, pendingPath).split('\n')
       def identity(fp: String): (Long, Long) = {
         val kv = fp.split('|').collect { case f if f.contains("=") =>
@@ -505,6 +550,187 @@ object Similarity {
       fs.delete(pendingPath, false)
       Some(action)
     }
+  }
+
+  /** Health report of a persisted (possibly streaming-maintained) index —
+    * the audit [[appendToIvfIndex]]'s frozen-centroid trade requires:
+    * appends assign to the ORIGINAL centroid geometry forever, so a
+    * long-maintained index drifts two ways. (1) SIZING: the centroid count
+    * goes stale against the rule as n grows — self-top-k candidate work
+    * per vector is ∝ n/k, so a frozen k quietly re-grows the quadratic the
+    * autoCentroids rule exists to prevent. (2) SKEW: ingest drift can
+    * concentrate mass into few cells, and a hot cell's candidate set blows
+    * up regardless of k (the maxBucket failure mode of the LSH joins).
+    * Both are METADATA-priced here: n and k come from the fingerprint,
+    * per-cell sizes from parquet footers (≤ k directory listings, zero
+    * data read) — an audit a deployment can run on every maintenance tick.
+    *
+    * `sizingFresh` = sizeRule(n) ≤ sizingSlack × k (rebuild overdue when
+    * false); `cellsBalanced` = max cell ≤ maxCellSlack × targetCellSize
+    * (the loud-threshold skew signal). Either false → run
+    * [[rebalanceIvfIndex]] in the next maintenance window.
+    */
+  final case class IvfAudit(n: Long, k: Int, kAuto: Int, maxCell: Long,
+                            cellBound: Long, sizingFresh: Boolean,
+                            cellsBalanced: Boolean) {
+    def healthy: Boolean = sizingFresh && cellsBalanced
+  }
+
+  def auditIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    targetCellSize: Long = 128L, sizingSlack: Double = 2.0,
+                    maxCellSlack: Double = 8.0): IvfAudit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
+    val fs = fpPath.getFileSystem(conf)
+    require(fs.exists(fpPath),
+      s"auditIvfIndex: no fingerprinted index at $dir")
+    val kv = readSmallText(fs, fpPath).split('|').collect {
+      case f if f.contains("=") => val Array(k, v) = f.split("=", 2); k -> v
+    }.toMap
+    val n = kv("n").toLong
+    val k = kv("k").toInt
+    val kAuto = autoCentroids(n, targetCellSize)
+    val assignedRoot = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    val maxCell = fs.listStatus(assignedRoot).iterator
+      .filter(_.getPath.getName.startsWith("cell="))
+      .map(p => graft.sources.ParquetStats.totalRows(p.getPath.toString, conf))
+      .foldLeft(0L)(math.max)
+    val bound = (maxCellSlack * targetCellSize).toLong
+    IvfAudit(n, k, kAuto, maxCell, bound,
+      sizingFresh = kAuto <= (sizingSlack * k).toLong,
+      cellsBalanced = maxCell <= bound)
+  }
+
+  /** [[auditIvfIndex]] with the loud threshold applied — the maintenance
+    * gate a deployment wires before trusting a maintained index's probe
+    * cost: throws (naming the fix) when the audit is unhealthy.
+    */
+  def requireBalancedIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                              targetCellSize: Long = 128L, sizingSlack: Double = 2.0,
+                              maxCellSlack: Double = 8.0): IvfAudit = {
+    val a = auditIvfIndex(spark, dir, targetCellSize, sizingSlack, maxCellSlack)
+    if (!a.sizingFresh) throw new IllegalStateException(
+      s"IVF index at $dir is sizing-stale: k=${a.k} but the rule wants ${a.kAuto} " +
+        s"for n=${a.n} (slack ${sizingSlack}×) — run rebalanceIvfIndex in a " +
+        "quiesced maintenance window")
+    if (!a.cellsBalanced) throw new IllegalStateException(
+      s"IVF index at $dir is skewed: max cell ${a.maxCell} rows exceeds the " +
+        s"${a.cellBound}-row bound (${maxCellSlack}× targetCellSize) — run " +
+        "rebalanceIvfIndex in a quiesced maintenance window")
+    a
+  }
+
+  /** Rebuild a persisted index IN PLACE under the sizing rule, carrying
+    * the streaming batch ledger forward — the maintenance op
+    * [[auditIvfIndex]] points at, closing the frozen-centroid drift of
+    * [[appendToIvfIndex]]. The corpus is re-read from the index's own
+    * `assigned` store (no source-table dependency: maintenance runs where
+    * the index lives), k-means re-runs at sizeRule(n), and the new
+    * fingerprint keeps (n, xor, lastBatch) verbatim with only k/iters
+    * updated — so a foreachBatch stream paired with this index resumes
+    * exactly-once semantics across the rebuild.
+    *
+    * Crash safety (the compactMinHashStore shape, whole-tree form): the
+    * full new tree (centroids + assigned + `_fingerprint`, the fingerprint
+    * written LAST as the stage's completeness sentinel) stages at the
+    * invocation-unique sibling `<dir>__rebalance_tmp_<token>`; the swap is
+    * dir → `<dir>__rebalance_old_<token>` then stage → dir; every crash
+    * window resolves in [[recoverIvfRebalance]] (complete stage rolls
+    * FORWARD, anything less rolls the old tree BACK — a crashed rebalance
+    * never reported success, so rollback is always safe).
+    *
+    * QUIESCE CONTRACT (same as compactMinHashStore): a maintenance write —
+    * no concurrent appends or probes while it runs.
+    *
+    * @return Some(newK) when rebuilt; None when k already satisfies the
+    *         rule and `force` is false (no-op — the compactSmallFiles
+    *         convention).
+    */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        sizeRule: Long => Int = autoCentroids(_),
+                        kmeansIterations: Int = 2,
+                        force: Boolean = false): Option[Int] = {
+    graft.functions.GraftFunctions.register(spark)
+    recoverIvfIndex(spark, dir)
+    val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
+    val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(fpPath),
+      s"rebalanceIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
+    val fpText = readSmallText(fs, fpPath)
+    val kv = fpText.split('|').collect {
+      case f if f.contains("=") => val Array(k, v) = f.split("=", 2); k -> v
+    }.toMap
+    val newK = sizeRule(kv("n").toLong)
+    if (!force && newK == kv("k").toInt) return None
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"${dir}__rebalance_tmp_$token"
+    val vectors = spark.read.parquet(s"$dir/assigned").select(col("nid"), col("nv"))
+    val cent = kmeansCentroids(vectors, "nid", "nv", newK, kmeansIterations)
+    new graft.sources.ParquetDatabase(spark, s"$tmp/centroids").create(cent)
+    new graft.sources.ParquetDatabase(spark, s"$tmp/assigned")
+      .create(assignCells(spread(vectors), "nid", "nv", cent), partitionBy = Seq("cell"))
+    val newFp = fpText.split('|').map {
+      case f if f.startsWith("k=") => s"k=$newK"
+      case f if f.startsWith("iters=") => s"iters=$kmeansIterations"
+      case f => f
+    }.mkString("|")
+    // completeness sentinel: written only after both stores landed
+    writeSmallText(fs, new org.apache.hadoop.fs.Path(tmp, "_fingerprint"), newFp)
+    val old = s"${dir}__rebalance_old_$token"
+    if (!fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(old)))
+      throw new java.io.IOException(
+        s"rebalanceIvfIndex: failed to move $dir aside — index untouched, staging at $tmp")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir)))
+      throw new java.io.IOException(
+        s"rebalanceIvfIndex: failed to promote $tmp — run recoverIvfRebalance")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    Some(newK)
+  }
+
+  /** Repair an interrupted [[rebalanceIvfIndex]]. Healthy index dir →
+    * staging/old siblings are debris, dropped. Missing index dir → a
+    * COMPLETE stage (its `_fingerprint` sentinel present, written last)
+    * rolls FORWARD; otherwise the moved-aside old tree rolls BACK (always
+    * safe: a crashed rebalance never reported success). Ambiguity (several
+    * complete stages, or several old trees with no complete stage) fails
+    * loudly — under the op's quiesce contract it can only mean un-swept
+    * foreign debris. Idempotent; returns the actions taken.
+    */
+  def recoverIvfRebalance(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val name = base.getName
+    val sibs = fs.listStatus(parent).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(name + "__rebalance_")).toSeq.sortBy(_.toString)
+    if (sibs.isEmpty) return Nil
+    val tmps = sibs.filter(_.getName.startsWith(name + "__rebalance_tmp_"))
+    val olds = sibs.filter(_.getName.startsWith(name + "__rebalance_old_"))
+    val actions = Seq.newBuilder[String]
+    if (fs.exists(base)) {
+      for (p <- sibs) { fs.delete(p, true); actions += s"dropped leftover $p" }
+    } else {
+      val complete = tmps.filter(t => fs.exists(new org.apache.hadoop.fs.Path(t, "_fingerprint")))
+      if (complete.size == 1) {
+        if (!fs.rename(complete.head, base))
+          throw new java.io.IOException(s"recoverIvfRebalance: failed to promote ${complete.head}")
+        actions += s"completed interrupted rebalance: ${complete.head} -> $dir"
+        for (p <- sibs if p != complete.head && fs.exists(p)) {
+          fs.delete(p, true); actions += s"dropped $p"
+        }
+      } else if (complete.isEmpty && olds.size == 1) {
+        if (!fs.rename(olds.head, base))
+          throw new java.io.IOException(s"recoverIvfRebalance: failed to restore ${olds.head}")
+        actions += s"rolled back interrupted rebalance: ${olds.head} -> $dir"
+        for (p <- tmps if fs.exists(p)) { fs.delete(p, true); actions += s"dropped $p" }
+      } else {
+        throw new java.io.IOException(
+          s"recoverIvfRebalance: $dir is missing with ${complete.size} complete stage(s) " +
+            s"and ${olds.size} old tree(s) — ambiguous; resolve manually")
+      }
+    }
+    actions.result()
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,

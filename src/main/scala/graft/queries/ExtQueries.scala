@@ -158,6 +158,40 @@ object ExtQueries {
           "CAST(len(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish " +
           "FROM documents ORDER BY doc_id")),
 
+    // REAL greedy merges-table BPE token counting on the oracle gate: the
+    // native codegen'd bpe_token_count expression runs the standard BPE
+    // encode (checked-in fixture merges, three levels deep) per document,
+    // and the oracle re-derives the SAME counts from the SAME merges table
+    // via BpeTokenizer.oracleCountSqlExpr — a rank-ordered replace() chain
+    // with one placeholder char per merge output, whose final length() IS
+    // the symbol count (exact for a well-formed merges table; equivalence
+    // property-tested in BpeSpec). Both sides derive from one Scala source
+    // of truth, so the merges fixture cannot drift between engines. The
+    // whitespace count and the bpe-per-word ratio ride along — the 1.3-1.7×
+    // budget divergence this unit exists to close, measured per doc.
+    DeclaredQuery(
+      "q_ext_tok1",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_ws"),
+            TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+            r4(TextFunctions.bpeTokenCount(col("text")).cast("double") /
+              TextFunctions.tokenCount(col("text"))).as("bpe_per_word"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wordCount = graft.functions.BpeTokenizer.default.oracleCountSqlExpr("w")
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text)," +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM documents), " +
+          s"c AS (SELECT doc_id, CAST(sum($wordCount) AS INTEGER) AS n_bpe FROM w GROUP BY 1) " +
+          "SELECT d.doc_id, CAST(len(string_split(d.text,' ')) AS INTEGER) AS n_ws, " +
+          "coalesce(c.n_bpe, 0) AS n_bpe, " +
+          "round(CAST(coalesce(c.n_bpe, 0) AS DOUBLE)/len(string_split(d.text,' ')), 4) AS bpe_per_word " +
+          "FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id"
+      }),
+
     DeclaredQuery(
       "q_ext_txt2",
       (s, d) =>
@@ -778,15 +812,23 @@ object ExtQueries {
           "ORDER BY 1, 2")),
 
     // SemDeDup-style semantic dedup on the oracle gate: the emitted rows
-    // are the KEEPER SET of the exact cosine>=0.95 duplicate graph — one
-    // row per connected component (rep = min vec_id) with its size —
-    // deterministic and mirrored by a WITH RECURSIVE oracle, while the
-    // plan ALSO runs the deployment path: k-means-CELL blocking
-    // (Similarity.cellNearDupPairs) sized by the autoCentroids rule, with
-    // an in-plan raise_error if the cell candidates recall < 0.7 of the
-    // exact pairs. The cell path's pair work is Σ|cell|² (bounded per
-    // cell by the sizing rule), never corpus² — the exact arm exists for
-    // the oracle, the cell arm is what a 100 TB deployment runs.
+    // are the KEEPER SET of a duplicate graph — one row per connected
+    // component (rep = min vec_id) with its size — deterministic and
+    // mirrored by a WITH RECURSIVE oracle, while the plan ALSO runs the
+    // deployment path: k-means-CELL blocking (Similarity.cellNearDupPairs)
+    // sized by the autoCentroids rule, with an in-plan raise_error if the
+    // cell candidates recall < 0.7 of the reference pairs. The cell path's
+    // pair work is Σ|cell|² (bounded per cell by the sizing rule), never
+    // corpus² — and since round 11 the REFERENCE graph is scale-bounded
+    // too (the q_ext_sim4 pattern): the planted duplicates are closed-form
+    // (cosine is scale-invariant, so each ×2.0 copy pairs with its source
+    // at cos = 1.0 by construction, no scoring needed), and the base
+    // corpus is exact-verified against a count-scaled deterministic ANCHOR
+    // subset (vec_id % max(1, ⌊n/500⌋) = 0 — every vector at sf0.01, ~500
+    // anchors beyond, the modulus derived in-plan from a 1-row count agg,
+    // identically in the oracle SQL). Reference-graph cost is O(500·n)
+    // scoring + O(n/20) closed-form rows, not O(n²) — no corpus²-shaped
+    // join remains anywhere in the plan.
     DeclaredQuery(
       "q_ext_dedup10",
       (s, d) => {
@@ -800,16 +842,33 @@ object ExtQueries {
           .unionByName(emb.filter(col("vec_id") % 20 === 0)
             .select((-col("vec_id") - 1).as("vec_id"),
               transform(col("embedding"), x => x * lit(2.0f)).as("embedding")))
-        val e1 = aug.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+        // closed-form planted pairs: -v-1 is the ×2.0 copy of v, and
+        // cos(v, 2v) = 1.0 exactly (scale invariance), so the edge needs
+        // id arithmetic, not a scoring join; d1 < d2 holds (-v-1 < 0 <= v)
+        val planted = emb.filter(col("vec_id") % 20 === 0)
+          .select((-col("vec_id") - 1).as("d1"), col("vec_id").as("d2"))
+        // count-scaled deterministic anchor subset × corpus: exact-verifies
+        // base-corpus near-dups at linear cost; the anchor side is ~500
+        // rows by construction, so it broadcasts
+        val qDiv = aug.agg(
+          greatest(lit(1L), floor(count(lit(1)) / 500.0).cast("long")).as("qdiv"))
+        val e1 = aug.select(col("vec_id").as("a"), col("embedding").as("v1"),
           Similarity.norm(col("embedding")).as("n1"))
-        val e2 = aug.select(col("vec_id").as("d2"), col("embedding").as("v2"),
-          Similarity.norm(col("embedding")).as("n2"))
-        // exact duplicate graph; pair-count-sized, referenced by both the
-        // output and the recall guard — checkpointed so it runs once
-        val exact = e1.crossJoin(e2).filter(col("d1") < col("d2"))
+        val anchors = aug.crossJoin(broadcast(qDiv))
+          .filter(col("vec_id") % col("qdiv") === 0)
+          .select(col("vec_id").as("b"), col("embedding").as("v2"),
+            Similarity.norm(col("embedding")).as("n2"))
+        val anchored = e1.crossJoin(broadcast(anchors))
+          .filter(col("a") =!= col("b"))
           .withColumn("cos", Similarity.cosinePre(col("v1"), col("v2"), col("n1"), col("n2")))
           .filter(col("cos") >= 0.95)
-          .select(col("d1"), col("d2"))
+          .select(least(col("a"), col("b")).as("d1"),
+            greatest(col("a"), col("b")).as("d2"))
+        // reference duplicate graph (planted ∪ anchor-verified), referenced
+        // by both the output and the recall guard — checkpointed so the
+        // anchored scoring pass runs once
+        val exact = planted.unionByName(anchored)
+          .dropDuplicates("d1", "d2")
           .localCheckpoint()
         val kAuto = Similarity.autoCentroids(aug.count())
         val cand = Similarity.cellNearDupPairs(aug, "vec_id", "embedding",
@@ -834,8 +893,12 @@ object ExtQueries {
         "WITH RECURSIVE aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings " +
           "UNION ALL SELECT -vec_id - 1, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) " +
           "FROM embeddings WHERE vec_id % 20 = 0), " +
-          "p AS (SELECT a.vec_id d1, b.vec_id d2 FROM aug a JOIN aug b ON a.vec_id < b.vec_id " +
-          "WHERE list_cosine_similarity(a.e, b.e) >= 0.95), " +
+          "planted AS (SELECT -vec_id - 1 AS d1, vec_id AS d2 FROM embeddings WHERE vec_id % 20 = 0), " +
+          "anch AS (SELECT least(a.vec_id, b.vec_id) d1, greatest(a.vec_id, b.vec_id) d2 " +
+          "FROM aug a JOIN aug b ON a.vec_id <> b.vec_id " +
+          "WHERE b.vec_id % (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) FROM aug) = 0 " +
+          "AND list_cosine_similarity(a.e, b.e) >= 0.95), " +
+          "p AS (SELECT DISTINCT d1, d2 FROM (SELECT * FROM planted UNION ALL SELECT * FROM anch) u), " +
           "edges AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2, d1 FROM p), " +
           "reach(u, v) AS (SELECT u, v FROM edges UNION " +
           "SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u), " +
@@ -853,34 +916,43 @@ object ExtQueries {
     // reading only probed cell dirs — asserted in-plan: the scan carries a
     // `cell` partition filter AND lists exactly the probed cell dirs) and
     // raise_errors if the IVF top-k recalls less than 55% of the
-    // exact top-k. Measured recall at nprobe=8 of 16: 0.72 (sf0.01) / 0.82
-    // (sf0.1) — near-uniform synthetic embeddings scatter true neighbors
-    // across cells, so half the cells must be probed for useful recall;
-    // clustered real embeddings concentrate (SimilaritySpec asserts >= 0.95
-    // at nprobe=1 on separable clusters).
+    // exact top-k. The index is autoCentroids-sized with nprobe =
+    // ceil(k/2) — half the cells at every scale, so the probed-mass
+    // FRACTION (the recall lever for near-uniform synthetic embeddings,
+    // which scatter true neighbors across cells) is scale-stable; measured
+    // recall 0.72 (sf0.01) / 0.82 (sf0.1) at the 16-cell floor. Clustered
+    // real embeddings concentrate (SimilaritySpec asserts >= 0.95 at
+    // nprobe=1 on separable clusters).
     DeclaredQuery(
       "q_ext_sim3",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        val dir = "target/tmp/ivf/embeddings_c16"
+        val dir = "target/tmp/ivf/embeddings_auto"
         // build-if-absent/stale (fingerprint-validated): repeated sessions
         // over an unchanged corpus pay the k-means build once — the
-        // write-time amortization this index exists for
-        Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding", numCentroids = 16)
+        // write-time amortization this index exists for. Since round 11 the
+        // index is the SAME deployment-rule (autoCentroids-sized) store
+        // q_ext_sim5 probes — the pinned-16 fixture is retired, so the
+        // sizing rule that keeps cell population constant as the corpus
+        // grows is in force on every declared IVF query. nprobe follows
+        // sim5's ceil(k/2) rule: half the cells — a fixed probed-mass
+        // FRACTION, free on the query-bound probe path (cost |q|·n/2).
+        val (_, kAuto) = Similarity.ensureIvfIndexSized(s, dir, emb,
+          "vec_id", "embedding", Similarity.autoCentroids(_))
         val q = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
         val (out, probed) = Similarity.ivfTopKPersistedWithCells(s, dir, q,
-          "vec_id", "embedding", k = 10, nprobe = 8)
+          "vec_id", "embedding", k = 10, nprobe = (kAuto + 1) / 2)
         val scan = graft.plans.PlanChecks.fileScanFor(out.queryExecution.executedPlan, "assigned")
           .getOrElse(throw new IllegalStateException("no assigned-index scan in plan"))
         require(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
           s"q_ext_sim3: no cell partition filter on the index scan " +
             s"(partitionFilters=${scan.partitionFilters})")
         // exact-pruning assertion: the scan lists precisely the probed cell
-        // dirs — stronger and scale-stable vs "< total" (five queries' probe
-        // union can legitimately cover every cell at nprobe=8 of 16).
+        // dirs — stronger and scale-stable vs "< total" (five queries'
+        // probe union can legitimately cover every cell at nprobe = half).
         // Intersected with the cells that exist on disk: empty cells are
-        // legitimate (k is pinned, assignment can starve a cell) and write
-        // no directory, so a probed-but-empty cell must not count.
+        // legitimate (assignment can starve a cell) and write no
+        // directory, so a probed-but-empty cell must not count.
         val expected3 = {
           val present = Similarity.existingCells(s, dir)
           probed.count(present.contains)
@@ -923,11 +995,17 @@ object ExtQueries {
       "q_ext_sim4",
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
-        val dir = "target/tmp/ivf/embeddings_c16"
-        // same persisted index as q_ext_sim3 (fingerprint-validated): the
-        // k-NN graph probes the stored cell layout instead of re-running
-        // k-means per call
-        Similarity.ensureIvfIndex(s, dir, emb, "vec_id", "embedding", numCentroids = 16)
+        val dir = "target/tmp/ivf/embeddings_auto"
+        // same persisted deployment-rule index as q_ext_sim3/sim5
+        // (fingerprint-validated): the k-NN graph probes the stored cell
+        // layout instead of re-running k-means per call. autoCentroids
+        // keeps CELL SIZE constant as the corpus grows, so constant
+        // nprobe = 8 makes self-top-k candidate work ~8·targetCellSize per
+        // vector — linear in n (the pinned-16 fixture this query carried
+        // through round 10 measured 19× at 10× data; retired per the r10
+        // verdict now that the recall story rides the auto rule too).
+        Similarity.ensureIvfIndexSized(s, dir, emb,
+          "vec_id", "embedding", Similarity.autoCentroids(_))
         val cand = Similarity.ivfSelfTopK(Similarity.loadIvfIndex(s, dir), k = 5, nprobe = 8)
           .select(col("qid"), col("nid"))
         val v = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
@@ -977,8 +1055,9 @@ object ExtQueries {
     // Deployment-rule IVF on the oracle gate: the index is sized by
     // `Similarity.autoCentroids(n)` — the centroids-∝-corpus rule that
     // prevents the measured 19×-at-10×-data self-top-k quadratic
-    // (PROFILE.md round 9) — instead of the pinned 16-centroid fixture
-    // q_ext_sim3/sim4 keep for recall comparability. The query require()s
+    // (PROFILE.md round 9); since round 11 q_ext_sim3/sim4 share this
+    // same auto-sized store (the pinned-16 fixture is retired). The query
+    // additionally require()s
     // that the PERSISTED index carries exactly autoCentroids(n) centroids,
     // so the rule is load-bearing at every scale the driver runs: it
     // resolves to the 16 floor at 500/2000-row bench corpora (recall
@@ -2044,6 +2123,14 @@ object ExtQueries {
     // guard), the emitted result is the exact cosine top-k over the FULL
     // corpus, and the in-plan recall guard keeps the maintained index's
     // probe quality on the gate — q_ext_sim5's promotion pattern.
+    // Since round 11 the MAINTENANCE LIFECYCLE is on the gate too: appends
+    // assign to frozen centroids forever, so after the replay the query
+    // audits the drift (auditIvfIndex — metadata-priced sizing + skew
+    // signals) and runs the rebalance op (forced, so the staged whole-tree
+    // swap executes at every scale), then require()s the sizing rule holds
+    // on the rebuilt index, no vector was lost, and the streaming batch
+    // ledger survived the rebuild — the properties that let a long-running
+    // deployment rebalance without breaking exactly-once ingest.
     DeclaredQuery(
       "q_ext_stream16",
       (s, d) => {
@@ -2066,9 +2153,33 @@ object ExtQueries {
         require(nIndexed == nCorpus,
           s"q_ext_stream16: maintained index holds $nIndexed vectors, corpus has " +
             s"$nCorpus — a streamed batch was lost or double-applied")
+        val preAudit = Similarity.auditIvfIndex(s, s"$root/ivf")
+        val ledgerBefore = graft.sources.HadoopText.read(
+          new org.apache.hadoop.fs.Path(s"$root/ivf/_fingerprint")
+            .getFileSystem(s.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(s"$root/ivf/_fingerprint"))
+          .split('|').find(_.startsWith("lastBatch=")).getOrElse(
+            throw new IllegalStateException(
+              "q_ext_stream16: maintained index carries no batch ledger"))
+        val rebuilt = Similarity.rebalanceIvfIndex(s, s"$root/ivf",
+          Similarity.autoCentroids(_), force = true)
+        val post = Similarity.requireBalancedIvfIndex(s, s"$root/ivf")
+        require(rebuilt.contains(post.k) && post.k == post.kAuto,
+          s"q_ext_stream16: rebalance left k=${post.k}, the sizing rule wants ${post.kAuto}")
+        require(post.n == preAudit.n,
+          s"q_ext_stream16: rebalance changed the corpus identity " +
+            s"(${preAudit.n} -> ${post.n} vectors)")
+        val ledgerAfter = graft.sources.HadoopText.read(
+          new org.apache.hadoop.fs.Path(s"$root/ivf/_fingerprint")
+            .getFileSystem(s.sessionState.newHadoopConf()),
+          new org.apache.hadoop.fs.Path(s"$root/ivf/_fingerprint"))
+          .split('|').find(_.startsWith("lastBatch="))
+        require(ledgerAfter.contains(ledgerBefore),
+          s"q_ext_stream16: rebalance dropped the batch ledger " +
+            s"($ledgerBefore -> $ledgerAfter) — exactly-once resume would break")
         val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 105)
         val out = Similarity.ivfTopKPersisted(s, s"$root/ivf", q,
-          "vec_id", "embedding", k = 10, nprobe = (kAuto + 1) / 2)
+          "vec_id", "embedding", k = 10, nprobe = (post.k + 1) / 2)
         val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
           .localCheckpoint()
         exact.crossJoin(broadcast(pairRecall(exact, out.select(col("qid"), col("nid")),

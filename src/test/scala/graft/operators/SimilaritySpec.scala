@@ -120,6 +120,108 @@ class SimilaritySpec extends SparkSpec {
     assert(out.length === 3)
   }
 
+  test("auditIvfIndex flags sizing staleness and cell skew; rebalance repairs sizing and keeps the ledger") {
+    import org.apache.spark.sql.functions._
+    val dir = s"target/tmp/ivf_spec_audit/${java.util.UUID.randomUUID}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // 200 vectors, k pinned far below the rule at targetCellSize=8
+    // (kAuto=25): sizing-stale by construction
+    val base = clustered(200, 16, 8, jitter = 0.05).toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
+    Similarity.appendToIvfIndex(spark, dir,
+      clustered(20, 16, 8, jitter = 0.05).map { case (i, v) => (i + 5000L, v) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchMarker = Some(7L))
+    val stale = Similarity.auditIvfIndex(spark, dir, targetCellSize = 8)
+    assert(stale.n === 220L && stale.k === 4 && stale.kAuto === 28 && !stale.sizingFresh)
+    val ex = intercept[IllegalStateException](
+      Similarity.requireBalancedIvfIndex(spark, dir, targetCellSize = 8))
+    assert(ex.getMessage.contains("sizing-stale"), ex.getMessage)
+    // rebalance under the rule: k follows, identity (n) and the streaming
+    // batch ledger survive, no vector is lost, probes still answer
+    val rebuilt = Similarity.rebalanceIvfIndex(spark, dir,
+      Similarity.autoCentroids(_, targetCellSize = 8))
+    assert(rebuilt === Some(28))
+    val post = Similarity.requireBalancedIvfIndex(spark, dir, targetCellSize = 8)
+    assert(post.n === 220L && post.k === 28 && post.sizingFresh)
+    val fp = graft.sources.HadoopText.read(fs, new org.apache.hadoop.fs.Path(dir, "_fingerprint"))
+    assert(fp.contains("lastBatch=7") && fp.contains("k=28"), fp)
+    assert(spark.read.parquet(s"$dir/assigned").count() === 220L)
+    assert(Similarity.ivfTopKPersisted(spark, dir, base.filter($"vec_id" === 0),
+      "vec_id", "embedding", k = 3, nprobe = 28).count() === 3L)
+    // a satisfied rule is a no-op (the compactSmallFiles convention)
+    assert(Similarity.rebalanceIvfIndex(spark, dir,
+      Similarity.autoCentroids(_, targetCellSize = 8)) === None)
+    // the ledgered append path composes onto the REBUILT index
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      clustered(10, 16, 8, jitter = 0.05).map { case (i, v) => (i + 9000L, v) }
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batchMarker = Some(8L)) === 10L)
+
+    // SKEW signal: identical-direction vectors collapse into one cell —
+    // sizing is fine, the loud threshold is the per-cell bound
+    val dir2 = s"target/tmp/ivf_spec_audit/${java.util.UUID.randomUUID}"
+    val dup = (0 until 200).map(i => (i.toLong, Seq.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(spark, dir2, dup, "vec_id", "embedding", numCentroids = 16)
+    val skew = Similarity.auditIvfIndex(spark, dir2, targetCellSize = 8)
+    assert(skew.sizingFresh && !skew.cellsBalanced && skew.maxCell === 200L)
+    val ex2 = intercept[IllegalStateException](
+      Similarity.requireBalancedIvfIndex(spark, dir2, targetCellSize = 8))
+    assert(ex2.getMessage.contains("skewed"), ex2.getMessage)
+  }
+
+  test("IVF rebalance crash drill: every swap window rolls forward or back, debris is swept") {
+    val root = s"target/tmp/ivf_spec_rebal/${java.util.UUID.randomUUID}"
+    val dir = s"$root/ivf"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val base = clustered(100, 16, 4, jitter = 0.05).toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
+
+    // window A — crash DURING staging (no _fingerprint sentinel yet),
+    // live dir intact: staging is debris, dropped
+    fs.mkdirs(P(s"${dir}__rebalance_tmp_aaaa/centroids"))
+    val a = Similarity.recoverIvfRebalance(spark, dir)
+    assert(a.exists(_.contains("dropped")), a.mkString("; "))
+    assert(!fs.exists(P(s"${dir}__rebalance_tmp_aaaa")) && fs.exists(P(dir)))
+
+    // window B — crash BETWEEN the two renames: old tree aside, stage
+    // COMPLETE (sentinel present) -> roll forward
+    assert(fs.rename(P(dir), P(s"${dir}__rebalance_old_bbbb")))
+    val stage = s"${dir}__rebalance_tmp_bbbb"
+    Similarity.ensureIvfIndex(spark, stage, base, "vec_id", "embedding", numCentroids = 5)
+    val b = Similarity.recoverIvfRebalance(spark, dir)
+    assert(b.exists(_.contains("completed")), b.mkString("; "))
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === 5L)
+    assert(!fs.exists(P(s"${dir}__rebalance_old_bbbb")))
+
+    // window C — crash between the renames with an INCOMPLETE stage ->
+    // roll the old tree back (a crashed rebalance never reported success)
+    assert(fs.rename(P(dir), P(s"${dir}__rebalance_old_cccc")))
+    fs.mkdirs(P(s"${dir}__rebalance_tmp_cccc/assigned"))
+    val c = Similarity.recoverIvfRebalance(spark, dir)
+    assert(c.exists(_.contains("rolled back")), c.mkString("; "))
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === 5L)
+    assert(!fs.exists(P(s"${dir}__rebalance_tmp_cccc")))
+
+    // window D — crash after promote, before old-tree cleanup: healthy dir
+    // beside a leftover old tree -> old is dropped, index untouched
+    fs.mkdirs(P(s"${dir}__rebalance_old_dddd"))
+    val d = Similarity.recoverIvfRebalance(spark, dir)
+    assert(d.exists(_.contains("dropped")), d.mkString("; "))
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === 5L)
+
+    // idempotent no-op on a clean tree, and ensure/append entries self-heal
+    // through the same repair (recoverIvfIndex chains it)
+    assert(Similarity.recoverIvfRebalance(spark, dir).isEmpty)
+    assert(fs.rename(P(dir), P(s"${dir}__rebalance_old_eeee")))
+    Similarity.recoverIvfIndex(spark, dir) // entry-point self-heal
+    assert(fs.exists(P(s"$dir/_fingerprint")))
+    assert(graft.sources.HadoopText.read(fs, P(s"$dir/_fingerprint")) !== "")
+  }
+
   test("auto-sized persisted index carries exactly autoCentroids(n) centroids above the floor") {
     // exercise the rule's SCALING branch (q_ext_sim5 at driver scales only
     // reaches the 16 floor): 2048 vectors at targetCellSize=64 → 32 cells
