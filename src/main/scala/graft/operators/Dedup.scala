@@ -508,9 +508,14 @@ object Dedup {
     * full retire that never promoted rolls FORWARD (promote, then drop
     * retired), a promote that never cleaned up drops the leftovers.
     *
-    * QUIESCE CONTRACT: compaction is a maintenance write under the store's
-    * single-writer operating contract — no concurrent appends or probes
-    * (mid-retire the store is transiently incomplete for readers).
+    * CONCURRENCY (round 11): compaction-vs-compaction is serialized by a
+    * create-no-overwrite `_compact_pending` mutex — the second compactor
+    * aborts loudly instead of corrupting the retire sequence. Concurrent
+    * APPENDS are safe by construction (a newly-committed segment is not in
+    * this compaction's `_replaces` manifest, so retire/promote never touch
+    * it — two-writer drill in ConcurrentSketchWriterSpec). PROBES must
+    * still quiesce: mid-retire the store is transiently incomplete for
+    * readers.
     *
     * @return number of segments replaced (0 = already compact, no-op).
     */
@@ -529,6 +534,30 @@ object Dedup {
     val fs = root.getFileSystem(conf)
     val segs = segmentDirs(fs, root)
     if (segs.size <= 1) return 0
+    // COMPACTION MUTEX (round 11, the appendToIvfIndex create-no-overwrite
+    // pattern): two concurrent compactions list the same segments and the
+    // loser's retire renames fail mid-sequence — resolvable only by a
+    // quiesced recover. Fail the second compactor loudly at entry instead.
+    // Concurrent APPENDS remain safe without the mutex (a new segment is
+    // not in this compaction's _replaces manifest, so retire/promote never
+    // touch it); the marker only serializes compaction against compaction.
+    val mutex = new org.apache.hadoop.fs.Path(root, "_compact_pending")
+    if (!graft.sources.HadoopText.writeIfAbsent(fs, mutex,
+        java.util.UUID.randomUUID.toString))
+      throw new java.util.ConcurrentModificationException(
+        s"compactMinHashStore: another compaction is in flight on $dir " +
+          "(_compact_pending exists) — retry after it completes, or run " +
+          "recoverMinHashStore in a quiesced window if it crashed")
+    try compactUnderMutex(spark, dir, segs, crashAfterRetires)
+    finally fs.delete(mutex, false)
+  }
+
+  private def compactUnderMutex(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      segs: Seq[org.apache.hadoop.fs.Path], crashAfterRetires: Int): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
     val segId = java.util.UUID.randomUUID.toString
     val staging = new org.apache.hadoop.fs.Path(s"$dir/_staging/$segId")
     spark.read.parquet(segs.map(p => s"$p/toks"): _*)
@@ -643,6 +672,14 @@ object Dedup {
       val ids = fs.listStatus(stagingRoot).toSeq.map(_.getPath.getName)
       fs.delete(stagingRoot, true)
       actions ++= ids
+    }
+    // a compactor that DIED (not aborted) leaves the compaction mutex in
+    // place and blocks all future compactions; this is a quiesced sweep,
+    // so no live compactor can own it — release it
+    val mutex = new org.apache.hadoop.fs.Path(dir, "_compact_pending")
+    if (fs.exists(mutex)) {
+      fs.delete(mutex, false)
+      actions += "released-compact-mutex"
     }
     actions.result()
   }

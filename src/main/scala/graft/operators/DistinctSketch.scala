@@ -22,17 +22,20 @@ import org.apache.spark.sql.functions._
   * sequence that keeps a complete copy on disk at every step (see
   * [[mergeBatchIntoStore]] for the crash-window analysis).
   *
-  * SINGLE-WRITER CONTRACT: the merge paths stage under fixed sibling names
-  * and recover by idempotent batch REPLAY (HLL union of the same batch is
-  * a no-op — spec-asserted), a design that deliberately differs from
-  * [[graft.sources.ParquetDatabase]]'s multi-writer optimistic concurrency:
-  * a commit gate here would wedge the crash-replay story that IS the
-  * store's recovery mechanism. Exactly one writer owns a store at a time —
-  * naturally satisfied by the intended owner, a single streaming query
+  * CONCURRENCY CONTRACT (round 11 — the single-writer restriction is
+  * lifted for the BUCKETED store): [[mergeBatchIntoBucketedStore]] carries
+  * ParquetDatabase's fingerprint-CAS + unique-staging kernel per bucket —
+  * concurrent mergers of DIFFERENT batches either interleave cleanly
+  * (disjoint buckets) or one aborts with a loud
+  * ConcurrentModificationException on the contended bucket, and the retry
+  * converges because HLL union is idempotent on already-folded buckets
+  * (two-writer stress drill in ConcurrentSketchWriterSpec). Recovery stays
+  * batch REPLAY (re-run the merge), plus [[recoverBucketedStore]] for
+  * quiesced debris sweeps. The non-bucketed [[mergeBatchIntoStore]] keeps
+  * the single-writer contract (fixed staging names) — its intended owner
+  * is a single streaming query
   * ([[graft.streaming.EventStreams.distinctStoreStream]], batchId-guarded
-  * against re-delivery). Two concurrent mergers would clobber each other's
-  * staging and can lose one batch's fold on a shared bucket; coordinate at
-  * the caller if a store must be shared.
+  * against re-delivery); use the bucketed form for shared stores.
   */
 object DistinctSketch {
 
@@ -126,15 +129,39 @@ object DistinctSketch {
   /** Fold one batch into the bucketed store, rewriting only touched
     * buckets. `nBuckets` must match the build (bucket ids are recomputed
     * from the same hash).
+    *
+    * MULTI-WRITER SAFE since round 11 (the ParquetDatabase fingerprint-CAS
+    * + unique-staging kernel, applied per bucket): staging is
+    * invocation-unique, and each touched bucket commits through
+    * retire-then-promote where the retire RENAME is the exclusivity lock
+    * (two writers racing one bucket — exactly one rename succeeds) and a
+    * post-lock fingerprint re-check of the moved-aside tree catches a
+    * competitor that fully committed inside the read-to-rename gap. Either
+    * conflict aborts with [[java.util.ConcurrentModificationException]]
+    * and NOTHING lost: buckets promoted before the conflict carry this
+    * batch's fold, the conflicted bucket was restored or never touched —
+    * and the documented retry ("re-run the merge") converges because HLL
+    * union is idempotent on already-folded buckets. Entry auto-repairs the
+    * one state that silently loses data otherwise: a crashed writer's
+    * missing live bucket (retired but never promoted) is restored from its
+    * moved-aside copy before any read.
     */
   def mergeBatchIntoBucketedStore(spark: SparkSession, batch: DataFrame, keys: Seq[String],
       itemCol: String, dir: String, nBuckets: Int = 64, lgK: Int = DefaultLgK): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    restoreMissingBuckets(fs, dir)
     val batchSk = sketchByKey(batch, keys, itemCol, lgK)
       .withColumn("bucket", bucketCol(keys, nBuckets))
       .localCheckpoint() // keys-sized; feeds the touched-set and the merge
     // ≤ nBuckets values — metadata-sized by construction
     val touched = batchSk.select("bucket").distinct().collect()
       .map(_.getLong(0)).sorted
+    // entry capture: per-bucket identity BEFORE the read the merge is
+    // based on (rename preserves names/lengths, so the capture survives
+    // the retire and the post-lock re-check can compare)
+    val capture: Map[Long, String] =
+      touched.map(b => b -> bucketFingerprint(fs, new org.apache.hadoop.fs.Path(dir, s"bucket=$b"))).toMap
     val existing = spark.read.parquet(dir)
       .filter(col("bucket").isin(touched: _*))
       .select((keys :+ "sketch" :+ "bucket").map(col): _*)
@@ -142,26 +169,113 @@ object DistinctSketch {
       .unionByName(batchSk.select((keys :+ "sketch" :+ "bucket").map(col): _*))
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
-    val tmpRoot = new org.apache.hadoop.fs.Path(dir + "__sketch_tmp")
-    val fs = tmpRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // invocation-unique staging: a shared name lets a concurrent merger's
+    // overwrite replace this writer's staged bytes pre-promote (the
+    // ParquetDatabase lost-update rationale)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmpRoot = new org.apache.hadoop.fs.Path(dir + s"__sketch_tmp_$token")
     fs.delete(tmpRoot, true)
     merged.write.partitionBy("bucket").parquet(tmpRoot.toString)
-    touched.foreach { b =>
+    try {
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
+        val tmp = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$b")
+        // retired copy lives OUTSIDE the store root (a sibling named
+        // bucket=N__old inside it would parse as another partition) and is
+        // WRITER-unique, so two writers' crash debris cannot collide
+        val old = new org.apache.hadoop.fs.Path(dir + s"__old_bucket_${b}_$token")
+        if (!fs.exists(tmp))
+          throw new java.io.IOException(s"merged write produced no dir for touched bucket $b")
+        if (fs.exists(live) && !fs.rename(live, old)) {
+          // the retire rename is the lock: losing it means another merger
+          // owns this bucket right now
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic-concurrency conflict on $dir bucket $b: another merger's " +
+              "swap is in flight. Re-run the merge — HLL union is idempotent on " +
+              "buckets this batch already folded into.")
+        }
+        // post-lock re-check: a competitor that fully committed between our
+        // read and our retire left content our merge did not fold — put it
+        // back and abort, else their fold is silently lost
+        if (fs.exists(old) && bucketFingerprint(fs, old) != capture(b)) {
+          if (!fs.rename(old, live))
+            throw new java.io.IOException(
+              s"bucket $b conflict detected but restore $old -> $live failed — " +
+                "run recoverBucketedStore")
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic-concurrency conflict on $dir bucket $b: another merger " +
+              "committed between this merge's read and its swap. Bucket restored " +
+              "untouched — re-run the merge.")
+        }
+        if (!fs.rename(tmp, live))
+          throw new java.io.IOException(
+            s"bucket promote failed: $tmp -> $live (pre-merge copy at $old)")
+        fs.delete(old, true)
+      }
+    } finally fs.delete(tmpRoot, true)
+  }
+
+  /** Order-independent identity of one bucket dir: sorted (name, length)
+    * of its data files — rename-stable, metadata-priced. Empty/missing
+    * bucket → "". */
+  private def bucketFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      bucket: org.apache.hadoop.fs.Path): String =
+    if (!fs.exists(bucket)) ""
+    else fs.listStatus(bucket).iterator
+      .filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}")
+      .toSeq.sorted.mkString("|")
+
+  /** Restore any bucket whose live dir is MISSING from a crashed writer's
+    * moved-aside copy (retired-but-never-promoted is the one state where a
+    * later merge would silently fold into an empty bucket and lose the
+    * prior sketches). Ambiguity — several moved-aside copies for one
+    * missing bucket — fails loudly. A moved-aside copy whose live bucket
+    * exists belongs to a live writer mid-swap or a post-promote crash; it
+    * is left alone here (the quiesced [[recoverBucketedStore]] sweeps it).
+    */
+  private def restoreMissingBuckets(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = base.getName + "__old_bucket_"
+    val olds = fs.listStatus(parent).iterator.map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).toSeq
+    val byBucket = olds.groupBy(_.getName.stripPrefix(prefix).split('_').head)
+    byBucket.foreach { case (b, copies) =>
       val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
-      val tmp = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$b")
-      // retired copy lives OUTSIDE the store root: a crash-left sibling
-      // named bucket=N__old inside it would parse as another partition
-      val old = new org.apache.hadoop.fs.Path(dir + s"__old_bucket_$b")
-      if (!fs.exists(tmp))
-        throw new java.io.IOException(s"merged write produced no dir for touched bucket $b")
-      fs.delete(old, true)
-      if (fs.exists(live) && !fs.rename(live, old))
-        throw new java.io.IOException(s"bucket retire failed: $live -> $old")
-      if (!fs.rename(tmp, live))
-        throw new java.io.IOException(
-          s"bucket promote failed: $tmp -> $live (pre-merge copy at $old)")
-      fs.delete(old, true)
+      if (!fs.exists(live)) {
+        if (copies.size > 1)
+          throw new java.io.IOException(
+            s"bucketed store $dir: bucket $b is missing with ${copies.size} moved-aside " +
+              s"copies (${copies.mkString(", ")}) — ambiguous; resolve manually")
+        // losing this rename to a competitor's concurrent restore/promote
+        // is fine — the bucket is live again either way
+        fs.rename(copies.head, live)
+      }
     }
-    fs.delete(tmpRoot, true)
+  }
+
+  /** Quiesced maintenance sweep (the ParquetDatabase.recover contract: run
+    * only with no writer live on this store): restores missing buckets
+    * from moved-aside copies, then drops crash debris — moved-aside copies
+    * whose live bucket exists (post-promote crashes) and leftover
+    * `__sketch_tmp_*` stagings. Idempotent; returns the actions taken.
+    */
+  def recoverBucketedStore(spark: SparkSession, dir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return Nil
+    val actions = Seq.newBuilder[String]
+    restoreMissingBuckets(fs, dir)
+    fs.listStatus(parent).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith(base.getName + "__old_bucket_") ||
+        p.getName.startsWith(base.getName + "__sketch_tmp_") ||
+        p.getName == base.getName + "__sketch_tmp")
+      .foreach { p =>
+        if (fs.exists(p)) { fs.delete(p, true); actions += s"dropped $p" }
+      }
+    actions.result()
   }
 }

@@ -231,6 +231,12 @@ object DocStreams {
                      checkpointDir: String, idCol: String = "vec_id",
                      vecCol: String = "embedding",
                      maxFilesPerTrigger: Int = 1): Long = {
+    // the stream is THE single writer of its index (streaming contract), so
+    // stream start is a quiesced point: resolve a crashed prior run's
+    // pending marker here — appendToIvfIndex no longer auto-resolves (a
+    // marker at append time is indistinguishable from a live competitor's
+    // under the round-11 multi-writer protocol)
+    graft.operators.Similarity.recoverIvfIndex(spark, indexDir)
     val src = spark.readStream.schema(embeddingsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
