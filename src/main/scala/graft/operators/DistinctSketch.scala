@@ -141,16 +141,21 @@ object DistinctSketch {
     * and NOTHING lost: buckets promoted before the conflict carry this
     * batch's fold, the conflicted bucket was restored or never touched —
     * and the documented retry ("re-run the merge") converges because HLL
-    * union is idempotent on already-folded buckets. Entry auto-repairs the
-    * one state that silently loses data otherwise: a crashed writer's
-    * missing live bucket (retired but never promoted) is restored from its
-    * moved-aside copy before any read.
+    * union is idempotent on already-folded buckets. A moved-aside copy
+    * whose live bucket is MISSING makes the merge abort LOUDLY at entry
+    * (it is either a live competitor's ms-wide swap window — retry — or a
+    * crashed writer, which only the quiesced [[recoverBucketedStore]] may
+    * repair): an entry-time auto-restore was tried and REVERTED — it
+    * cannot distinguish the two, and restoring a live competitor's
+    * moved-aside bucket makes its promote rename NEST
+    * (`bucket=N/bucket=N`), corrupting the store (caught by the two-writer
+    * stress drill).
     */
   def mergeBatchIntoBucketedStore(spark: SparkSession, batch: DataFrame, keys: Seq[String],
       itemCol: String, dir: String, nBuckets: Int = 64, lgK: Int = DefaultLgK): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    restoreMissingBuckets(fs, dir)
+    requireNoOrphanedBuckets(fs, dir)
     val batchSk = sketchByKey(batch, keys, itemCol, lgK)
       .withColumn("bucket", bucketCol(keys, nBuckets))
       .localCheckpoint() // keys-sized; feeds the touched-set and the merge
@@ -186,13 +191,23 @@ object DistinctSketch {
         val old = new org.apache.hadoop.fs.Path(dir + s"__old_bucket_${b}_$token")
         if (!fs.exists(tmp))
           throw new java.io.IOException(s"merged write produced no dir for touched bucket $b")
-        if (fs.exists(live) && !fs.rename(live, old)) {
-          // the retire rename is the lock: losing it means another merger
-          // owns this bucket right now
+        if (fs.exists(live)) {
+          if (!fs.rename(live, old)) {
+            // the retire rename is the lock: losing it means another merger
+            // owns this bucket right now
+            throw new java.util.ConcurrentModificationException(
+              s"optimistic-concurrency conflict on $dir bucket $b: another merger's " +
+                "swap is in flight. Re-run the merge — HLL union is idempotent on " +
+                "buckets this batch already folded into.")
+          }
+        } else if (capture(b).nonEmpty) {
+          // the bucket existed at our read and is gone now: a competitor
+          // holds it mid-swap. Skipping the retire and promoting anyway
+          // would collide with ITS promote (the nesting hazard) — abort.
           throw new java.util.ConcurrentModificationException(
-            s"optimistic-concurrency conflict on $dir bucket $b: another merger's " +
-              "swap is in flight. Re-run the merge — HLL union is idempotent on " +
-              "buckets this batch already folded into.")
+            s"optimistic-concurrency conflict on $dir bucket $b: the bucket " +
+              "vanished between this merge's read and its swap (a competitor is " +
+              "mid-swap). Re-run the merge.")
         }
         // post-lock re-check: a competitor that fully committed between our
         // read and our retire left content our merge did not fold — put it
@@ -210,6 +225,21 @@ object DistinctSketch {
         if (!fs.rename(tmp, live))
           throw new java.io.IOException(
             s"bucket promote failed: $tmp -> $live (pre-merge copy at $old)")
+        // nest guard (the ParquetDatabase lesson): a promote rename whose
+        // destination reappeared lands INSIDE it instead of failing —
+        // un-nest our stale fold and abort rather than leave a corrupt
+        // partition tree behind
+        val nested = new org.apache.hadoop.fs.Path(live, s"bucket=$b")
+        if (fs.exists(nested)) {
+          // the reappeared live tree is authoritative (whoever recreated it
+          // owns the bucket); our fold is stale — discard it, leave our
+          // moved-aside copy for the quiesced sweep, abort loudly
+          fs.delete(nested, true)
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic-concurrency conflict on $dir bucket $b: the promote " +
+              "rename landed inside a competitor's tree and was un-nested. " +
+              "Re-run the merge.")
+        }
         fs.delete(old, true)
       }
     } finally fs.delete(tmpRoot, true)
@@ -226,35 +256,51 @@ object DistinctSketch {
       .map(st => s"${st.getPath.getName}:${st.getLen}")
       .toSeq.sorted.mkString("|")
 
-  /** Restore any bucket whose live dir is MISSING from a crashed writer's
-    * moved-aside copy (retired-but-never-promoted is the one state where a
-    * later merge would silently fold into an empty bucket and lose the
-    * prior sketches). Ambiguity — several moved-aside copies for one
-    * missing bucket — fails loudly. A moved-aside copy whose live bucket
-    * exists belongs to a live writer mid-swap or a post-promote crash; it
-    * is left alone here (the quiesced [[recoverBucketedStore]] sweeps it).
+  /** Entry guard: a moved-aside copy whose live bucket is MISSING means a
+    * writer is mid-swap RIGHT NOW (retry) or crashed there (quiesced
+    * repair) — either way this merge must not read the store (the bucket
+    * would read as empty and the fold would silently lose its sketches),
+    * and it must NOT auto-restore: resurrecting a live competitor's
+    * moved-aside bucket makes its promote rename nest and corrupts the
+    * partition tree. Loud and retryable instead.
     */
-  private def restoreMissingBuckets(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+  private def requireNoOrphanedBuckets(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    orphanedBuckets(fs, dir).headOption.foreach { case (b, copies) =>
+      throw new java.util.ConcurrentModificationException(
+        s"bucketed store $dir: bucket $b is missing with moved-aside cop" +
+          s"${if (copies.size == 1) "y" else "ies"} ${copies.mkString(", ")} — a merger " +
+          "is mid-swap (retry) or crashed there (run recoverBucketedStore in a " +
+          "quiesced window)")
+    }
+
+  /** Buckets whose live dir is missing but a moved-aside copy exists,
+    * with their copies. Metadata-sized (one parent listing). */
+  private def orphanedBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(String, Seq[org.apache.hadoop.fs.Path])] = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val parent = base.getParent
-    if (parent == null || !fs.exists(parent)) return
+    if (parent == null || !fs.exists(parent)) return Nil
     val prefix = base.getName + "__old_bucket_"
-    val olds = fs.listStatus(parent).iterator.map(_.getPath)
+    fs.listStatus(parent).iterator.map(_.getPath)
       .filter(_.getName.startsWith(prefix)).toSeq
-    val byBucket = olds.groupBy(_.getName.stripPrefix(prefix).split('_').head)
-    byBucket.foreach { case (b, copies) =>
-      val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
-      if (!fs.exists(live)) {
-        if (copies.size > 1)
-          throw new java.io.IOException(
-            s"bucketed store $dir: bucket $b is missing with ${copies.size} moved-aside " +
-              s"copies (${copies.mkString(", ")}) — ambiguous; resolve manually")
-        // losing this rename to a competitor's concurrent restore/promote
-        // is fine — the bucket is live again either way
-        fs.rename(copies.head, live)
-      }
-    }
+      .groupBy(_.getName.stripPrefix(prefix).split('_').head).toSeq
+      .filter { case (b, _) =>
+        !fs.exists(new org.apache.hadoop.fs.Path(dir, s"bucket=$b")) }
+      .sortBy(_._1)
   }
+
+  /** QUIESCED restore of crashed-mid-swap buckets (retired but never
+    * promoted): rename the single moved-aside copy back into place.
+    * Ambiguity — several copies for one missing bucket — fails loudly.
+    */
+  private def restoreMissingBuckets(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    orphanedBuckets(fs, dir).foreach { case (b, copies) =>
+      if (copies.size > 1)
+        throw new java.io.IOException(
+          s"bucketed store $dir: bucket $b is missing with ${copies.size} moved-aside " +
+            s"copies (${copies.mkString(", ")}) — ambiguous; resolve manually")
+      fs.rename(copies.head, new org.apache.hadoop.fs.Path(dir, s"bucket=$b"))
+    }
 
   /** Quiesced maintenance sweep (the ParquetDatabase.recover contract: run
     * only with no writer live on this store): restores missing buckets

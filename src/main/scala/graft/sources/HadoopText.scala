@@ -26,17 +26,29 @@ object HadoopText {
     * already exists. `create(overwrite = false)` is atomic on HDFS (the
     * namenode serializes the create) — the poor-man's lock a rename-based
     * commit protocol uses to serialize two writers that both reached their
-    * commit step. On the local FS the exists-check and create are two
-    * steps, so the gate is best-effort there — the scale deployment target
-    * (HDFS-semantics stores) is where the guarantee is needed and holds.
+    * commit step. On the LOCAL FS Hadoop's create(overwrite=false) is a
+    * non-atomic exists-then-create, which the two-writer sketch-store
+    * drills caught losing the race (both writers "owned" the append mutex
+    * and their parquet jobs shared one `_temporary`): local paths
+    * therefore go through `java.io.File.createNewFile` — POSIX
+    * O_CREAT|O_EXCL, genuinely atomic — so the gate holds on every
+    * filesystem the suite and a deployment run on.
     */
   def writeIfAbsent(fs: FileSystem, p: Path, text: String): Boolean = {
     // only "already exists" maps to false — any other failure is a genuine
     // IO error and must surface, not masquerade as a concurrency conflict.
     // RawLocalFileSystem signals the existing file with a plain IOException,
     // so the fallback re-probes existence before deciding.
+    val isLocal = fs.getScheme == "file"
     val created =
-      try Some(fs.create(p, false))
+      try {
+        if (isLocal) {
+          val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
+          Option(f.getParentFile).foreach(_.mkdirs())
+          if (!f.createNewFile()) None // atomic claim lost — holder exists
+          else Some(fs.create(p, true)) // we own the claim; write through fs
+        } else Some(fs.create(p, false))
+      }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
         case e: java.io.IOException => if (fs.exists(p)) None else throw e

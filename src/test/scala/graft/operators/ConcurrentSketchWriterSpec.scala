@@ -173,12 +173,20 @@ class ConcurrentSketchWriterSpec extends SparkSpec {
     val swept = DistinctSketch.recoverBucketedStore(spark, dir)
     assert(swept.exists(_.contains("__old_bucket_")), swept.mkString("; "))
 
-    // crashed-mid-swap repair: live bucket MISSING with a moved-aside copy
-    // -> entry repair restores it before any read, so the fold cannot land
-    // on an empty bucket
+    // crashed-mid-swap state: live bucket MISSING with a moved-aside copy.
+    // Merges must abort LOUDLY — an entry-time auto-restore raced a live
+    // competitor's swap window and nested its promote (the bug this drill
+    // caught under full-suite load) — and the QUIESCED sweep restores,
+    // after which the retried merge folds with nothing lost.
     val before = est(dir)
     assert(fs.rename(new org.apache.hadoop.fs.Path(dir, liveBucket),
       new org.apache.hadoop.fs.Path(dir + s"__old_bucket_${b}_feedbeef")))
+    val ex = intercept[java.util.ConcurrentModificationException](
+      DistinctSketch.mergeBatchIntoBucketedStore(spark, events(900, 910), Seq("g"), "u",
+        dir, nBuckets = 8))
+    assert(ex.getMessage.contains("recoverBucketedStore"), ex.getMessage)
+    DistinctSketch.recoverBucketedStore(spark, dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, liveBucket)))
     DistinctSketch.mergeBatchIntoBucketedStore(spark, events(900, 910), Seq("g"), "u",
       dir, nBuckets = 8)
     val after = est(dir)
