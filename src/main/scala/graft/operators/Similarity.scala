@@ -235,6 +235,14 @@ object Similarity {
 
   /** k-means++ seeding + Lloyd over a bounded in-memory sample (cosine
     * distance), fixed seed — deterministic. Empty clusters keep their seed.
+    *
+    * Seeding keeps the CLASSIC incremental form: each point caches its
+    * min distance to the chosen centers and only scores against the NEWEST
+    * center per round — O(k·sample·d), bit-identical draws to the naive
+    * recompute-all-centers form it replaced (same minima, same cumulative
+    * selection), which was O(k²·sample·d) and took HOURS at the sf10
+    * rehearsal's k = autoCentroids(200k) = 1563 (jstack-caught pinned in
+    * this loop; PROFILE.md round 11).
     */
   private def localKMeans(points: Array[Array[Double]], k: Int,
                           iters: Int = 10): Array[Array[Double]] = {
@@ -248,36 +256,55 @@ object Similarity {
       dot(a, b) / math.max(math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)), 1e-300)
     val rng = new java.util.SplittableRandom(42L)
     val centers = scala.collection.mutable.ArrayBuffer(points(rng.nextInt(points.length)))
+    // per-point min distance to the chosen set — updated incrementally with
+    // each new center, identical values to a full recompute
+    val minD = points.map(p => 1.0 - cos(p, centers(0)))
     while (centers.size < math.min(k, points.length)) {
       // k-means++: next seed drawn proportional to squared cosine distance
-      val d2 = points.map { p => val m = centers.map(c => 1.0 - cos(p, c)).min; m * m }
+      val d2 = minD.map(m => m * m)
       val total = d2.sum
-      if (total <= 0) centers += points(rng.nextInt(points.length))
-      else {
-        var r = rng.nextDouble() * total
-        var idx = 0
-        while (idx < d2.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
-        centers += points(idx)
+      val next =
+        if (total <= 0) points(rng.nextInt(points.length))
+        else {
+          var r = rng.nextDouble() * total
+          var idx = 0
+          while (idx < d2.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+          points(idx)
+        }
+      centers += next
+      var i = 0
+      while (i < points.length) {
+        val d = 1.0 - cos(points(i), next)
+        if (d < minD(i)) minD(i) = d
+        i += 1
       }
     }
     // degenerate k > |points|: cycle existing seeds so k never shrinks
     var cycle = 0
     while (centers.size < k) { centers += centers(cycle % points.length); cycle += 1 }
     val dim = points.head.length
+    // norms cached per point (once) and per center (per iter): same doubles
+    // in the same multiply order as the inline form — bit-identical argmax
+    // — at a third of the flops (the pair kernel drops from 3 dots to 1)
+    val pNorm = points.map(p => math.sqrt(dot(p, p)))
     for (_ <- 1 to iters) {
+      val cNorm = centers.map(c => math.sqrt(dot(c, c))).toArray
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      points.foreach { p =>
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
         var best = 0; var bestCos = -2.0
         var c = 0
         while (c < k) {
-          val s = cos(p, centers(c))
+          val s = dot(p, centers(c)) / math.max(pNorm(pi) * cNorm(c), 1e-300)
           if (s > bestCos) { bestCos = s; best = c }
           c += 1
         }
         counts(best) += 1
         var i = 0
         while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        pi += 1
       }
       for (c <- 0 until k if counts(c) > 0)
         centers(c) = sums(c).map(_ / counts(c))
@@ -318,8 +345,13 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     new graft.sources.ParquetDatabase(spark, s"$dir/centroids").create(index.centroids)
+    // repartition on the partition column BEFORE the hive write: without
+    // it every input task writes one file into every cell dir it sees —
+    // tasks × k files (a ~50k-small-file creation storm at the sf10
+    // rehearsal's k = 1563, caught grinding there). Clustered, each task
+    // owns whole cells and the file count is O(k).
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
-      .create(index.assigned, partitionBy = Seq("cell"))
+      .create(index.assigned.repartition(col("cell")), partitionBy = Seq("cell"))
   }
 
   /** Build-and-persist the IVF index only if the persisted one is missing
@@ -496,7 +528,8 @@ object Similarity {
     writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
     val centroids = spark.read.parquet(s"$dir/centroids")
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
-      .create(assignCells(spread(newVectors), idCol, vecCol, centroids),
+      .create(assignCells(spread(newVectors), idCol, vecCol, centroids)
+          .repartition(col("cell")),
         partitionBy = Seq("cell"))
     writeSmallText(fs, fpPath, newFp)
     fs.delete(pendingPath, false)
@@ -668,7 +701,8 @@ object Similarity {
     val cent = kmeansCentroids(vectors, "nid", "nv", newK, kmeansIterations)
     new graft.sources.ParquetDatabase(spark, s"$tmp/centroids").create(cent)
     new graft.sources.ParquetDatabase(spark, s"$tmp/assigned")
-      .create(assignCells(spread(vectors), "nid", "nv", cent), partitionBy = Seq("cell"))
+      .create(assignCells(spread(vectors), "nid", "nv", cent).repartition(col("cell")),
+        partitionBy = Seq("cell"))
     val newFp = fpText.split('|').map {
       case f if f.startsWith("k=") => s"k=$newK"
       case f if f.startsWith("iters=") => s"iters=$kmeansIterations"

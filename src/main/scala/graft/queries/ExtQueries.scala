@@ -541,6 +541,38 @@ object ExtQueries {
           "SELECT doc_id, shard, CAST(floor(start_tok/2048.0) AS BIGINT) AS bin, " +
           "CAST(start_tok % 2048 AS BIGINT) AS bin_offset, n_tok FROM c ORDER BY doc_id")),
 
+    // q_ext_pack1's contiguous-fill packing run under REAL SUBWORD budgets
+    // (the tokenizer= seam load-bearing in an operator, not just a count
+    // column): identical one-shuffle window plan, but every bin boundary
+    // is decided by the greedy merges-table BPE count — the unit a trainer
+    // actually packs to. The oracle re-derives the same per-doc counts
+    // from the same Scala merges source (the q_ext_tok1 replace-chain) and
+    // re-runs pack1's running-sum SQL over them, so a single token of
+    // cross-engine BPE drift anywhere in the corpus shifts a bin boundary
+    // and breaks the hash.
+    DeclaredQuery(
+      "q_ext_tok2",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.operators.Curation.packSequences(Tables.load(s, d, "documents"),
+            "doc_id", TextFunctions.bpeTokenCount(col("text")).cast("long"),
+            numShards = 8, capacity = 2048)
+          .select(col("doc_id"), col("shard"), col("bin"), col("bin_offset"), col("n_tok"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wordCount = graft.functions.BpeTokenizer.default.oracleCountSqlExpr("w")
+        "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text)," +
+          "'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM documents), " +
+          s"nb AS (SELECT doc_id, CAST(sum($wordCount) AS BIGINT) AS n_tok FROM w GROUP BY 1), " +
+          "t AS (SELECT d.doc_id, d.doc_id % 8 AS shard, coalesce(nb.n_tok, 0) AS n_tok " +
+          "FROM documents d LEFT JOIN nb USING (doc_id)), " +
+          "c AS (SELECT doc_id, shard, n_tok, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_tok FROM t) " +
+          "SELECT doc_id, shard, CAST(floor(start_tok/2048.0) AS BIGINT) AS bin, " +
+          "CAST(start_tok % 2048 AS BIGINT) AS bin_offset, n_tok FROM c ORDER BY doc_id"
+      }),
+
     // sequence-length bucketing + padding-waste report (the batching-
     // efficiency audit run before fixing bucket boundaries): power-of-two
     // round-up with maxBucket truncation accounting — one map-side-
@@ -794,9 +826,19 @@ object ExtQueries {
           "FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id ORDER BY d.doc_id")),
 
     // embedding-cosine near-dup pairs (LSH-bucketed, exactly verified; the
-    // synthetic embeddings have no pairs at τ=0.95 — the oracle confirms the
-    // operator emits no false positives; recall on planted near-dups is
-    // asserted in SimilaritySpec)
+    // sf0.01/sf0.1 synthetic embeddings have no pairs at τ=0.95 — the
+    // oracle confirms the operator emits no false positives — while
+    // ScaleGen's jittered replicas (cos ≈ 0.9998) make the result set real
+    // at sf1; recall on planted near-dups is asserted in SimilaritySpec).
+    // ORACLE-COST BOUND: this oracle is genuinely all-pairs SQL — the
+    // declared semantics is EVERY τ-pair in the corpus, which admits no
+    // anchored subset without changing the result — so hash sweeps for
+    // this query are bounded to ≤ sf1 (2×10⁸ DuckDB pair evaluations,
+    // minutes); the 100×-rehearsal tier exercises the deployment path
+    // (cosineNearDupPairs' LSH bucketing) via ProfileScale instead, where
+    // no oracle arm exists. q_ext_dedup10 carries the scale-bounded-oracle
+    // form of this family (closed-form planted pairs + count-scaled
+    // anchored verification).
     DeclaredQuery(
       "q_ext_dedup5",
       (s, d) =>
