@@ -127,6 +127,16 @@ object ProfileScale {
           "vec_id", "embedding")
       })
 
+    // the filter must not silently run zero ops: a typo'd or renamed op
+    // name would produce an empty-but-plausible profile JSON that reads as
+    // evidence. Every requested name must match a known op.
+    only.foreach { names =>
+      val known = ops.map(_._1).toSet
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"ProfileScale: unknown op name(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
+          s"valid ops: ${ops.map(_._1).mkString(", ")}")
+    }
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     // warmup: session/codegen startup lands here, not on the first op
     noop(docs.limit(100))

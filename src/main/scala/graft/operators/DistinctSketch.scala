@@ -151,11 +151,18 @@ object DistinctSketch {
     * (`bucket=N/bucket=N`), corrupting the store (caught by the two-writer
     * stress drill).
     */
+  /** Test seam: runs after the entry orphan check and before the per-bucket
+    * identity capture — the TOCTOU window where a competitor's retire can
+    * make a touched bucket read as empty.
+    */
+  private[operators] var postEntryCheckHook: () => Unit = () => ()
+
   def mergeBatchIntoBucketedStore(spark: SparkSession, batch: DataFrame, keys: Seq[String],
       itemCol: String, dir: String, nBuckets: Int = 64, lgK: Int = DefaultLgK): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     requireNoOrphanedBuckets(fs, dir)
+    postEntryCheckHook()
     val batchSk = sketchByKey(batch, keys, itemCol, lgK)
       .withColumn("bucket", bucketCol(keys, nBuckets))
       .localCheckpoint() // keys-sized; feeds the touched-set and the merge
@@ -208,6 +215,18 @@ object DistinctSketch {
             s"optimistic-concurrency conflict on $dir bucket $b: the bucket " +
               "vanished between this merge's read and its swap (a competitor is " +
               "mid-swap). Re-run the merge.")
+        } else if (orphanedBuckets(fs, dir).exists(_._1 == b.toString)) {
+          // capture(b) was empty too — but only because the competitor's
+          // retire landed in the gap between the entry orphan check and our
+          // capture (TOCTOU): its moved-aside copy holds the bucket's prior
+          // sketch mass, our merge is batch-only. Promoting would strand
+          // that mass — if the competitor crashes, recoverBucketedStore
+          // sees OUR live bucket and drops the copy as post-promote debris,
+          // silently losing distinct-count mass. Abort instead.
+          throw new java.util.ConcurrentModificationException(
+            s"optimistic-concurrency conflict on $dir bucket $b: a moved-aside " +
+              "copy appeared between this merge's entry check and its swap (a " +
+              "competitor retired the bucket mid-merge). Re-run the merge.")
         }
         // post-lock re-check: a competitor that fully committed between our
         // read and our retire left content our merge did not fold — put it

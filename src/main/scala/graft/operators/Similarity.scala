@@ -448,17 +448,21 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // An interrupted-REBALANCE swap resolves first, but ONLY when the live
+    // tree is actually broken (fingerprint missing — the dir is renamed
+    // aside or was never promoted). Since round 12 a rebalance holds the
+    // append mutex while it STAGES beside a healthy tree, so a
+    // `__rebalance_tmp_*` sibling here may be a LIVE rebalance's in-flight
+    // staging — sweeping it unconditionally (the round-11 posture, valid
+    // when rebalance was quiesced-by-assumption) livelocks maintenance
+    // against ingest: the appender can't acquire the mutex, and each retry
+    // deletes the rebalancer's fresh staging. Debris beside a healthy tree
+    // waits for the quiesced recoverIvfIndex. An interrupted APPEND's
+    // marker is likewise NOT auto-resolved here — under multi-writer it is
+    // indistinguishable from a live competitor's.
+    if (!fs.exists(fpPath)) recoverIvfRebalance(spark, dir)
     require(fs.exists(fpPath),
       s"appendToIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
-    // interrupted-REBALANCE debris resolves first (rebalance is quiesced
-    // maintenance, so this cannot race a live writer); an interrupted
-    // APPEND's marker is deliberately NOT auto-resolved here — under
-    // multi-writer it is indistinguishable from a LIVE competitor's, and
-    // resolving a live one rolls back its in-flight commit (round-11
-    // multi-writer hardening; crashed markers go through the quiesced
-    // recoverIvfIndex, which the single-writer streaming owner runs at
-    // stream start)
-    recoverIvfRebalance(spark, dir)
     val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
     // ACQUIRE BEFORE READING STORE STATE: the marker is the store's commit
     // mutex (create-no-overwrite = the CAS primitive). Reading the
@@ -467,65 +471,75 @@ object Similarity {
     // a stale base — a lost update. Losers abort loudly and retry.
     if (!graft.sources.HadoopText.writeIfAbsent(fs, pendingPath, "acquiring"))
       throw new java.util.ConcurrentModificationException(
-        s"appendToIvfIndex: another append is in flight on $dir " +
+        s"appendToIvfIndex: another append (or a rebalance — it claims the " +
+          s"same mutex) is in flight on $dir " +
           "(_append_pending exists) — retry after it completes, or run " +
           "recoverIvfIndex in a quiesced window if the holder crashed")
-    val fields = readSmallText(fs, fpPath).split('|').toSeq
-    val kv = fields.collect { case f if f.contains("=") =>
-      val Array(k, v) = f.split("=", 2); k -> v
-    }.toMap
-    // exactly-once under foreachBatch re-delivery: the LAST applied batch
-    // id lives INSIDE the fingerprint, so it commits in the same atomic
-    // write as the append's visibility and the crash protocol preserves
-    // the right semantics in both directions — roll-forward restores the
-    // marker (re-delivery no-ops), roll-back drops it (re-delivery
-    // re-applies). Structured Streaming only ever re-delivers the most
-    // recent uncommitted batch, so one monotone id suffices as the ledger
-    // — and a marker STRICTLY below it can only mean the stream's
-    // checkpoint and this index are no longer a pair (reset/foreign
-    // checkpoint restarting ids at 0): fail loudly, because silently
-    // no-opping would drop genuinely new data batch after batch.
-    val lastBatch = kv.get("lastBatch").map(_.toLong).getOrElse(-1L)
-    if (batchMarker.exists(_ == lastBatch)) {
+    // EVERYTHING between mutex acquisition and the identity-pair write runs
+    // under a release-on-failure guard: the marker still holds only
+    // "acquiring" (nothing staged), so deleting it on an abort is safe —
+    // and NOT deleting it (a malformed fingerprint field, a failed batch
+    // aggregate) would wedge every later appender at the gate until a
+    // quiesced recoverIvfIndex, misreporting an IO/parse error as a
+    // concurrency conflict.
+    val staged: Option[(Long, String)] =
+      try {
+        val fields = readSmallText(fs, fpPath).split('|').toSeq
+        val kv = fields.collect { case f if f.contains("=") =>
+          val Array(k, v) = f.split("=", 2); k -> v
+        }.toMap
+        // exactly-once under foreachBatch re-delivery: the LAST applied batch
+        // id lives INSIDE the fingerprint, so it commits in the same atomic
+        // write as the append's visibility and the crash protocol preserves
+        // the right semantics in both directions — roll-forward restores the
+        // marker (re-delivery no-ops), roll-back drops it (re-delivery
+        // re-applies). Structured Streaming only ever re-delivers the most
+        // recent uncommitted batch, so one monotone id suffices as the ledger
+        // — and a marker STRICTLY below it can only mean the stream's
+        // checkpoint and this index are no longer a pair (reset/foreign
+        // checkpoint restarting ids at 0): fail loudly, because silently
+        // no-opping would drop genuinely new data batch after batch.
+        val lastBatch = kv.get("lastBatch").map(_.toLong).getOrElse(-1L)
+        if (batchMarker.exists(_ == lastBatch)) None // clean no-op
+        else {
+          batchMarker.foreach { b =>
+            if (b < lastBatch)
+              throw new IllegalStateException(
+                s"appendToIvfIndex: batch $b is older than the index's ledger " +
+                  s"(lastBatch=$lastBatch at $dir) — the streaming checkpoint and this " +
+                  "index are mismatched; re-pair them or rebuild the index")
+          }
+          // batch identity BEFORE any write: the pending marker must name
+          // both the state being left and the state being entered, so a
+          // crash at any point is resolvable by comparing the store's
+          // ACTUAL ids to the two.
+          val idRow = newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
+          val nBatch = idRow.getLong(0)
+          val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
+          val bumped = fields.map {
+            case f if f.startsWith("n=") => s"n=${kv("n").toLong + nBatch}"
+            case f if f.startsWith("xor=") => s"xor=${kv("xor").toLong ^ xorBatch}"
+            case f => f
+          }
+          val newFp = (batchMarker match {
+            case None => bumped
+            case Some(b) =>
+              if (bumped.exists(_.startsWith("lastBatch=")))
+                bumped.map { case f if f.startsWith("lastBatch=") => s"lastBatch=$b"; case f => f }
+              else bumped :+ s"lastBatch=$b"
+          }).mkString("|")
+          // the owned marker now names the (old, new) identity pair — a
+          // crash from here on is resolvable by comparing the store's
+          // ACTUAL ids to the two (recoverIvfIndex)
+          writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
+          Some((nBatch, newFp))
+        }
+      } catch { case t: Throwable => fs.delete(pendingPath, false); throw t }
+    if (staged.isEmpty) {
       fs.delete(pendingPath, false) // clean no-op: release the mutex
       return 0L
     }
-    batchMarker.foreach { b =>
-      if (b < lastBatch) {
-        fs.delete(pendingPath, false)
-        throw new IllegalStateException(
-          s"appendToIvfIndex: batch $b is older than the index's ledger " +
-            s"(lastBatch=$lastBatch at $dir) — the streaming checkpoint and this " +
-            "index are mismatched; re-pair them or rebuild the index")
-      }
-    }
-    // batch identity BEFORE any write: the pending marker must name both
-    // the state being left and the state being entered, so a crash at any
-    // point is resolvable by comparing the store's ACTUAL ids to the two.
-    // A FAILURE here (a thrown exception, not a process death) releases
-    // the mutex — nothing is staged yet, so the abort is clean.
-    val idRow =
-      try newVectors.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).collect()(0)
-      catch { case t: Throwable => fs.delete(pendingPath, false); throw t }
-    val nBatch = idRow.getLong(0)
-    val xorBatch = if (idRow.isNullAt(1)) 0L else idRow.getLong(1)
-    val bumped = fields.map {
-      case f if f.startsWith("n=") => s"n=${kv("n").toLong + nBatch}"
-      case f if f.startsWith("xor=") => s"xor=${kv("xor").toLong ^ xorBatch}"
-      case f => f
-    }
-    val newFp = (batchMarker match {
-      case None => bumped
-      case Some(b) =>
-        if (bumped.exists(_.startsWith("lastBatch=")))
-          bumped.map { case f if f.startsWith("lastBatch=") => s"lastBatch=$b"; case f => f }
-        else bumped :+ s"lastBatch=$b"
-    }).mkString("|")
-    // the owned marker now names the (old, new) identity pair — a crash
-    // from here on is resolvable by comparing the store's ACTUAL ids to
-    // the two (recoverIvfIndex); failures BEFORE this write released the
-    // mutex with nothing staged
-    writeSmallText(fs, pendingPath, s"${fields.mkString("|")}\n$newFp")
+    val (nBatch, newFp) = staged.get
     val centroids = spark.read.parquet(s"$dir/centroids")
     new graft.sources.ParquetDatabase(spark, s"$dir/assigned")
       .create(assignCells(spread(newVectors), idCol, vecCol, centroids)
@@ -673,7 +687,14 @@ object Similarity {
     * never reported success, so rollback is always safe).
     *
     * QUIESCE CONTRACT (same as compactMinHashStore): a maintenance write —
-    * no concurrent appends or probes while it runs.
+    * no concurrent appends or probes while it runs. Since round 12 the
+    * append half of the contract is ENFORCED, not assumed: the rebalance
+    * claims the store's `_append_pending` mutex for its whole duration, so
+    * a concurrent [[appendToIvfIndex]] aborts loudly at its own acquisition
+    * instead of committing into the moved-aside tree during the staged swap
+    * (where the promoted rebuild would silently drop its rows while the
+    * ledger claimed the batch was applied). An append already holding the
+    * mutex makes the REBALANCE abort loudly. Probes must still quiesce.
     *
     * @return Some(newK) when rebuilt; None when k already satisfies the
     *         rule and `force` is false (no-op — the compactSmallFiles
@@ -684,41 +705,75 @@ object Similarity {
                         kmeansIterations: Int = 2,
                         force: Boolean = false): Option[Int] = {
     graft.functions.GraftFunctions.register(spark)
-    recoverIvfIndex(spark, dir)
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // resolve only a DEAD rebalance's swap at entry, and only when the tree
+    // is actually broken (fingerprint missing): a healthy tree's
+    // __rebalance_* siblings may be a live competitor's mutex-held staging
+    // (the acquisition below is the arbiter), and append markers may belong
+    // to a LIVE append — recoverIvfIndex would roll its in-flight commit
+    // back. Crashed markers and healthy-tree debris are the caller's
+    // explicit quiesced recoverIvfIndex, as everywhere else.
+    if (!fs.exists(fpPath)) recoverIvfRebalance(spark, dir)
     require(fs.exists(fpPath),
       s"rebalanceIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
-    val fpText = readSmallText(fs, fpPath)
-    val kv = fpText.split('|').collect {
-      case f if f.contains("=") => val Array(k, v) = f.split("=", 2); k -> v
-    }.toMap
-    val newK = sizeRule(kv("n").toLong)
-    if (!force && newK == kv("k").toInt) return None
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    val tmp = s"${dir}__rebalance_tmp_$token"
-    val vectors = spark.read.parquet(s"$dir/assigned").select(col("nid"), col("nv"))
-    val cent = kmeansCentroids(vectors, "nid", "nv", newK, kmeansIterations)
-    new graft.sources.ParquetDatabase(spark, s"$tmp/centroids").create(cent)
-    new graft.sources.ParquetDatabase(spark, s"$tmp/assigned")
-      .create(assignCells(spread(vectors), "nid", "nv", cent).repartition(col("cell")),
-        partitionBy = Seq("cell"))
-    val newFp = fpText.split('|').map {
-      case f if f.startsWith("k=") => s"k=$newK"
-      case f if f.startsWith("iters=") => s"iters=$kmeansIterations"
-      case f => f
-    }.mkString("|")
-    // completeness sentinel: written only after both stores landed
-    writeSmallText(fs, new org.apache.hadoop.fs.Path(tmp, "_fingerprint"), newFp)
-    val old = s"${dir}__rebalance_old_$token"
-    if (!fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(old)))
-      throw new java.io.IOException(
-        s"rebalanceIvfIndex: failed to move $dir aside — index untouched, staging at $tmp")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir)))
-      throw new java.io.IOException(
-        s"rebalanceIvfIndex: failed to promote $tmp — run recoverIvfRebalance")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    Some(newK)
+    // claim the append mutex for the whole rebalance (see the scaladoc's
+    // quiesce contract): acquisition failure = an append is mid-commit
+    val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
+    if (!graft.sources.HadoopText.writeIfAbsent(fs, pendingPath, "rebalancing"))
+      throw new java.util.ConcurrentModificationException(
+        s"rebalanceIvfIndex: an append is in flight on $dir (_append_pending " +
+          "exists) — retry after it completes, or run recoverIvfIndex in a " +
+          "quiesced window if the holder crashed")
+    // Release accounting across the swap: pre-retire, the marker lives at
+    // dir/_append_pending and an abort deletes it there. The retire rename
+    // carries it into the moved-aside OLD tree (still guarding the gap: an
+    // append cannot acquire at dir while dir is absent — its fingerprint
+    // require fails first — and after the promote the NEW tree has no
+    // marker, deliberately open for appends). Success deletes the old tree,
+    // marker included; a promote failure leaves the marker in the old tree,
+    // where recoverIvfRebalance's rollback restores it and the quiesced
+    // recoverIvfIndex releases it as an unstarted append.
+    var retired = false
+    try {
+      val fpText = readSmallText(fs, fpPath)
+      val kv = fpText.split('|').collect {
+        case f if f.contains("=") => val Array(k, v) = f.split("=", 2); k -> v
+      }.toMap
+      val newK = sizeRule(kv("n").toLong)
+      if (!force && newK == kv("k").toInt) return None
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = s"${dir}__rebalance_tmp_$token"
+      val vectors = spark.read.parquet(s"$dir/assigned").select(col("nid"), col("nv"))
+      val cent = kmeansCentroids(vectors, "nid", "nv", newK, kmeansIterations)
+      new graft.sources.ParquetDatabase(spark, s"$tmp/centroids").create(cent)
+      new graft.sources.ParquetDatabase(spark, s"$tmp/assigned")
+        .create(assignCells(spread(vectors), "nid", "nv", cent).repartition(col("cell")),
+          partitionBy = Seq("cell"))
+      val newFp = fpText.split('|').map {
+        case f if f.startsWith("k=") => s"k=$newK"
+        case f if f.startsWith("iters=") => s"iters=$kmeansIterations"
+        case f => f
+      }.mkString("|")
+      // completeness sentinel: written only after both stores landed
+      writeSmallText(fs, new org.apache.hadoop.fs.Path(tmp, "_fingerprint"), newFp)
+      val old = s"${dir}__rebalance_old_$token"
+      if (!fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(old)))
+        throw new java.io.IOException(
+          s"rebalanceIvfIndex: failed to move $dir aside — index untouched, staging at $tmp")
+      retired = true
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir)))
+        throw new java.io.IOException(
+          s"rebalanceIvfIndex: failed to promote $tmp — run recoverIvfRebalance")
+      fs.delete(new org.apache.hadoop.fs.Path(old), true)
+      Some(newK)
+    } finally {
+      // pre-retire exits (no-op return, staging failure, retire failure):
+      // the marker is still at dir/_append_pending — release it. Post-
+      // retire, the marker traveled with the old tree (deleted on success,
+      // recover-resolved on a promote failure) — nothing to do here.
+      if (!retired) fs.delete(pendingPath, false)
+    }
   }
 
   /** Repair an interrupted [[rebalanceIvfIndex]]. Healthy index dir →

@@ -562,13 +562,17 @@ object IngestQueries {
         require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 1")
         require(db.recover().exists(_.contains("rolled back")),
           "q_norm6: incomplete rewrite was not rolled back")
-        // drill 2: complete rewrite (_SUCCESS present), crash between
-        // renames. Roll-forward is token-gated (round-11 __swapper
-        // protocol), so the marker the swap writes before its first
-        // rename is part of the simulated crash state.
+        // drill 2: complete rewrite (_SUCCESS present), crash between the
+        // post-lock re-check and the promote rename. Roll-forward is
+        // token-gated (round-11 __swapper protocol) AND check-gated
+        // (round 12): the marker must name the stage and carry the
+        // second-line "checked" token the swap appends only after its
+        // fingerprint re-check passes — both are part of the simulated
+        // crash state (a single-line marker must roll BACK instead;
+        // drilled in ConcurrentWriterSpec).
         src.repartition(2).write.parquet(db.dir + "__normalize_tmp")
         graft.sources.HadoopText.write(fs, P(db.dir + "__swapper"),
-          db.dir + "__normalize_tmp")
+          db.dir + "__normalize_tmp\nchecked")
         require(fs.rename(P(db.dir), P(db.dir + "__old")), "q_norm6: fixture rename 2")
         require(db.recover().exists(_.contains("completed")),
           "q_norm6: complete rewrite was not rolled forward")

@@ -41,17 +41,36 @@ object HadoopText {
     // so the fallback re-probes existence before deciding.
     val isLocal = fs.getScheme == "file"
     val created =
-      try {
-        if (isLocal) {
-          val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
-          Option(f.getParentFile).foreach(_.mkdirs())
-          if (!f.createNewFile()) None // atomic claim lost — holder exists
-          else Some(fs.create(p, true)) // we own the claim; write through fs
-        } else Some(fs.create(p, false))
-      }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
-        case e: java.io.IOException => if (fs.exists(p)) None else throw e
+      if (isLocal) {
+        // The parent directory must already exist (every caller claims a
+        // marker INSIDE a store it just validated). Deliberately NO mkdirs:
+        // a missing parent means the store is mid-swap (renamed aside) or
+        // gone, and resurrecting it as an empty dir would make the swapper's
+        // promote rename NEST inside it — the claim fails with the raw
+        // missing-parent IOException instead, which retry loops treat as
+        // the transient it is.
+        val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
+        if (!f.createNewFile()) None // atomic claim lost — holder exists
+        else {
+          // we own the claim; open the write-through stream under its own
+          // guard: a create failure HERE is an IO error on OUR claim, not a
+          // lost race — falling through to the shared exists-means-lost
+          // mapping would leave our own empty marker wedging every later
+          // writer at the gate, misreported as a concurrency conflict.
+          // Delete the just-created claim and surface the real error.
+          try Some(fs.create(p, true))
+          catch {
+            case e: Throwable =>
+              try fs.delete(p, false) catch { case _: Throwable => () }
+              throw e
+          }
+        }
+      } else {
+        try Some(fs.create(p, false))
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case e: java.io.IOException => if (fs.exists(p)) None else throw e
+        }
       }
     created match {
       case None => false

@@ -131,6 +131,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     */
   private[sources] var preRenameHook: () => Unit = () => ()
 
+  /** Test seam: runs after the swap's dir -> __old retire rename succeeds
+    * and before the post-lock fingerprint re-check — the crash window where
+    * __old may hold a competitor's committed table and roll-forward of this
+    * writer's stage would be a lost update.
+    */
+  private[sources] var postRetireHook: () => Unit = () => ()
+
   /** Run a staging write with conflict-aware failure handling: any failure
     * drops the half-written temp (otherwise every aborted attempt leaves a
     * table-sized debris dir for recover()), and a failure caused by table
@@ -306,13 +313,15 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       archiveReferenced(new Path(old), p => relativize(old, p))
       fs.delete(new Path(old), true)
     }
-    // SWAPPER TOKEN: record which stage THIS swap intends to promote,
-    // BEFORE anything is renamed. recover()'s roll-forward only ever
-    // promotes the stage this marker names — without it, a stale complete
-    // stage left by an earlier crashed writer (invocation-unique staging
-    // deliberately leaves debris in place) could be promoted over a
+    // SWAPPER TOKEN, phase 1 of 2: record which stage THIS swap intends to
+    // promote, BEFORE anything is renamed. recover()'s roll-forward only
+    // ever promotes the stage this marker names — without it, a stale
+    // complete stage left by an earlier crashed writer (invocation-unique
+    // staging deliberately leaves debris in place) could be promoted over a
     // competitor's committed table when a later writer crashes mid-abort
     // with __old holding the CURRENT table. Overwrites any stale marker.
+    // Phase 2 (the "checked" line) is appended only after the post-lock
+    // fingerprint re-check passes — see below.
     writeTextFile(new Path(swapperMarker), tmp)
     preRenameHook()
     // a competitor's __old reappearing here means a commit is IN FLIGHT
@@ -332,6 +341,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     // recoverable by a single rename" contract above is broken.
     if (!fs.rename(new Path(dir), new Path(old)))
       throw new java.io.IOException(s"rewrite: failed to move $dir aside to $old; table untouched")
+    postRetireHook()
     // safety net for the instruction-thin gap between the exists check and
     // the rename: if a competitor created __old in that gap, HDFS rename
     // semantics nested our table inside it — un-nest and abort before the
@@ -384,6 +394,16 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
             "restored untouched; staged output dropped — re-read and retry.")
       }
     }
+    // ROLL-FORWARD AUTHORIZATION (round 12): the marker gains its second
+    // line only once the post-lock re-check above has PASSED. recover()
+    // promotes a stage only when the marker carries this token — a crash
+    // between the retire rename and this point leaves a single-line marker,
+    // and recover() rolls __old BACK instead. Without the token, a writer
+    // that lost the optimistic-concurrency race (its __old holds a
+    // competitor's already-committed table) and crashed mid-window would
+    // get its stale complete stage rolled FORWARD, deleting a committed
+    // write that reported success.
+    writeTextFile(new Path(swapperMarker), s"$tmp\nchecked")
     if (!fs.rename(new Path(tmp), new Path(dir)))
       throw new java.io.IOException(
         s"rewrite: failed to move rewrite into place; original preserved at $old, rewrite at $tmp")
@@ -584,8 +604,13 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *
     * Rewrite swaps: if the live dir is missing, roll-forward is
     * TOKEN-GATED — only the stage the `__swapper` marker names (written by
-    * the swap before its first rename) is ever promoted, and only if it is
-    * COMPLETE (`_SUCCESS` present). Otherwise `__old` is rolled back
+    * the swap before its first rename) is ever promoted, only if it is
+    * COMPLETE (`_SUCCESS` present), and only if the marker carries the
+    * second-line `checked` token the swap appends after its post-lock
+    * fingerprint re-check passed (a single-line marker = the crash hit
+    * inside the check window, where `__old` may hold a competitor's
+    * committed table — rollback is the only safe resolution there).
+    * Otherwise `__old` is rolled back
     * whenever it exists: always safe, because a crashed writer never
     * reported success. An unattributed complete stage is promoted only in
     * the no-`__old`, no-marker state (nothing else holds table content).
@@ -627,7 +652,16 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       // holds the committed table (a crash mid-abort after the post-lock
       // conflict check) would silently replace the live table with a
       // stale rewrite
-      val own = (if (fs.exists(marker)) Some(readTextFile(marker).trim) else None)
+      // ... and only a stage whose marker carries the second-line "checked"
+      // token (appended after the post-lock fingerprint re-check passed).
+      // A single-line marker means the crash hit INSIDE the check window:
+      // __old may hold a competitor's committed table, so the only safe
+      // resolution is rollback — roll-forward there is a lost update of a
+      // write that reported success.
+      val markerLines = (if (fs.exists(marker)) readTextFile(marker) else "")
+        .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      val own = markerLines.headOption
+        .filter(_ => markerLines.lift(1).contains("checked"))
         .map(new Path(_))
         .filter(t => complete.exists(_.getName == t.getName))
       if (own.isDefined) {

@@ -195,4 +195,45 @@ class ConcurrentSketchWriterSpec extends SparkSpec {
     // new batch's tiny counts)
     before.foreach { case (g, v) => assert(after(g) >= v, s"group $g lost mass: $v -> ${after(g)}") }
   }
+
+  test("bucketed HLL store: a retire landing in the entry-check-to-capture gap aborts; no sketch mass stranded") {
+    // the round-11 advice TOCTOU: a competitor retires a touched bucket
+    // AFTER the entry orphan check but BEFORE the per-bucket capture, so
+    // the capture reads "" (missing) and the fold is batch-only. Without
+    // the pre-promote orphan re-check the merge would promote that
+    // batch-only fold into the empty slot — and if the competitor then
+    // crashed, recoverBucketedStore would see OUR live bucket and drop the
+    // competitor's moved-aside copy (holding ALL the bucket's prior mass)
+    // as post-promote debris: a silent distinct-count loss.
+    val dir = fresh("hlltoctou")
+    val data = (0 until 200).map(i => (s"k${i % 8}", i.toLong)).toDF("k", "v")
+    DistinctSketch.buildBucketedStore(data, Seq("k"), "v", dir, nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // the bucket the batch's key hashes into, computed like the store does
+    val b = Seq("k0").toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(4L))).first.getLong(0)
+    val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
+    val aside = new org.apache.hadoop.fs.Path(dir + s"__old_bucket_${b}_c0ffee01")
+    val batch = Seq(("k0", 9999L)).toDF("k", "v")
+    DistinctSketch.postEntryCheckHook = () =>
+      assert(fs.rename(live, aside), "drill setup: competitor retire failed")
+    try {
+      val ex = intercept[java.util.ConcurrentModificationException](
+        DistinctSketch.mergeBatchIntoBucketedStore(spark, batch, Seq("k"), "v",
+          dir, nBuckets = 4))
+      assert(ex.getMessage.contains("moved-aside copy appeared"), ex.getMessage)
+    } finally DistinctSketch.postEntryCheckHook = () => ()
+    // the competitor "crashed": quiesced sweep restores its retired bucket,
+    // the replayed merge folds the batch, and the prior mass is intact
+    DistinctSketch.recoverBucketedStore(spark, dir)
+    assert(fs.exists(live))
+    DistinctSketch.mergeBatchIntoBucketedStore(spark, batch, Seq("k"), "v",
+      dir, nBuckets = 4)
+    val estK0 = DistinctSketch.readEstimates(spark, dir)
+      .filter(col("k") === "k0").select("distinct_est").first.getLong(0)
+    // 25 original distinct values (+1 batch value) within HLL error — a
+    // stranded bucket would read 1
+    assert(estK0 >= 24L && estK0 <= 28L, s"k0 estimate $estK0 lost prior mass")
+  }
 }

@@ -171,6 +171,110 @@ class SimilaritySpec extends SparkSpec {
     assert(ex2.getMessage.contains("skewed"), ex2.getMessage)
   }
 
+  test("rebalance claims the append mutex: append-vs-rebalance aborts loudly in both directions") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"target/tmp/ivf_spec_mutex/${java.util.UUID.randomUUID}"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pending = new org.apache.hadoop.fs.Path(dir, "_append_pending")
+    val base = clustered(200, 16, 8, jitter = 0.05).toDF("vec_id", "embedding")
+    Similarity.ensureIvfIndex(spark, dir, base, "vec_id", "embedding", numCentroids = 4)
+
+    // direction 1: an append holds the mutex (mid-commit) -> the rebalance
+    // must abort loudly at acquisition instead of swapping the tree out
+    // from under it (the append would otherwise commit into the moved-aside
+    // tree and be silently dropped by the promoted rebuild, with the ledger
+    // claiming its batch was applied — the round-11 verdict seam)
+    assert(graft.sources.HadoopText.writeIfAbsent(fs, pending, "acquiring"))
+    val ex1 = intercept[java.util.ConcurrentModificationException] {
+      Similarity.rebalanceIvfIndex(spark, dir,
+        Similarity.autoCentroids(_, targetCellSize = 8))
+    }
+    assert(ex1.getMessage.contains("append is in flight"), ex1.getMessage)
+    fs.delete(pending, false)
+
+    // direction 2: a rebalance holds the mutex -> a concurrent append must
+    // abort loudly at ITS acquisition
+    assert(graft.sources.HadoopText.writeIfAbsent(fs, pending, "rebalancing"))
+    val ex2 = intercept[java.util.ConcurrentModificationException] {
+      Similarity.appendToIvfIndex(spark, dir,
+        clustered(10, 16, 8, jitter = 0.05).map { case (i, v) => (i + 7000L, v) }
+          .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("_append_pending"), ex2.getMessage)
+    fs.delete(pending, false)
+
+    // release accounting: both the no-op path and a completed rebalance
+    // leave the mutex free — appends are deliberately open again after
+    assert(Similarity.rebalanceIvfIndex(spark, dir,
+      Similarity.autoCentroids(_, targetCellSize = 8)) === Some(25))
+    assert(!fs.exists(pending), "completed rebalance must release the append mutex")
+    assert(Similarity.rebalanceIvfIndex(spark, dir,
+      Similarity.autoCentroids(_, targetCellSize = 8)) === None) // satisfied rule: no-op
+    assert(!fs.exists(pending), "no-op rebalance must release the append mutex")
+    assert(Similarity.appendToIvfIndex(spark, dir,
+      clustered(10, 16, 8, jitter = 0.05).map { case (i, v) => (i + 8000L, v) }
+        .toDF("vec_id", "embedding"), "vec_id", "embedding") === 10L)
+
+    // two-thread drill: a looping appender and a forced rebalance race the
+    // same store with retries on the loud aborts — no appended batch may be
+    // dropped by the staged swap, and the final identity must account for
+    // every batch that reported success
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appended = new java.util.concurrent.atomic.AtomicLong(0L)
+    def retrying(tag: String)(body: => Unit): Unit = {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          // retryable aborts: the mutex CME, a lost rename race
+          // (IOException), and the ms-wide swap window where the index dir
+          // itself is absent (the entry require -> IllegalArgumentException,
+          // a parquet read -> AnalysisException PATH_NOT_FOUND)
+          case e @ (_: java.util.ConcurrentModificationException | _: java.io.IOException
+                    | _: IllegalArgumentException
+                    | _: org.apache.spark.sql.AnalysisException) =>
+            attempt += 1
+            // generous: the peer may hold the mutex for a full k-means +
+            // staged-write rebalance, not just a marker-file CAS window
+            if (attempt > 100) throw new IllegalStateException(s"$tag: no convergence", e)
+            Thread.sleep(25L * math.min(attempt, 20))
+        }
+      }
+    }
+    val appender = new Thread(() => {
+      try (0 until 4).foreach { i =>
+        retrying(s"append-$i") {
+          Similarity.appendToIvfIndex(spark, dir,
+            clustered(10, 16, 8, jitter = 0.05)
+              .map { case (j, v) => (j + 10000L + i * 100L, v) }
+              .toDF("vec_id", "embedding"), "vec_id", "embedding")
+          appended.addAndGet(10L)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }, "mutex-appender")
+    val rebalancer = new Thread(() => {
+      try (0 until 2).foreach { i =>
+        retrying(s"rebalance-$i") {
+          Similarity.rebalanceIvfIndex(spark, dir,
+            Similarity.autoCentroids(_, targetCellSize = 8), force = true)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    }, "mutex-rebalancer")
+    appender.start(); rebalancer.start()
+    appender.join(300000); rebalancer.join(300000)
+    assert(errors.isEmpty, s"thread errors: ${errors.toArray.mkString("; ")}")
+    assert(appended.get === 40L)
+    // every successful append's rows survived the rebalances
+    // (200 base + 10 pre-thread append + the threads' 40)
+    assert(spark.read.parquet(s"$dir/assigned").count() === 210L + appended.get)
+    val fp = graft.sources.HadoopText.read(fs,
+      new org.apache.hadoop.fs.Path(dir, "_fingerprint"))
+    assert(fp.contains(s"n=${210L + appended.get}"), fp)
+    assert(!fs.exists(pending))
+  }
+
   test("IVF rebalance crash drill: every swap window rolls forward or back, debris is swept") {
     val root = s"target/tmp/ivf_spec_rebal/${java.util.UUID.randomUUID}"
     val dir = s"$root/ivf"

@@ -96,6 +96,19 @@ class ConcurrentWriterSpec extends SparkSpec {
     fs.delete(p, false)
   }
 
+  test("writeIfAbsent never resurrects a missing parent dir (a store renamed aside mid-swap)") {
+    // claiming a marker inside a store whose dir a rebalance/swap just
+    // renamed away must FAIL, not mkdirs the dir back: an empty resurrected
+    // dir makes the swapper's promote rename NEST inside it
+    val fs = new org.apache.hadoop.fs.Path("target/tmp")
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val parent = new org.apache.hadoop.fs.Path(
+      s"target/tmp/pqdb_ccw/absent_${java.util.UUID.randomUUID().toString.take(8)}")
+    intercept[java.io.IOException](
+      HadoopText.writeIfAbsent(fs, new org.apache.hadoop.fs.Path(parent, "_marker"), "x"))
+    assert(!fs.exists(parent), "the failed claim must not recreate the store dir")
+  }
+
   test("interleaved upserts: the second committer wins, the stale one aborts with nothing lost") {
     val a = freshDb("interleave")
     a.create(spark.range(100).select(col("id"), lit("base").as("v")))
@@ -234,6 +247,36 @@ class ConcurrentWriterSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(a.dir)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__old")), "swap debris left behind")
+  }
+
+  test("a crash between the retire rename and the post-lock re-check rolls BACK, never promotes the stale stage") {
+    // writer A passes its conflict check; writer B fully commits inside the
+    // check-to-rename gap; A's dir -> __old rename succeeds — moving B's
+    // COMMITTED table aside — and A dies BEFORE the post-lock re-check that
+    // would have caught the conflict. A's staged rewrite is COMPLETE
+    // (_SUCCESS present) and the __swapper marker names it, but the marker
+    // lacks the second-line "checked" token (appended only after the
+    // re-check passes) — so recover() must roll B's table BACK, not promote
+    // A's stale stage (which would delete a committed write that reported
+    // success: the round-11 advice finding).
+    val a = freshDb("retirecrash")
+    a.create(spark.range(500).select(col("id"), (col("id") % 5).as("g")),
+      partitionBy = Seq("g"))
+    val b = new ParquetDatabase(spark, a.dir)
+    a.preRenameHook = () => b.deleteWhere(col("id") >= 400) // full commit inside the gap
+    a.postRetireHook = () => throw new RuntimeException("simulated crash post-retire")
+    intercept[RuntimeException] { a.deleteWhere(col("id") >= 450) }
+    a.preRenameHook = () => ()
+    a.postRetireHook = () => ()
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // crash state: dir missing, __old = B's committed 400-row table, A's
+    // complete stage on disk with a single-line swapper marker naming it
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(a.dir)), "crash state: dir should be missing")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(a.dir + "__old")))
+    val acts = a.recover()
+    assert(acts.exists(_.contains("rolled back")), acts.mkString("; "))
+    assert(a.nRows === 400L, "B's committed table must survive; A's 450-row stage must not be promoted")
   }
 
   test("a foreign patch manifest aborts the patcher loudly; recover() clears it for retry") {

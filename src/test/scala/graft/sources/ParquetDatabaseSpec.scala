@@ -223,13 +223,15 @@ class ParquetDatabaseSpec extends SparkSpec {
     assert(!fs.exists(P(db.dir + "__old")) && !fs.exists(P(db.dir + "__normalize_tmp")))
 
     // rewrite ROLL-FORWARD: rewrite complete (_SUCCESS present), the
-    // swap's own __swapper marker names it, crash between the two
-    // renames -> the rewrite lands. Roll-forward is token-gated, so the
-    // marker the real protocol writes before its first rename is part of
-    // the simulated crash state.
+    // swap's own __swapper marker names it WITH the second-line "checked"
+    // token (the post-lock fingerprint re-check passed), crash between the
+    // re-check and the promote rename -> the rewrite lands. Roll-forward
+    // requires both lines: a single-line marker means the crash hit inside
+    // the check window and must roll back instead (drilled in
+    // ConcurrentWriterSpec).
     spark.range(200).toDF("id").write.parquet(db.dir + "__normalize_tmp")
     val sw = fs.create(P(db.dir + "__swapper"), true)
-    try sw.write((db.dir + "__normalize_tmp").getBytes("UTF-8")) finally sw.close()
+    try sw.write((db.dir + "__normalize_tmp\nchecked").getBytes("UTF-8")) finally sw.close()
     assert(fs.rename(P(db.dir), P(db.dir + "__old")))
     val acts2 = db.recover()
     assert(acts2.exists(_.contains("completed")), acts2.mkString("; "))
