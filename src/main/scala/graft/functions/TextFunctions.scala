@@ -148,6 +148,13 @@ object TextFunctions {
     */
   def bpeTokenCount(text: Column): Column = call_function("bpe_token_count", text)
 
+  /** [[bpeTokenCount]] over the production-sized checked-in merges table
+    * ([[BpeTokenizer.large]], ~1.5k ranks) — the realistic-scale tier,
+    * gated by q_ext_tok3's lookup-join oracle.
+    */
+  def bpeTokenCountLarge(text: Column): Column =
+    call_function("bpe_token_count_large", text)
+
   /** The BPE tokens themselves (array<string>) — feeds [[chunkTokensBy]]. */
   def bpeTokens(text: Column): Column = call_function("bpe_tokens", text)
 }

@@ -186,6 +186,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_token_count", exprs => BpeTokenCount(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_token_count_large", exprs => BpeTokenCountLarge(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_tokens", exprs => BpeTokens(exprs(0)), "built-in")
     // Spark's own runtime-filter expressions, exposed for explicit use by
     // BloomJoin (the optimizer only injects them under its cost heuristics)

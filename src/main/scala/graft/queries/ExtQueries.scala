@@ -573,6 +573,52 @@ object ExtQueries {
           "CAST(start_tok % 2048 AS BIGINT) AS bin_offset, n_tok FROM c ORDER BY doc_id"
       }),
 
+    // PRODUCTION-SIZED BPE on the gate (r11 verdict task 4): the 24-merge
+    // default is bounded by its replace-chain oracle's 26 ASCII
+    // placeholders; this tier runs the same greedy algorithm over the
+    // checked-in 1.5k-rank resource table (trained deterministically from
+    // the fixture corpus by graft.tools.BpeTrain — letter merges from the
+    // text surfaces, multi-level digit merges from the id-bearing name
+    // columns, the shape real tables carry for numerals). The oracle is a
+    // lookup JOIN, not a replace chain: per-word expected counts for the
+    // checked-in probe-word list (the 800 most frequent corpus words) are
+    // derived from the SAME BpeTokenizer.large at oracle-build time and
+    // inlined as VALUES, so the two engines cannot drift — and BpeSpec
+    // property-tests greedy ≡ in-rank-order-replacement at this table size,
+    // so the shared source is itself cross-checked. The codegen'd
+    // expression runs once per word OCCURRENCE (pre-aggregation), so the
+    // gate exercises the per-row hot path at corpus scale, not 800 lookups;
+    // probe words absent at a scale drop from both sides (inner join), so
+    // the query is scale-stable by construction.
+    DeclaredQuery(
+      "q_ext_tok3",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val probe = s.createDataset(graft.functions.BpeTokenizer.probeWords)(
+          org.apache.spark.sql.Encoders.STRING).toDF("w")
+        def words(df: org.apache.spark.sql.DataFrame, c: String) = df.select(
+          explode(regexp_extract_all(lower(col(c)),
+            lit(TextFunctions.bpeishPattern), lit(0))).as("w"))
+        words(Tables.load(s, d, "documents"), "text")
+          .unionByName(words(Tables.load(s, d, "customer"), "c_name"))
+          .join(broadcast(probe), "w")
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_occ"),
+            sum(TextFunctions.bpeTokenCountLarge(col("w")).cast("long")).as("n_bpe_sum"))
+          .orderBy("w")
+      },
+      Some {
+        val tok = graft.functions.BpeTokenizer.large
+        val values = graft.functions.BpeTokenizer.probeWords
+          .map(w => s"('${w.replace("'", "''")}',${tok.encodeWord(w).length})")
+          .mkString(",")
+        s"WITH probe(w, c) AS (SELECT * FROM (VALUES $values)), " +
+          "toks AS (SELECT unnest(regexp_extract_all(lower(text),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM documents " +
+          "UNION ALL SELECT unnest(regexp_extract_all(lower(c_name),'[a-z]+|[0-9]+|[^a-z0-9 ]')) AS w FROM customer) " +
+          "SELECT t.w AS w, count(*) AS n_occ, CAST(count(*) * p.c AS BIGINT) AS n_bpe_sum " +
+          "FROM toks t JOIN probe p ON t.w = p.w GROUP BY t.w, p.c ORDER BY w"
+      }),
+
     // sequence-length bucketing + padding-waste report (the batching-
     // efficiency audit run before fixing bucket boundaries): power-of-two
     // round-up with maxBucket truncation accounting — one map-side-

@@ -65,6 +65,7 @@ class OracleSqlSpec extends SparkSpec {
     "q_ext_search1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_tok1" -> "string_split/unnest (Spark: split/explode)",
     "q_ext_tok2" -> "string_split/unnest (Spark: split/explode)",
+    "q_ext_tok3" -> "unnest + VALUES row-constructor probe table (DuckDB dialect)",
     "q_ext_stream15" -> "string_split (Spark: split)",
     "q_ext_pack1" -> "string_split (Spark: split)",
     "q_ext_pack2" -> "string_split (Spark: split)",

@@ -86,6 +86,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("LARGE resource table: well-formed at load, round-trips, greedy equals in-order replacement") {
+    // the production-sized tier (q_ext_tok3): the resource load re-runs the
+    // producer-before-consumer require, and the greedy ≡ rank-ordered-
+    // replacement property — the oracle-equivalence argument — is re-proven
+    // at 1500 ranks over the gate's own probe words plus random words.
+    // Aliases come from a CJK codepoint block: 1500 ranks overflow the
+    // 26-letter space the default table's replace-chain oracle uses (the
+    // very bound that capped it at 24 merges).
+    val big = BpeTokenizer.large
+    assert(big.merges.size >= 1000, s"large table shrank to ${big.merges.size} merges")
+    val alias: Map[String, Char] =
+      big.merges.zipWithIndex.map { case ((l, r), i) => (l + r) -> (0x4E00 + i).toChar }.toMap
+    def repr(sym: String): String = if (sym.length == 1) sym else alias(sym).toString
+    def referenceCount(word: String): Int =
+      big.merges.foldLeft(word) { case (acc, (l, r)) =>
+        acc.replace(repr(l) + repr(r), alias(l + r).toString)
+      }.length
+    val rnd = new scala.util.Random(12)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val words = BpeTokenizer.probeWords ++ (1 to 800).map(_ =>
+      (1 to (1 + rnd.nextInt(14))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    words.foreach { w =>
+      assert(big.encodeWord(w).mkString("") === w, s"round-trip broke on '$w'")
+      assert(big.encodeWord(w).length === referenceCount(w),
+        s"greedy vs in-order divergence on '$w': ${big.encodeWord(w).toSeq}")
+    }
+    // the digit merges are the table's deep end: a customer-id digit run
+    // compresses well below its character count
+    assert(big.encodeWord("000000001").length < 5)
+    // native expression tier matches the engine and stays null-safe
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, "Customer#000000042 likes the fast table scan"),
+        (2L, null.asInstanceOf[String])).toDF("id", "text")
+      .select($"id", TextFunctions.bpeTokenCountLarge($"text").as("n"))
+      .orderBy("id").collect()
+    assert(rows(0).getInt(1) === big.countTokens("Customer#000000042 likes the fast table scan"))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("oracleCountSqlExpr emits one replace per merge with distinct placeholders") {
     val sql = tok.oracleCountSqlExpr("w")
     assert(sql.startsWith("length(") && sql.contains("replace("))
