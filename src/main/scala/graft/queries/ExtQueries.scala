@@ -876,15 +876,20 @@ object ExtQueries {
     // oracle confirms the operator emits no false positives — while
     // ScaleGen's jittered replicas (cos ≈ 0.9998) make the result set real
     // at sf1; recall on planted near-dups is asserted in SimilaritySpec).
-    // ORACLE-COST BOUND: this oracle is genuinely all-pairs SQL — the
-    // declared semantics is EVERY τ-pair in the corpus, which admits no
-    // anchored subset without changing the result — so hash sweeps for
-    // this query are bounded to ≤ sf1 (2×10⁸ DuckDB pair evaluations,
-    // minutes); the 100×-rehearsal tier exercises the deployment path
-    // (cosineNearDupPairs' LSH bucketing) via ProfileScale instead, where
-    // no oracle arm exists. q_ext_dedup10 carries the scale-bounded-oracle
-    // form of this family (closed-form planted pairs + count-scaled
-    // anchored verification).
+    // ORACLE COST (r11 verdict task 6): the declared semantics is EVERY
+    // τ-pair in the corpus — an all-pairs join by construction — but the
+    // DuckDB arm is candidate-BOUNDED per pair without losing a single
+    // pair: vectors normalize ONCE in a MATERIALIZED CTE (the old form
+    // re-cast both 64-float lists and ran 3 dot products per pair), and
+    // the join condition carries a Cauchy–Schwarz prefix bound — for unit
+    // vectors, cos(a,b) = dot16(a,b) + suffix_dot ≤ dot16(a,b) + sn_a·sn_b
+    // where sn = sqrt(1 − ‖prefix16‖²) — so the full 64-dim cosine runs
+    // only on pairs passing a 16-dim test (≈0.1% on this data; the 1e-9
+    // slack absorbs float error in the bound, keeping it COMPLETE). The
+    // surviving pairs' emitted values still come from the same
+    // list_cosine_similarity expression as before — measured value-
+    // identical at sf1 and 16× faster (107 s → 6.5 s; a full sf10 arm
+    // drops from ~2.5 h to ~11 min, enabling the sf10 dedup/sim sweep).
     DeclaredQuery(
       "q_ext_dedup5",
       (s, d) =>
@@ -893,11 +898,15 @@ object ExtQueries {
           .select(col("d1"), col("d2"), r4(col("cos")).as("cos"))
           .orderBy("d1", "d2"),
       Some(
-        "SELECT a.vec_id AS d1, b.vec_id AS d2, " +
-          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS cos " +
-          "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
-          "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95 " +
-          "ORDER BY 1, 2")),
+        "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, " +
+          "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm FROM embeddings), " +
+          "u AS MATERIALIZED (SELECT vec_id, e, list_transform(e[1:16], x -> x / nrm) AS p16, " +
+          "sqrt(greatest(0.0, 1.0 - list_inner_product(list_transform(e[1:16], x -> x / nrm), " +
+          "list_transform(e[1:16], x -> x / nrm)))) AS sn FROM e) " +
+          "SELECT a.vec_id AS d1, b.vec_id AS d2, round(list_cosine_similarity(a.e, b.e),4) AS cos " +
+          "FROM u a JOIN u b ON a.vec_id < b.vec_id " +
+          "AND list_inner_product(a.p16, b.p16) + a.sn * b.sn >= 0.95 - 1e-9 " +
+          "WHERE list_cosine_similarity(a.e, b.e) >= 0.95 ORDER BY 1, 2")),
 
     // SemDeDup-style semantic dedup on the oracle gate: the emitted rows
     // are the KEEPER SET of a duplicate graph — one row per connected

@@ -20,7 +20,7 @@ class OracleSqlSpec extends SparkSpec {
   /** DuckDB-dialect oracles Spark cannot run, with the offending construct. */
   private val duckdbOnly: Map[String, String] = Map(
     "q_set5" -> "UNION ALL BY NAME (DuckDB syntax; Spark only has the Dataset unionByName)",
-    "q_ext_dedup5" -> "list_cosine_similarity (DuckDB list function)",
+    "q_ext_dedup5" -> "list_cosine_similarity/list_inner_product + MATERIALIZED (DuckDB dialect)",
     "q_ext_dedup10" -> "list_cosine_similarity + WITH RECURSIVE (DuckDB dialect)",
     "q_ext_dedup6" -> "WITH RECURSIVE (DuckDB recursive CTE form)",
     "q_ext_pipe1" -> "WITH RECURSIVE (DuckDB recursive CTE form)",
