@@ -996,28 +996,61 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rn"), col("cos"))
   }
 
+  /** SRP plane-count rule for [[cosineNearDupPairs]] — the LSH analogue of
+    * [[autoCentroids]]: per-table candidate volume is Σ bucket², so buckets
+    * must GROW with the corpus to hold per-bucket population (and with it
+    * the banding join's fan-out) constant. planes = ceil(log2(n /
+    * targetBucket)), floored at the historical 8 so small corpora keep the
+    * round-11 geometry exactly. Recall stays effectively 1 for the
+    * population the operator exists for: a true near-dup at tau >= 0.95 is
+    * within ~18° (the driver corpora's planted dups are within ~1°), so a
+    * plane "loses" a pair per table with probability θ/180 per plane, and
+    * the numTables-way OR makes the total miss probability vanish — e.g. at
+    * the sf10 rehearsal's cos ≈ 0.9998 replicas, 10 planes × 8 tables miss
+    * ≈ 1.5e-10. The 100× finding behind the rule: at 200 k vectors the
+    * frozen 8-plane geometry put ~780 vectors per bucket and the banding
+    * join emitted ~6×10⁸ candidate slots.
+    */
+  def autoSrpPlanes(corpusRows: Long, targetBucket: Long = 256L, floor: Int = 8): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(floor, needed)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine >= tau,
     * multi-table LSH-bucketed so the pair join is per-bucket, not n². High
     * tau means tiny angle, so per-table collision probability is high and
     * recall is near-1 with a handful of tables.
+    *
+    * `planesPerTable = 0` (the default) sizes the bucket space by
+    * [[autoSrpPlanes]] from one corpus count — the deployment rule; pass an
+    * explicit value to pin a fixture geometry. Candidates are SCORED AND
+    * FILTERED inside the banding join's projection, BEFORE the pair
+    * dedup shuffle (round 12, the simHashPairs r9 lesson writ large): the
+    * old shape ran dropDuplicates over every candidate slot while each row
+    * still carried BOTH 64-float vectors, so at 100× bench scale the dedup
+    * shuffle wrote ~300 GB of spill and died on disk; scoring first means
+    * only the tau-survivors (output-sized) ever shuffle, and duplicate
+    * slots score identically so dedup-after-filter emits the same pairs.
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                         tau: Double, numTables: Int = 8, planesPerTable: Int = 8,
+                         tau: Double, numTables: Int = 8, planesPerTable: Int = 0,
 ): DataFrame = {
+    val planes =
+      if (planesPerTable > 0) planesPerTable
+      else autoSrpPlanes(vectors.count()) // one metadata-cheap pass, the ensureIvfIndexSized pattern
     val v = spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("vn"),
-        explode(srpTables(col(vecCol), numTables, planesPerTable)).as("h"))
+        explode(srpTables(col(vecCol), numTables, planes)).as("h"))
       .select(col("id"), col("v"), col("vn"), col("h.tbl").as("tbl"), col("h.bkt").as("bkt"))
     v.as("a")
       .join(v.select(col("id").as("id2"), col("v").as("v2"), col("vn").as("vn2"),
         col("tbl").as("tbl2"), col("bkt").as("bkt2")).as("b"),
         col("tbl") === col("tbl2") && col("bkt") === col("bkt2") && col("a.id") < col("id2"))
-      .select(col("a.id").as("d1"), col("id2").as("d2"),
-        col("v"), col("v2"), col("vn"), col("vn2"))
-      .dropDuplicates("d1", "d2")
       .withColumn("cos", cosinePre(col("v"), col("v2"), col("vn"), col("vn2")))
       .filter(col("cos") >= tau)
-      .select(col("d1"), col("d2"), col("cos"))
+      .select(col("a.id").as("d1"), col("id2").as("d2"), col("cos"))
+      .dropDuplicates("d1", "d2")
   }
 
   /** SemDeDup-style near-dup candidate pairs (Abbas et al. 2023,

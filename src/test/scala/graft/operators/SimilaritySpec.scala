@@ -574,6 +574,30 @@ class SimilaritySpec extends SparkSpec {
     assert(hotTop1 >= 0.99, s"hot-cell members lost their near-dups: min top-1 cos $hotTop1")
   }
 
+  test("autoSrpPlanes holds bucket population constant; auto geometry still finds planted pairs") {
+    // the rule: floor of 8 below ~64k rows (round-11 geometry unchanged),
+    // then one extra plane per corpus doubling — per-bucket population,
+    // and with it the banding join's Σ bucket² candidate volume, stays pinned
+    assert(Similarity.autoSrpPlanes(2000L) === 8)
+    assert(Similarity.autoSrpPlanes(20000L) === 8)
+    assert(Similarity.autoSrpPlanes(200000L) === 10)
+    assert(Similarity.autoSrpPlanes(2000000L) === 13)
+    assert(Similarity.autoSrpPlanes(200000L, targetBucket = 128L) === 11)
+    // the auto default (planesPerTable = 0) resolves to the floor at this
+    // corpus size and emits exactly the planted pair — same result as the
+    // pinned-8 fixture call below
+    val rng = new java.util.SplittableRandom(7L)
+    val base = Seq.fill(32)(rng.nextDouble() * 2 - 1)
+    val dup1 = base.map(x => (x + 0.001).toFloat)
+    val dup2 = base.map(x => (x - 0.001).toFloat)
+    val others = (0 until 20).map(i => Seq.fill(32)((rng.nextDouble() * 2 - 1).toFloat))
+    val df = ((100L, dup1) +: (101L, dup2) +: others.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs === Set((100L, 101L)))
+  }
+
   test("cosineNearDupPairs finds planted near-duplicates and no unrelated pairs") {
     val rng = new java.util.SplittableRandom(7L)
     val base = Seq.fill(32)(rng.nextDouble() * 2 - 1)
