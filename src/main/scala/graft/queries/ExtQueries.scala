@@ -987,14 +987,21 @@ object ExtQueries {
           .orderBy("vec_id")
       },
       Some(
-        "WITH RECURSIVE aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings " +
+        // anchors are a MATERIALIZED CTE, not a scalar-subquery predicate
+        // inside the join (r12, the q_ext_graph2 AS MATERIALIZED lesson):
+        // DuckDB left the `b.vec_id % (SELECT ...)` filter un-pushed and
+        // evaluated the <> join's full |aug|² row stream at sf10 (4.8e10
+        // rows — the sweep arm ran for 30+ min before being cut). With the
+        // ~500-row anchor side materialized first, the join is |aug|×500.
+        "WITH RECURSIVE aug AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings " +
           "UNION ALL SELECT -vec_id - 1, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) " +
           "FROM embeddings WHERE vec_id % 20 = 0), " +
           "planted AS (SELECT -vec_id - 1 AS d1, vec_id AS d2 FROM embeddings WHERE vec_id % 20 = 0), " +
+          "qd AS MATERIALIZED (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) AS qdiv FROM aug), " +
+          "anchors AS MATERIALIZED (SELECT vec_id, e FROM aug WHERE vec_id % (SELECT qdiv FROM qd) = 0), " +
           "anch AS (SELECT least(a.vec_id, b.vec_id) d1, greatest(a.vec_id, b.vec_id) d2 " +
-          "FROM aug a JOIN aug b ON a.vec_id <> b.vec_id " +
-          "WHERE b.vec_id % (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) FROM aug) = 0 " +
-          "AND list_cosine_similarity(a.e, b.e) >= 0.95), " +
+          "FROM aug a JOIN anchors b ON a.vec_id <> b.vec_id " +
+          "WHERE list_cosine_similarity(a.e, b.e) >= 0.95), " +
           "p AS (SELECT DISTINCT d1, d2 FROM (SELECT * FROM planted UNION ALL SELECT * FROM anch) u), " +
           "edges AS (SELECT d1 u, d2 v FROM p UNION ALL SELECT d2, d1 FROM p), " +
           "reach(u, v) AS (SELECT u, v FROM edges UNION " +
@@ -1139,10 +1146,16 @@ object ExtQueries {
           .orderBy("qid")
       },
       Some(
-        "WITH p AS (SELECT a.vec_id qid, b.vec_id nid, " +
-          "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) cos " +
-          "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id " +
-          "WHERE a.vec_id % (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) FROM embeddings) = 0), " +
+        // the ~500-row query subset is a MATERIALIZED CTE, not a scalar-
+        // subquery predicate inside the <> join (r12, same fix as
+        // q_ext_dedup10's anchors): DuckDB left the modulo filter un-pushed
+        // and streamed the full n² row set at sf10
+        "WITH qd AS MATERIALIZED (SELECT greatest(1, CAST(floor(count(*) / 500.0) AS BIGINT)) AS qdiv FROM embeddings), " +
+          "q AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings " +
+          "WHERE vec_id % (SELECT qdiv FROM qd) = 0), " +
+          "p AS (SELECT a.vec_id qid, b.vec_id nid, " +
+          "round(list_cosine_similarity(a.e, CAST(b.embedding AS DOUBLE[])), 4) cos " +
+          "FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
           "t AS (SELECT qid, nid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn FROM p) " +
           "SELECT qid, count(*) AS n_neighbors, " +
           "max(CASE WHEN rn = 1 THEN nid END) AS top1, " +
