@@ -57,8 +57,11 @@ object ProfileScale {
         // banding join's cost is dedup_simhash_pairs minus this row
         noop(Dedup.simHash(docs, "doc_id", "text"))),
       "dedup_simhash_pairs" -> (() =>
+        // numBlocks unset = the autoSimHashBlocks deployment rule (8 blocks
+        // through sf1, 9 at sf10 — combination banding widens the keys);
+        // maxBucket stays as the template-corpus backstop
         noop(Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
-          numBlocks = 8, maxBucket = 20000L))),
+          maxBucket = 20000L))),
       "sim_lsh_topk" -> (() =>
         noop(Similarity.lshCosineTopK(emb, q, "vec_id", "embedding",
           k = 10, numTables = 16, planesPerTable = 3))),
@@ -137,22 +140,45 @@ object ProfileScale {
         s"ProfileScale: unknown op name(s) ${unknown.toSeq.sorted.mkString(", ")} — " +
           s"valid ops: ${ops.map(_._1).mkString(", ")}")
     }
-    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // memory evidence (round 13, the "no memory cliff" claim as a number):
+    // VmHWM is the PROCESS-lifetime peak RSS from /proc/self/status — it
+    // only ever rises, so the per-op reading is "peak so far" and the op
+    // that bumps it is the cliff. GC time is the per-op delta across all
+    // collector beans.
+    def vmHwmGb: Double = {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmHWM:")) match {
+        case Some(l) => math.rint(l.split("\\s+")(1).toDouble / 1048576 * 100) / 100 // kB -> GiB
+        case None => -1.0
+      } finally src.close()
+    }
+    def gcSec: Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1e3
+    }
+    case class OpRow(sec: Double, vmhwmGb: Double, gcSec: Double)
+    val out = scala.collection.mutable.LinkedHashMap[String, OpRow]()
     // warmup: session/codegen startup lands here, not on the first op
     noop(docs.limit(100))
     ops.filter(op => only.forall(_.contains(op._1))).foreach { case (name, fn) =>
+      val gc0 = gcSec
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn()
         (System.nanoTime() - t0) / 1e9
       }
-      out(name) = math.rint(reps.min * 1000) / 1000
-      println(s"[profile-scale] $name: min=${out(name)} reps=${reps.map(r => f"$r%.2f").mkString(",")}")
+      out(name) = OpRow(math.rint(reps.min * 1000) / 1000, vmHwmGb,
+        math.rint((gcSec - gc0) * 100) / 100)
+      println(s"[profile-scale] $name: min=${out(name).sec} " +
+        s"reps=${reps.map(r => f"$r%.2f").mkString(",")} " +
+        s"vmhwm=${out(name).vmhwmGb}g gc=${out(name).gcSec}s")
     }
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
 
-    val json = out.map { case (k, v) => s""""$k":$v""" }.mkString(
-      s"""{"sf":"$sfDir","tag":"$tag",""", ",", "}")
+    val json = out.map { case (k, v) =>
+      s""""$k":{"sec":${v.sec},"vmhwm_gb":${v.vmhwmGb},"gc_sec":${v.gcSec}}"""
+    }.mkString(s"""{"sf":"$sfDir","tag":"$tag",""", ",", "}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"PROFILE_scale_$tag.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

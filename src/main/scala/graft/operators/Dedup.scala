@@ -843,42 +843,101 @@ object Dedup {
     labels
   }
 
+  /** Block-count rule for [[simHashPairs]] — the SimHash analogue of
+    * `Similarity.autoSrpPlanes`: banded candidate volume per table is
+    * Σ bucket² ≈ n²/2^keyBits for a well-mixed corpus, so the band KEY must
+    * WIDEN as the corpus grows to hold per-bucket population (and with it
+    * the banding join's fan-out) near `targetBucket`. With the combination
+    * banding below, numBlocks B at distance d gives keys of
+    * (B−d)·⌊64/B⌋ bits across C(B, B−d) tables, so the rule walks B up from
+    * the completeness minimum d+1 until the key covers
+    * ceil(log2(n/targetBucket)) bits, stopping when the table count would
+    * pass `maxTables` (combinatorial growth — past the ceiling the
+    * hot-bucket sub-split is the backstop). The 100× finding behind the
+    * rule: at 500 k docs the frozen 8-block/8-bit geometry held ~2 000 docs
+    * per bucket and the banding join's candidate volume grew ~n²/256 —
+    * quadratic — while one extra block (B=9: 14-bit keys, 36 tables) cuts
+    * the random collision mass 14×.
+    */
+  def autoSimHashBlocks(corpusRows: Long, maxDist: Int, targetBucket: Long = 256L,
+                        maxTables: Int = 256): Int = {
+    require(maxDist >= 1 && maxDist < 63, s"maxDist must be in [1, 62] (got $maxDist)")
+    val neededBits = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucket)) / math.log(2.0)).toInt
+    def keyBits(b: Int) = (b - maxDist) * (64 / b)
+    def tables(b: Int) =
+      (1 to (b - maxDist)).foldLeft(1L)((acc, i) => acc * (maxDist + i) / i) // C(b, b-d)
+    var b = maxDist + 1
+    while (keyBits(b) < neededBits && b < 32 && 64 / (b + 1) >= 1 &&
+      tables(b + 1) <= maxTables) b += 1
+    b
+  }
+
   /** SimHash near-dup pairs: hamming distance <= maxDist. The pair join is
-    * banded on the `numBlocks` equal-width bit blocks of the signature: a
-    * pair within distance d < numBlocks must agree exactly on at least one
-    * block (pigeonhole — d flipped bits corrupt at most d blocks), so
-    * candidate generation scales like LSH rather than n². `numBlocks` is the
-    * recall/cost lever: 4 blocks of 16 bits guarantee d <= 3 with a 65536-
-    * value bucket space; 8 blocks of 8 bits guarantee d <= 7 but buckets
-    * collide far more (256 values per block).
+    * banded COMBINATORIALLY on the `numBlocks` near-equal-width bit blocks
+    * of the signature (the Manku–Jain–Sarma WWW'07 near-duplicate design):
+    * a pair within distance d corrupts at most d blocks (pigeonhole), so it
+    * agrees EXACTLY on at least numBlocks − d blocks — and therefore on at
+    * least one specific (numBlocks − d)-subset. Banding on every such
+    * subset (C(numBlocks, numBlocks−d) tables, keys the concatenation of
+    * the subset's block values) is complete for d <= maxDist while the key
+    * is (numBlocks−d)·⌊64/numBlocks⌋ bits wide — so EXTRA blocks widen the
+    * keys and shrink random bucket collisions without giving up the
+    * completeness bound (numBlocks = maxDist + 1 degenerates to the
+    * classic one-block-per-band form, e.g. 4 blocks of 16 bits for d <= 3,
+    * 8 blocks of 8 bits for d <= 7).
+    *
+    * `numBlocks = 0` (the default) sizes the geometry by
+    * [[autoSimHashBlocks]] from the corpus count — the deployment rule;
+    * pass an explicit value to pin a fixture geometry. The count runs on
+    * the already-checkpointed signature frame, so it costs one metadata
+    * scan, not a corpus re-tokenize.
     *
     * Hot-bucket guard: a template-heavy corpus concentrates signatures, so
-    * one (block, value) bucket can hold a large corpus fraction and its
+    * one (band, key) bucket can hold a large corpus fraction and its
     * self-join approaches n² (measured: 5k synthetic docs put 69% of all
     * pairs into shared 8-bit buckets). Buckets larger than `maxBucket` are
     * deterministically sub-split by xxhash64(id) so each member meets a
-    * bounded sample of its bucket; a true pair suppressed in one hot block
-    * still surfaces through any of its other agreeing blocks. The bucket
-    * census is bounded by numBlocks · 2^blockBits rows (<= 512 KiB at 16-bit
-    * blocks) — broadcast-sized by construction, never a driver collect.
+    * bounded sample of its bucket; a true pair suppressed in one hot band
+    * still surfaces through any of its other agreeing bands. The bucket
+    * census broadcast holds only the > maxBucket rows — bounded by
+    * C(numBlocks, numBlocks−maxDist) · n / maxBucket, output-sized by
+    * construction, never a driver collect.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-                   numBlocks: Int = 4, maxBucket: Long = 100000L): DataFrame = {
-    require(numBlocks >= 2 && 64 % numBlocks == 0,
-      s"numBlocks must divide 64 (got $numBlocks)")
-    require(maxDist < numBlocks,
-      s"block banding is complete only for maxDist < numBlocks (got $maxDist >= $numBlocks)")
-    val bits = 64 / numBlocks
-    val mask = (1L << bits) - 1
-    // materialize the signature pass once: the hot-bucket census and BOTH
-    // sides of the banding self-join would otherwise each re-tokenize and
-    // re-hash the whole corpus (measured: 3 extra signature passes ≈ half
-    // the operator's steady-state cost at sf0.1). The checkpoint is
-    // 16 bytes × n — negligible next to the corpus it summarizes.
+                   numBlocks: Int = 0, maxBucket: Long = 100000L): DataFrame = {
+    // materialize the signature pass once: the geometry count, the
+    // hot-bucket census and BOTH sides of the banding self-join would
+    // otherwise each re-tokenize and re-hash the whole corpus (measured: 3
+    // extra signature passes ≈ half the operator's steady-state cost at
+    // sf0.1). The checkpoint is 16 bytes × n — negligible next to the
+    // corpus it summarizes.
     val sig = simHash(docs, idCol, textCol).localCheckpoint()
+    val blocks =
+      if (numBlocks > 0) numBlocks
+      else autoSimHashBlocks(sig.count(), maxDist)
+    require(blocks >= 2 && blocks <= 64,
+      s"numBlocks must be in [2, 64] (got $blocks)")
+    require(maxDist < blocks,
+      s"block banding is complete only for maxDist < numBlocks (got $maxDist >= $blocks)")
+    // near-equal block widths: the first (64 mod blocks) blocks get one
+    // extra bit, offsets accumulate
+    val widths = Array.tabulate(blocks)(i => 64 / blocks + (if (i < 64 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(i: Int) =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    // every (blocks − maxDist)-subset of block indices is one band; the key
+    // concatenates the subset's block values (fits a long: total width
+    // <= 64 − min block width since the subset is proper)
+    val subsets = (0 until blocks).combinations(blocks - maxDist).toSeq
+    val bands = subsets.zipWithIndex.map { case (subset, si) =>
+      val key = subset.tail.foldLeft(blockVal(subset.head)) { (acc, i) =>
+        shiftleft(acc, widths(i)).bitwiseOR(blockVal(i))
+      }
+      struct(lit(si).as("ci"), key.as("cv"))
+    }
     val blocked = sig.select(col("id"), col("simhash"),
-      explode(array((0 until numBlocks).map(i =>
-        struct(lit(i).as("ci"), shiftright(col("simhash"), i * bits).bitwiseAND(mask).as("cv"))): _*)).as("ch"))
+      explode(array(bands: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
     val hot = blocked.groupBy("ci", "cv").agg(count(lit(1)).as("m"))
       .filter(col("m") > maxBucket)

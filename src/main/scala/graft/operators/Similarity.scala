@@ -448,19 +448,20 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // An interrupted-REBALANCE swap resolves first, but ONLY when the live
-    // tree is actually broken (fingerprint missing — the dir is renamed
-    // aside or was never promoted). Since round 12 a rebalance holds the
-    // append mutex while it STAGES beside a healthy tree, so a
-    // `__rebalance_tmp_*` sibling here may be a LIVE rebalance's in-flight
-    // staging — sweeping it unconditionally (the round-11 posture, valid
-    // when rebalance was quiesced-by-assumption) livelocks maintenance
-    // against ingest: the appender can't acquire the mutex, and each retry
-    // deletes the rebalancer's fresh staging. Debris beside a healthy tree
-    // waits for the quiesced recoverIvfIndex. An interrupted APPEND's
-    // marker is likewise NOT auto-resolved here — under multi-writer it is
-    // indistinguishable from a live competitor's.
-    if (!fs.exists(fpPath)) recoverIvfRebalance(spark, dir)
+    // A missing fingerprint beside `__rebalance_*` siblings is a RETRYABLE
+    // CONFLICT, not a repair opportunity (round 13, closing the advisor's
+    // window): a live rebalance is between its two renames for milliseconds
+    // with exactly this signature (dir retired, complete stage waiting), and
+    // that window is indistinguishable from a crashed swap. The round-12
+    // posture ran recoverIvfRebalance here, which ROLLED THE LIVE SWAP
+    // FORWARD — the swap committed, but the rebalancer's own promote rename
+    // then failed and it reported a spurious "failed to promote"; concurrent
+    // entry-recovers also raced each other's sibling sweeps. Now the append
+    // aborts loudly and the retry rides through the window (the mutex-drill
+    // pattern); a genuinely crashed swap is the operator's explicit quiesced
+    // recoverIvfIndex, same as crashed append markers and healthy-tree
+    // debris — a live append never resolves ANY state it did not create.
+    if (!fs.exists(fpPath)) requireNoSwapInFlight(fs, dir, "appendToIvfIndex")
     require(fs.exists(fpPath),
       s"appendToIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
     val pendingPath = new org.apache.hadoop.fs.Path(dir, "_append_pending")
@@ -707,14 +708,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val fpPath = new org.apache.hadoop.fs.Path(dir, "_fingerprint")
     val fs = fpPath.getFileSystem(spark.sessionState.newHadoopConf())
-    // resolve only a DEAD rebalance's swap at entry, and only when the tree
-    // is actually broken (fingerprint missing): a healthy tree's
-    // __rebalance_* siblings may be a live competitor's mutex-held staging
-    // (the acquisition below is the arbiter), and append markers may belong
-    // to a LIVE append — recoverIvfIndex would roll its in-flight commit
-    // back. Crashed markers and healthy-tree debris are the caller's
-    // explicit quiesced recoverIvfIndex, as everywhere else.
-    if (!fs.exists(fpPath)) recoverIvfRebalance(spark, dir)
+    // a missing fingerprint beside __rebalance_* siblings aborts as a
+    // retryable conflict rather than resolving the swap (see the identical
+    // guard in appendToIvfIndex): a competitor rebalance mid-swap has this
+    // exact signature for milliseconds, and entry-resolving it would commit
+    // the competitor's swap under it and make ITS promote fail spuriously.
+    // Crashed swaps, crashed markers and healthy-tree debris are all the
+    // caller's explicit quiesced recoverIvfIndex, as everywhere else.
+    if (!fs.exists(fpPath)) requireNoSwapInFlight(fs, dir, "rebalanceIvfIndex")
     require(fs.exists(fpPath),
       s"rebalanceIvfIndex: no fingerprinted index at $dir — build with ensureIvfIndex first")
     // claim the append mutex for the whole rebalance (see the scaladoc's
@@ -728,8 +729,8 @@ object Similarity {
     // Release accounting across the swap: pre-retire, the marker lives at
     // dir/_append_pending and an abort deletes it there. The retire rename
     // carries it into the moved-aside OLD tree (still guarding the gap: an
-    // append cannot acquire at dir while dir is absent — its fingerprint
-    // require fails first — and after the promote the NEW tree has no
+    // append cannot acquire at dir while dir is absent — its entry guard
+    // aborts it as a retryable conflict — and after the promote the NEW tree has no
     // marker, deliberately open for appends). Success deletes the old tree,
     // marker included; a promote failure leaves the marker in the old tree,
     // where recoverIvfRebalance's rollback restores it and the quiesced
@@ -820,6 +821,29 @@ object Similarity {
       }
     }
     actions.result()
+  }
+
+  /** Entry guard for the mutating store ops when the fingerprint is absent:
+    * `__rebalance_*` siblings mean a swap is (or was, if the holder crashed)
+    * in flight — a live swap's ms-wide retire-to-promote window has exactly
+    * the crashed-swap signature, so the only safe response for a WRITER is
+    * a loud retryable abort. Resolution belongs to the quiesced
+    * [[recoverIvfIndex]] alone.
+    */
+  private def requireNoSwapInFlight(fs: org.apache.hadoop.fs.FileSystem,
+                                    dir: String, op: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val parent = base.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = base.getName
+    val sibs = fs.listStatus(parent).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(name + "__rebalance_")).toSeq.sorted
+    if (sibs.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$op: $dir has no _fingerprint but rebalance siblings exist " +
+          s"(${sibs.mkString(", ")}) — a rebalance swap may be mid-promote; " +
+          "retry after it completes, or run recoverIvfIndex in a quiesced " +
+          "window if the holder crashed")
   }
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
@@ -1010,6 +1034,18 @@ object Similarity {
     * ≈ 1.5e-10. The 100× finding behind the rule: at 200 k vectors the
     * frozen 8-plane geometry put ~780 vectors per bucket and the banding
     * join emitted ~6×10⁸ candidate slots.
+    *
+    * BOUNDARY-RECALL DECAY — the trade this rule makes, stated exactly: the
+    * near-1 recall above is for pairs WELL ABOVE tau. A pair sitting AT the
+    * boundary (cos ≈ tau = 0.95, θ ≈ 18°) collides per table with
+    * probability (1 − θ/180)^planes ≈ 0.9^planes, so growing planes with
+    * the corpus erodes boundary recall: at 2 M rows (13 planes × 8 tables)
+    * an exactly-boundary pair is missed with probability
+    * (1 − 0.9¹³)^8 ≈ 10%. An exact-equality gate over a corpus with
+    * borderline pairs must therefore either pin `planesPerTable` or grow
+    * `numTables` alongside planes (each ×2 tables squares the miss
+    * probability) — the recall guarantee callers may rely on unmanaged is
+    * for cos >> tau, the near-duplicate population the operator exists for.
     */
   def autoSrpPlanes(corpusRows: Long, targetBucket: Long = 256L, floor: Int = 8): Int = {
     val needed = math.ceil(
@@ -1024,7 +1060,13 @@ object Similarity {
     *
     * `planesPerTable = 0` (the default) sizes the bucket space by
     * [[autoSrpPlanes]] from one corpus count — the deployment rule; pass an
-    * explicit value to pin a fixture geometry. Candidates are SCORED AND
+    * explicit value to pin a fixture geometry (see autoSrpPlanes's
+    * boundary-recall note for when pinning matters). The sizing count is
+    * `vectors.count()`, which executes the FULL upstream plan — one extra
+    * evaluation that is cheap for the bare-scan inputs this is deployed on
+    * but not in general; callers whose vectors come off an expensive
+    * computed plan should pass `knownCount` (or cache the input) to skip
+    * it. Candidates are SCORED AND
     * FILTERED inside the banding join's projection, BEFORE the pair
     * dedup shuffle (round 12, the simHashPairs r9 lesson writ large): the
     * old shape ran dropDuplicates over every candidate slot while each row
@@ -1035,10 +1077,10 @@ object Similarity {
     */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                          tau: Double, numTables: Int = 8, planesPerTable: Int = 0,
-): DataFrame = {
+                         knownCount: Long = -1L): DataFrame = {
     val planes =
       if (planesPerTable > 0) planesPerTable
-      else autoSrpPlanes(vectors.count()) // one metadata-cheap pass, the ensureIvfIndexSized pattern
+      else autoSrpPlanes(if (knownCount >= 0L) knownCount else vectors.count())
     val v = spread(vectors).select(col(idCol).as("id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("vn"),
         explode(srpTables(col(vecCol), numTables, planes)).as("h"))

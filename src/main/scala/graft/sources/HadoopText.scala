@@ -32,7 +32,12 @@ object HadoopText {
     * and their parquet jobs shared one `_temporary`): local paths
     * therefore go through `java.io.File.createNewFile` — POSIX
     * O_CREAT|O_EXCL, genuinely atomic — so the gate holds on every
-    * filesystem the suite and a deployment run on.
+    * filesystem the suite and a deployment run on. CROSS-PROCESS-VERIFIED
+    * (round 13): O_CREAT|O_EXCL's atomicity claim is per-kernel, not
+    * per-JVM, and `graft.tools.ConcurrencyDrill` (gated by
+    * ConcurrencyDrillSpec) races two JVMs' writers through this gate on the
+    * ParquetDatabase swap protocol, the IVF append/rebalance mutex and the
+    * bucketed HLL store — every committed mutation applied, none lost.
     */
   def writeIfAbsent(fs: FileSystem, p: Path, text: String): Boolean = {
     // only "already exists" maps to false — any other failure is a genuine

@@ -451,26 +451,41 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
       rewriteWith(kept.unionByName(patch, allowMissingColumns = true), expected = expect)
     } else {
       val (statless, ranged) = perFile.partition(_._2.isEmpty)
+      // conform the patch's OVERLAPPING columns to the table's types before
+      // any file is staged (round 13, caught by the cross-process drill): the
+      // file-scoped path appends the patch's rows as new files beside
+      // untouched ones, so a patch whose column types differ — e.g. a BIGINT
+      // key patched onto a table whose column landed as INT via partition-dir
+      // inference — would leave the table with per-file schemas parquet
+      // cannot merge: every later read() fails, long after this write
+      // reported success. The full-rewrite branch widens via unionByName and
+      // rewrites every row, so it cannot strand a mixed layout.
+      val tableTypes = read().schema.map(f => f.name -> f.dataType).toMap
+      val conformed = patch.select(patch.columns.map(c =>
+        tableTypes.get(c) match {
+          case Some(t) => col(s"`$c`").cast(t).as(c)
+          case None => col(s"`$c`")
+        }): _*)
       // touched-by-range: stream the (large) patch key set against the tiny
       // broadcast range table — a BroadcastNestedLoopJoin whose output is
       // map-side-distinct file paths, so nothing big ever reaches the driver
       val rangeDf = spark.createDataFrame(
         ranged.map { case (p, Some((lo, hi))) => (p, lo, hi); case (p, None) => (p, 0L, 0L) })
         .toDF("path", "lo", "hi")
-      val keys = patch.select(col(s"`$keyCol`").cast("long").as("__k")).distinct()
+      val keys = conformed.select(col(s"`$keyCol`").cast("long").as("__k")).distinct()
       val hit =
         if (ranged.isEmpty) Array.empty[String]
         else keys.join(broadcast(rangeDf), col("__k").between(col("lo"), col("hi")))
           .select("path").distinct().collect().map(_.getString(0))
       val touched = (statless.map(_._1) ++ hit).distinct
       val touchedDf =
-        if (touched.isEmpty) patch.limit(0)
+        if (touched.isEmpty) conformed.limit(0)
         else spark.read.option("mergeSchema", "true").parquet(touched: _*)
-          .join(patch.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
+          .join(conformed.select(col(s"`$keyCol`")), Seq(keyCol), "left_anti")
       // re-range the replacement on the key so the rewritten files keep
       // tight disjoint footer ranges — future patches prune just as well
       val n = math.max(1, touched.size)
-      val shaped = touchedDf.unionByName(patch, allowMissingColumns = true)
+      val shaped = touchedDf.unionByName(conformed, allowMissingColumns = true)
         .repartitionByRange(n, col(s"`$keyCol`"))
         .sortWithinPartitions(col(s"`$keyCol`"))
       replaceFiles(touched, shaped, expected = expect)

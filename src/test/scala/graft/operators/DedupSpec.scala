@@ -311,9 +311,32 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 8, numBlocks = 8)
     }
-    intercept[IllegalArgumentException] {
-      Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3, numBlocks = 5)
-    }
+    // EXTRA blocks (numBlocks > maxDist + 1) widen the band keys via
+    // combination banding without giving up completeness: same true pair,
+    // unequal 12/13-bit blocks, C(5,2) = 10 bands
+    val pairs5 = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3, numBlocks = 5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs5.contains((1L, 4L)))
+  }
+
+  test("autoSimHashBlocks holds the completeness floor and widens keys with the corpus") {
+    // small corpora keep the classic d+1 geometry exactly
+    assert(Dedup.autoSimHashBlocks(1000L, maxDist = 7) === 8)
+    assert(Dedup.autoSimHashBlocks(50000L, maxDist = 7) === 8)
+    // 100x bench scale: one extra block -> 14-bit keys across C(9,2)=36
+    // tables instead of 8-bit keys across 8
+    assert(Dedup.autoSimHashBlocks(500000L, maxDist = 7) === 9)
+    assert(Dedup.autoSimHashBlocks(5000000L, maxDist = 7) === 10)
+    // the table-count ceiling stops combinatorial growth: C(11,4)=330 > 256,
+    // so a 500M corpus maxes out at B=10 and the maxBucket backstop takes over
+    assert(Dedup.autoSimHashBlocks(500000000L, maxDist = 7) === 10)
+    // 16-bit single-block keys already cover small corpora at d=3
+    assert(Dedup.autoSimHashBlocks(500000L, maxDist = 3) === 4)
+    assert(Dedup.autoSimHashBlocks(100000000L, maxDist = 3) === 5)
+    // auto geometry (numBlocks = 0 default) still finds the planted pair
+    val auto = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.contains((1L, 4L)))
   }
 
   test("simHashPairs hot-bucket sub-split bounds fan-out and degrades gracefully") {

@@ -317,6 +317,30 @@ class SimilaritySpec extends SparkSpec {
     assert(d.exists(_.contains("dropped")), d.mkString("; "))
     assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === 5L)
 
+    // window E — the LIVE-swap signature (dir retired, complete stage
+    // waiting): a WRITER entering here must abort retryably, NOT resolve
+    // the swap — entry-resolving a live rebalance's swap commits it under
+    // the rebalancer and makes its own promote fail spuriously (round 13).
+    // Only the quiesced recoverIvfIndex may resolve.
+    assert(fs.rename(P(dir), P(s"${dir}__rebalance_old_ffff")))
+    val stage2 = s"${dir}__rebalance_tmp_ffff"
+    Similarity.ensureIvfIndex(spark, stage2, base, "vec_id", "embedding", numCentroids = 3)
+    val exApp = intercept[java.util.ConcurrentModificationException] {
+      Similarity.appendToIvfIndex(spark, dir,
+        clustered(5, 16, 4, jitter = 0.05).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(exApp.getMessage.contains("swap may be mid-promote"), exApp.getMessage)
+    val exReb = intercept[java.util.ConcurrentModificationException] {
+      Similarity.rebalanceIvfIndex(spark, dir, Similarity.autoCentroids(_))
+    }
+    assert(exReb.getMessage.contains("swap may be mid-promote"), exReb.getMessage)
+    // neither writer touched the in-flight swap's state
+    assert(!fs.exists(P(dir)) && fs.exists(P(stage2))
+      && fs.exists(P(s"${dir}__rebalance_old_ffff")))
+    // the quiesced recover resolves it (complete stage rolls forward)
+    assert(Similarity.recoverIvfRebalance(spark, dir).exists(_.contains("completed")))
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.count() === 3L)
+
     // idempotent no-op on a clean tree, and ensure/append entries self-heal
     // through the same repair (recoverIvfIndex chains it)
     assert(Similarity.recoverIvfRebalance(spark, dir).isEmpty)

@@ -73,6 +73,26 @@ class ParquetDatabaseSpec extends SparkSpec {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(db.dir + suffix)), suffix)
   }
 
+  test("a type-divergent patch conforms to the table's schema instead of stranding mixed files") {
+    // caught by the cross-process drill (round 13): the file-scoped patch
+    // path appends the patch's rows as NEW files beside untouched ones, so a
+    // patch whose column types differ from the table's (here INT columns
+    // patched with BIGINT — the shape partition-dir inference produces)
+    // would leave per-file schemas parquet cannot merge and every later
+    // read() would fail, long after the upsert reported success
+    val db = freshDb("typeconform")
+    db.create(spark.range(100).select(col("id"),
+      (col("id") % 7).cast("int").as("v")))
+    db.normalize(maxRowsPerFile = 25, sortBy = Seq("id")) // ranged files -> patch path
+    db.upsert(Seq((10L, -1L), (200L, -2L)).toDF("id", "v"), "id") // v is BIGINT here
+    // the table stays readable with ONE schema, and the patch values landed
+    assert(db.read().schema("v").dataType === org.apache.spark.sql.types.IntegerType)
+    val got = db.read().filter(col("v") < 0).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((10L, -1), (200L, -2)))
+    assert(db.nRows === 101L)
+  }
+
   test("upsert/deleteWhere on a range-sorted table leave out-of-range files untouched") {
     val db = freshDb("scoped")
     db.create(spark.range(10000).select(col("id"), (col("id") % 97).as("v")))
