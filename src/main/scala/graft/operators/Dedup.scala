@@ -112,13 +112,23 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 1,
                    maxShingleDf: Int = 10000): DataFrame = {
-    val arrays = tokenArrays(docs, idCol, textCol, shingleN)
     // 64-bit shingle hash, not the shingle string: the shuffle moves 8-byte
     // keys and the join compares longs. A cross-doc collision (P ≈ n²/2⁶⁴)
     // could only perturb a count by 1 — negligible at the 4-decimal compare.
-    val toks = arrays.select(col("id"), explode(col("toks")).as("tok"))
+    // Hashed ONCE and materialized: every downstream consumer (the df
+    // census, both sides of the pair join, the per-doc rare counts, the
+    // size relation) would otherwise re-scan and re-shingle the raw corpus
+    // — measured at sf10 as SIX full-text scans per run, each serialized on
+    // the input file's split count rather than the cluster. The checkpoint
+    // is 16 bytes per (doc, shingle) — the operator's working set either way.
+    val toks = tokenArrays(docs, idCol, textCol, shingleN)
+      .select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
-    val sizes = arrays.select(col("id"), size(col("toks")).as("sz"))
+      .localCheckpoint()
+    // distinct-shingle count per doc, derived from the hashed tokens rather
+    // than a second corpus scan. Zero-shingle docs drop out — safe: they
+    // can never appear in a candidate pair.
+    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
     def pairCounts(tokSrc: DataFrame): DataFrame = tokSrc.as("a")
       .join(tokSrc.withColumnRenamed("id", "id2").as("b"),
         col("a.th") === col("b.th") && col("a.id") < col("id2"))
@@ -230,14 +240,18 @@ object Dedup {
                           textCol: String, threshold: Double, shingleN: Int = 1,
                           maxShingleDf: Int = 10000,
                           broadcastLeft: Boolean = false): DataFrame = {
-    val la = tokenArrays(left, idCol, textCol, shingleN)
-    val ra = tokenArrays(right, idCol, textCol, shingleN)
-    def hashed(arrays: DataFrame) = arrays
+    // hash-early + materialize-once, same rationale as jaccardPairs: each
+    // side is consumed by the df census, the pair join and the size
+    // relation — checkpointing the 16-byte hashed tokens keeps every
+    // consumer off the raw corpora.
+    def hashed(src: DataFrame) = tokenArrays(src, idCol, textCol, shingleN)
       .select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
-    val (lt, rt) = (hashed(la), hashed(ra))
-    val lsz = la.select(col("id"), size(col("toks")).as("sz"))
-    val rsz = ra.select(col("id"), size(col("toks")).as("sz"))
+      .localCheckpoint()
+    val (lt, rt) = (hashed(left), hashed(right))
+    def sizesOf(toks: DataFrame) = toks.groupBy("id").agg(count(lit(1)).as("sz"))
+    val lsz = sizesOf(lt)
+    val rsz = sizesOf(rt)
     def pairCounts(a: DataFrame, b: DataFrame): DataFrame =
       (if (broadcastLeft) broadcast(a.as("a")) else a.as("a"))
       .join(b.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th"))
@@ -939,24 +953,65 @@ object Dedup {
     val blocked = sig.select(col("id"), col("simhash"),
       explode(array(bands: _*)).as("ch"))
       .select(col("id"), col("simhash"), col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+    // census first, materialized: it is metadata-sized by construction
+    // (only the > maxBucket rows survive, bounded by #tables · n/maxBucket)
+    // and it decides the plan SHAPE below — the empty/non-empty probe is a
+    // metadata-sized driver decision, not a data collect.
     val hot = blocked.groupBy("ci", "cv").agg(count(lit(1)).as("m"))
       .filter(col("m") > maxBucket)
       .withColumn("nsub", ceil(col("m").cast("double") / maxBucket).cast("long"))
       .select("ci", "cv", "nsub")
-    val sub = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
-      .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
-      .select(col("id"), col("simhash"), col("ci"), col("cv"), col("sub"))
-    sub.as("x")
-      .join(sub.select(col("id").as("id2"), col("simhash").as("simhash2"),
-        col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2")).as("y"),
-        col("ci") === col("ci2") && col("cv") === col("cv2") &&
-          col("sub") === col("sub2") && col("x.id") < col("id2"))
-      .select(col("x.id").as("d1"), col("id2").as("d2"),
-        bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
-      // filter BEFORE the dedup shuffle: the banding join emits millions of
-      // shared-bucket candidates on a template-heavy corpus, but only the
-      // hamming<=maxDist survivors (output-sized, tiny) need the distinct
-      .filter(col("dist") <= maxDist)
-      .distinct()
+      .localCheckpoint()
+    if (hot.isEmpty) {
+      // FAST PATH — no hot buckets (the deployment norm: autoSimHashBlocks
+      // holds bucket populations near targetBucket ≪ maxBucket). A
+      // clustered corpus re-emits every surviving pair once per agreeing
+      // band — up to C(blocks, blocks−maxDist) copies (measured: the sf10
+      // rehearsal corpus holds 13% of ALL doc pairs within distance 7, so
+      // the banding join fed ~9e8 duplicated survivors to the distinct and
+      // the dedup shuffle dominated the operator). Instead, emit each pair
+      // from exactly ONE band — the lexicographically-first subset whose
+      // blocks all agree, computable in-join from the two signatures — and
+      // skip the duplicate-eliminating shuffle entirely. Exact (not a
+      // heuristic): a candidate's own band always agrees, so minBand is
+      // defined, and every copy of the pair computes the same minBand.
+      val xor = col("simhash").bitwiseXOR(col("simhash2"))
+      def blockAgrees(i: Int) =
+        shiftright(xor, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)) === 0L
+      val minBand = subsets.zipWithIndex.foldRight(lit(-1)) {
+        case ((subset, si), rest) =>
+          when(subset.map(blockAgrees).reduce(_ && _), lit(si)).otherwise(rest)
+      }
+      blocked.as("x")
+        .join(blocked.select(col("id").as("id2"), col("simhash").as("simhash2"),
+          col("ci").as("ci2"), col("cv").as("cv2")).as("y"),
+          col("ci") === col("ci2") && col("cv") === col("cv2") &&
+            col("x.id") < col("id2"))
+        .filter(col("ci") === minBand)
+        .select(col("x.id").as("d1"), col("id2").as("d2"),
+          bit_count(xor).as("dist"))
+        .filter(col("dist") <= maxDist)
+    } else {
+      // HOT PATH — at least one bucket exceeded maxBucket and its members
+      // are deterministically sub-split; a pair suppressed in one hot band
+      // can surface through any other agreeing band, so all copies must be
+      // kept and deduplicated (the min-band rule above would drop exactly
+      // the pairs the backstop saves).
+      val sub = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
+        .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
+        .select(col("id"), col("simhash"), col("ci"), col("cv"), col("sub"))
+      sub.as("x")
+        .join(sub.select(col("id").as("id2"), col("simhash").as("simhash2"),
+          col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2")).as("y"),
+          col("ci") === col("ci2") && col("cv") === col("cv2") &&
+            col("sub") === col("sub2") && col("x.id") < col("id2"))
+        .select(col("x.id").as("d1"), col("id2").as("d2"),
+          bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
+        // filter BEFORE the dedup shuffle: the banding join emits millions of
+        // shared-bucket candidates on a template-heavy corpus, but only the
+        // hamming<=maxDist survivors (output-sized, tiny) need the distinct
+        .filter(col("dist") <= maxDist)
+        .distinct()
+    }
   }
 }
