@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -108,6 +108,13 @@ object Dedup {
     * is ∝ hot-heavy docs, whose true pairs are output anyway. Emitted jac
     * values stay EXACT for every pair from either route (rare-shared count
     * from the capped join + hot-shared from the per-doc hot sets).
+    *
+    * Construction is EAGER: the shingle pass is `localCheckpoint()`ed (see
+    * the body), so building the returned DataFrame already runs the full
+    * tokenize+hash job and the checkpointed blocks are not recomputable on
+    * executor loss — the same materialize-once/rerun-the-operator tradeoff
+    * the persisted-store operators document. Callers that only want the
+    * lazy plan shape (none in this repo) should not build it speculatively.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, shingleN: Int = 1,
@@ -228,7 +235,9 @@ object Dedup {
     * decontaminate a training set against an eval set). Same df-cap fan-in
     * bound, exact hot-shingle correction, and hot-heavy banding fallback
     * as [[jaccardPairs]], with document frequency measured over BOTH
-    * corpora combined.
+    * corpora combined. Construction is EAGER for both corpora (the shared
+    * shingle pass is `localCheckpoint()`ed — see [[jaccardPairs]]'s
+    * contract note).
     */
   /** @param broadcastLeft hint that `left` is query-sized (an anchor/batch
     *        set, NOT a corpus): its hashed token postings are broadcast into
@@ -962,56 +971,121 @@ object Dedup {
       .withColumn("nsub", ceil(col("m").cast("double") / maxBucket).cast("long"))
       .select("ci", "cv", "nsub")
       .localCheckpoint()
+    // ---- single-emission banding ----
+    // A clustered corpus re-emits every surviving pair once per band where
+    // the pair actually MET — up to C(blocks, blocks−maxDist) copies
+    // (measured: the sf10 rehearsal corpus holds 13% of ALL doc pairs
+    // within distance 7, so the banding join fed ~9e8 duplicated survivors
+    // to the distinct and the dedup shuffle dominated the operator).
+    // Instead, emit each pair from exactly ONE band — the lexicographically-
+    // first band where the pair met ("met" = the band's blocks all agree,
+    // and under sub-splitting neither endpoint was hashed away from the
+    // other) — and skip the duplicate-eliminating shuffle entirely. Exact,
+    // not a heuristic: met-ness is decidable in-join from the two
+    // signatures + ids + the census, every copy of the pair computes the
+    // same first-met band, and the copy produced BY that band exists by
+    // definition — so exactly one copy survives and the output set is
+    // identical to the emit-all + distinct() plan's.
+    //
+    // Codegen shape: the per-band agreement test is a 2-op mask test of a
+    // single 64-bit block-agreement bitmask column (computed once per join
+    // row from <= 32 shift/mask terms), NOT a (blocks−maxDist)-conjunct
+    // shift chain per band — so the band-selection CaseWhen stays far under
+    // codegen method-size limits even at the 256-table geometry ceiling.
+    val xorSig = col("simhash").bitwiseXOR(col("simhash2"))
+    def blockAgreeMask: Column = (0 until blocks).map { i =>
+      when(shiftright(xorSig, offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1)) === 0L, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val subsetMasks = subsets.map(_.map(1L << _).sum)
+    def bandAgrees(si: Int): Column =
+      col("am").bitwiseAND(lit(subsetMasks(si))) === lit(subsetMasks(si))
+    // Evaluation-position fence (measured, round 14): without it Catalyst
+    // pushes the band-selection CaseWhen INTO the SortMergeJoin condition —
+    // inlining the agreement-mask sum once per band — and the condition
+    // grows past the codegen method limit, so the WHOLE join predicate
+    // (hamming test included) falls back to interpreted evaluation on
+    // every raw bucket candidate: 19.7s vs 1.4s for the identical
+    // join+hamming at sf0.1. The fence is the always-true nondeterministic
+    // conjunct `spark_partition_id() >= 0` INSIDE the selection filter: a
+    // nondeterministic predicate is never pushed through the projection or
+    // into the join (and the column it references can't be pruned away),
+    // so the join-time conjuncts stay the equi-keys, id<id2 and the
+    // one-instruction hamming test — small enough to stay codegen'd — and
+    // band selection runs once per SURVIVOR, referencing `am` as a
+    // computed-once column.
+    def fencedBandSelect(joined: DataFrame, extra: Map[String, Column],
+                         minMet: Column): DataFrame = joined
+      .withColumn("dist", bit_count(xorSig))
+      .filter(col("dist") <= maxDist)
+      .withColumns(Map("__fence" -> spark_partition_id(),
+        "am" -> blockAgreeMask) ++ extra)
+      .filter(col("ci") === minMet && col("__fence") >= 0)
+      .select(col("x.id").as("d1"), col("id2").as("d2"), col("dist"))
+
     if (hot.isEmpty) {
       // FAST PATH — no hot buckets (the deployment norm: autoSimHashBlocks
-      // holds bucket populations near targetBucket ≪ maxBucket). A
-      // clustered corpus re-emits every surviving pair once per agreeing
-      // band — up to C(blocks, blocks−maxDist) copies (measured: the sf10
-      // rehearsal corpus holds 13% of ALL doc pairs within distance 7, so
-      // the banding join fed ~9e8 duplicated survivors to the distinct and
-      // the dedup shuffle dominated the operator). Instead, emit each pair
-      // from exactly ONE band — the lexicographically-first subset whose
-      // blocks all agree, computable in-join from the two signatures — and
-      // skip the duplicate-eliminating shuffle entirely. Exact (not a
-      // heuristic): a candidate's own band always agrees, so minBand is
-      // defined, and every copy of the pair computes the same minBand.
-      val xor = col("simhash").bitwiseXOR(col("simhash2"))
-      def blockAgrees(i: Int) =
-        shiftright(xor, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1)) === 0L
-      val minBand = subsets.zipWithIndex.foldRight(lit(-1)) {
-        case ((subset, si), rest) =>
-          when(subset.map(blockAgrees).reduce(_ && _), lit(si)).otherwise(rest)
+      // holds bucket populations near targetBucket ≪ maxBucket): a pair
+      // met a band iff the band's blocks agree, so first-met = first
+      // agreeing, with no census consulted.
+      val minBand = subsets.indices.foldRight(lit(-1)) { (si, rest) =>
+        when(bandAgrees(si), lit(si)).otherwise(rest)
       }
-      blocked.as("x")
-        .join(blocked.select(col("id").as("id2"), col("simhash").as("simhash2"),
-          col("ci").as("ci2"), col("cv").as("cv2")).as("y"),
-          col("ci") === col("ci2") && col("cv") === col("cv2") &&
-            col("x.id") < col("id2"))
-        .filter(col("ci") === minBand)
-        .select(col("x.id").as("d1"), col("id2").as("d2"),
-          bit_count(xor).as("dist"))
-        .filter(col("dist") <= maxDist)
+      fencedBandSelect(
+        blocked.as("x")
+          .join(blocked.select(col("id").as("id2"), col("simhash").as("simhash2"),
+            col("ci").as("ci2"), col("cv").as("cv2")).as("y"),
+            col("ci") === col("ci2") && col("cv") === col("cv2") &&
+              col("x.id") < col("id2")),
+        Map.empty, minBand)
     } else {
-      // HOT PATH — at least one bucket exceeded maxBucket and its members
-      // are deterministically sub-split; a pair suppressed in one hot band
-      // can surface through any other agreeing band, so all copies must be
-      // kept and deduplicated (the min-band rule above would drop exactly
-      // the pairs the backstop saves).
-      val sub = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
+      // HOT PATH — at least one bucket exceeded maxBucket, so its members
+      // are deterministically sub-split and a pair can be split apart in
+      // one agreeing band yet still meet in another. Met-at-si is still
+      // in-join decidable: blocks agree AND (the band's bucket is not hot,
+      // or xxhash64(id) lands both endpoints in the same sub-bucket —
+      // nsub read from a per-id map of that id's HOT bands only). When the
+      // pair agrees at si both endpoints share the bucket, so the LEFT
+      // endpoint's map alone answers hotness. The map rows are bounded by
+      // the hot buckets' total membership (a subset of the blocked frame —
+      // linear), and each map holds only the id's hot bands (<= #tables
+      // entries, near-empty off the template clusters). Pairs split apart
+      // in EVERY agreeing band never meet anywhere and are dropped —
+      // exactly the emit-all plan's bounded-sample backstop semantics.
+      val hotPerId = blocked.join(broadcast(hot), Seq("ci", "cv"))
+        .groupBy("id")
+        .agg(map_from_entries(collect_list(struct(col("ci"), col("nsub")))).as("hm"))
+      val sigH = sig.join(hotPerId, Seq("id"), "left")
+      val xSide = sigH
+        .select(col("id"), col("simhash"), col("hm"),
+          explode(array(bands: _*)).as("ch"))
+        .select(col("id"), col("simhash"), col("hm"),
+          col("ch.ci").as("ci"), col("ch.cv").as("cv"))
+        .join(broadcast(hot), Seq("ci", "cv"), "left")
         .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
-        .select(col("id"), col("simhash"), col("ci"), col("cv"), col("sub"))
-      sub.as("x")
-        .join(sub.select(col("id").as("id2"), col("simhash").as("simhash2"),
-          col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2")).as("y"),
-          col("ci") === col("ci2") && col("cv") === col("cv2") &&
-            col("sub") === col("sub2") && col("x.id") < col("id2"))
-        .select(col("x.id").as("d1"), col("id2").as("d2"),
-          bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
-        // filter BEFORE the dedup shuffle: the banding join emits millions of
-        // shared-bucket candidates on a template-heavy corpus, but only the
-        // hamming<=maxDist survivors (output-sized, tiny) need the distinct
-        .filter(col("dist") <= maxDist)
-        .distinct()
+        .select("id", "simhash", "hm", "ci", "cv", "sub")
+      val ySide = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
+        .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
+        .select(col("id").as("id2"), col("simhash").as("simhash2"),
+          col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2"))
+      // not-split-at-si: the band's bucket is hot for the pair iff the left
+      // endpoint's hot map holds si (they share the bucket when agreeing);
+      // a missing key makes element_at null and coalesce says "not hot".
+      def notSplit(si: Int): Column = coalesce(
+        pmod(col("hx"), element_at(col("hm"), si)) ===
+          pmod(col("hy"), element_at(col("hm"), si)),
+        lit(true))
+      val minMetBand = subsets.indices.foldRight(lit(-1)) { (si, rest) =>
+        when(bandAgrees(si) && notSplit(si), lit(si)).otherwise(rest)
+      }
+      fencedBandSelect(
+        xSide.as("x")
+          .join(ySide.as("y"),
+            col("ci") === col("ci2") && col("cv") === col("cv2") &&
+              col("sub") === col("sub2") && col("x.id") < col("id2")),
+        Map("hx" -> xxhash64(col("x.id")), "hy" -> xxhash64(col("id2"))),
+        minMetBand)
     }
   }
 }

@@ -12,6 +12,12 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.build("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
+    // global-window invariant (round 14): every unpartitioned window must
+    // carry a structural boundedness proof (PlanChecks.globalWindows) — a
+    // data-sized one fails the audit (exit 1) instead of hiding in
+    // `WindowExec: No Partition Defined` warning noise.
+    var gwBounded = List.empty[String]
+    var gwUnbounded = List.empty[String]
     SparkEntry.registry.sortBy(_.name).foreach { q =>
       try {
         // skip side-effecting/streaming/iterative queries (they execute
@@ -29,21 +35,29 @@ object PlanAudit {
         } else {
           val df = q.run(spark, sfDir)
           val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
-          // physical Window prints `Window [fns], [partCols], [orderCols]` —
-          // an empty second bracket list = global single-partition window
-          val globalWindow = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan).isDefined
+          val gws = graft.plans.PlanChecks.globalWindows(df)
+          gws.foreach { s =>
+            val line = s"${q.name}: [${s.exprs}] ${s.why}"
+            if (s.bounded) gwBounded ::= line else gwUnbounded ::= line
+          }
           val flags = Seq(
             "CartesianProduct" -> plan.contains("CartesianProduct"),
             "BNLJ" -> plan.contains("BroadcastNestedLoopJoin"),
-            "globalWindow" -> globalWindow
+            "GLOBALWINDOW" -> gws.exists(!_.bounded)
           ).collect { case (n, true) => n }
           val nEx = "Exchange".r.findAllIn(plan).length
           val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
           val nSmj = "SortMergeJoin".r.findAllIn(plan).length
-          println(f"${q.name}%-16s exchanges=$nEx%-3d bhj=$nBhj smj=$nSmj ${if (flags.nonEmpty) "FLAGS: " + flags.mkString(",") else ""}")
+          val gwNote = if (gws.nonEmpty) s" gw=${gws.count(_.bounded)}ok/${gws.size}" else ""
+          println(f"${q.name}%-16s exchanges=$nEx%-3d bhj=$nBhj smj=$nSmj$gwNote ${if (flags.nonEmpty) "FLAGS: " + flags.mkString(",") else ""}")
         }
       } catch { case e: Throwable => println(f"${q.name}%-16s ERROR ${e.getMessage.take(80)}") }
     }
+    println(s"\nglobal windows: ${gwBounded.size} bounded (whitelisted by proof), " +
+      s"${gwUnbounded.size} unbounded")
+    gwBounded.reverse.foreach(l => println(s"  OK   $l"))
+    gwUnbounded.reverse.foreach(l => println(s"  FAIL $l"))
     spark.stop()
+    if (gwUnbounded.nonEmpty) sys.exit(1)
   }
 }

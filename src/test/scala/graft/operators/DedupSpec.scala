@@ -319,6 +319,71 @@ class DedupSpec extends SparkSpec {
     assert(pairs5.contains((1L, 4L)))
   }
 
+  test("simHashPairs hot path: single emission equals the met-band model on a census-active corpus") {
+    // Template-heavy corpus: two near-identical 12-member clusters (their
+    // signatures agree on most blocks, so cross-cluster buckets mix) plus
+    // unrelated filler. maxBucket = 3 makes every cluster bucket hot
+    // (census ACTIVE — the round-14 path under test), with band-varying
+    // nsub where clusters share a bucket.
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = (
+      (0L until 12L).map(i => (i, template + " clusterone")) ++
+      (20L until 32L).map(i => (i, template + " clustertwo")) ++
+      (100L until 105L).map(i => (i, s"totally unrelated words $i about engines " +
+        s"and shuffles and partitions number$i item$i"))
+    ).toDF("doc_id", "text")
+    val maxBucket = 3L
+    val out = Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 7,
+      numBlocks = 8, maxBucket = maxBucket).collect()
+    // no duplicate-eliminating shuffle -> the operator itself must emit
+    // each surviving pair exactly once
+    val outKeys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(outKeys.length === outKeys.distinct.length)
+
+    // executable model of the emit-all + distinct() semantics, computed
+    // from the ACTUAL signatures/hashes (8 single-block bands at this
+    // geometry): pair survives iff dist <= 7 and SOME band has equal block
+    // values AND (bucket not hot OR both ids land in the same sub-bucket)
+    val sig = Dedup.simHash(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = corpus.select(col("doc_id"), xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def block(s: Long, b: Int): Long = (s >>> (8 * b)) & 0xffL
+    val census = (for { id <- sig.keys.toSeq; b <- 0 until 8 }
+      yield (b, block(sig(id), b))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(census.values.exists(_ > maxBucket), "fixture must activate the census")
+    def metBands(a: Long, b: Long): Seq[Int] = (0 until 8).filter { bi =>
+      block(sig(a), bi) == block(sig(b), bi) && {
+        val m = census((bi, block(sig(a), bi)))
+        m <= maxBucket ||
+          java.lang.Math.floorMod(h(a), math.ceil(m.toDouble / maxBucket).toLong) ==
+            java.lang.Math.floorMod(h(b), math.ceil(m.toDouble / maxBucket).toLong)
+      }
+    }
+    val ids = sig.keys.toSeq.sorted
+    val model = for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(sig(i) ^ sig(j)) <= 7
+      if metBands(i, j).nonEmpty
+    } yield (i, j)
+    assert(outKeys.toSet === model.toSet)
+    // the fixture must exercise the cross-band rescue the min-met rule has
+    // to preserve: some surviving pair is sub-split apart in an AGREEING
+    // band yet meets in a later one
+    val rescued = model.exists { case (i, j) =>
+      val agreeing = (0 until 8).filter(bi => block(sig(i), bi) == block(sig(j), bi))
+      val met = metBands(i, j)
+      agreeing.exists(bi => !met.contains(bi)) && met.nonEmpty
+    }
+    assert(rescued, "fixture must contain a pair split in one hot band but met in another")
+    // precision: the dist column is the true hamming distance
+    out.foreach { r =>
+      assert(r.getAs[Int]("dist") ===
+        java.lang.Long.bitCount(sig(r.getLong(0)) ^ sig(r.getLong(1))))
+    }
+  }
+
   test("autoSimHashBlocks holds the completeness floor and widens keys with the corpus") {
     // small corpora keep the classic d+1 geometry exactly
     assert(Dedup.autoSimHashBlocks(1000L, maxDist = 7) === 8)
