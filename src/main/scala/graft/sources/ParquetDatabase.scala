@@ -146,20 +146,36 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * retryable `ConcurrentModificationException` instead of a raw Spark
     * task failure.
     */
-  private def stageOrAbort(tmp: Path)(write: => Unit): Unit =
-    try write catch {
+  /** Re-map a failure whose cause chain says "table files vanished
+    * underneath a read" to the documented retryable
+    * `ConcurrentModificationException`. Both vanish signatures are matched:
+    * at OPEN Spark classifies it itself (FAILED_READ_FILE.FILE_NOT_EXIST /
+    * FileNotFoundException); a file retired MID-READ — the open stream's
+    * next positioned read fails — surfaces as FAILED_READ_FILE.NO_HINT
+    * caused by a raw java.nio.file.NoSuchFileException (both seen under
+    * host load in the two-writer stress drill, round 14).
+    */
+  private def conflictIfVanished[T](phase: String)(f: => T): T =
+    try f catch {
       case t: Throwable =>
-        try fs.delete(tmp, true) catch { case _: Throwable => () }
         val vanishedUnderneath = Iterator.iterate(t)(_.getCause)
           .takeWhile(_ != null).take(20)
           .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+            c.isInstanceOf[java.nio.file.NoSuchFileException] ||
             String.valueOf(c.getMessage).contains("FILE_NOT_EXIST"))
         if (vanishedUnderneath)
           throw new java.util.ConcurrentModificationException(
             s"optimistic-concurrency conflict on $dir: table files vanished underneath " +
-              "this mutation's staging read (another writer swapped the table mid-scan). " +
-              "Staged output dropped, table untouched — re-read and retry.", t)
+              s"this mutation's $phase (another writer swapped the table mid-scan). " +
+              "Table untouched — re-read and retry.", t)
         else throw t
+    }
+
+  private def stageOrAbort(tmp: Path)(write: => Unit): Unit =
+    try conflictIfVanished("staging read")(write) catch {
+      case t: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        throw t
     }
 
   private def conflictCheck(expected: Option[String], tmps: Seq[Path]): Unit =
@@ -505,9 +521,12 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   def deleteWhere(condition: Column): Unit = {
     val expect = Some(entryFingerprint())
     val base = spark.read.option("mergeSchema", "true").parquet(dir)
-    val hitNames = base.filter(condition)
+    // the hit-scan is an EAGER table read outside the staging write, so a
+    // peer's swap landing mid-scan surfaces here, not in stageOrAbort —
+    // same retryable-conflict mapping (round-14 stress-drill finding)
+    val hitNames = conflictIfVanished("hit scan")(base.filter(condition)
       .select(col("_metadata.file_path")).distinct()
-      .collect().map(r => new Path(r.getString(0)).getName).toSet
+      .collect().map(r => new Path(r.getString(0)).getName).toSet)
     val flat = ParquetStats.listParquetFiles(dir, hconf)
     val touched = flat.map(_.toString).filter(p => hitNames.contains(new Path(p).getName))
     if (hitNames.isEmpty) () // nothing matches — leave every file untouched
