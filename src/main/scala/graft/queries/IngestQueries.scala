@@ -335,8 +335,13 @@ object IngestQueries {
           .toDF("n_rows", "n_files", "files_bounded")
           .select(col("n_rows"), col("n_files"), col("files_bounded"))
       },
+      // n_files mirrors ParquetDatabase.packPartitions: ceil(rows / (8192 −
+      // 8192/32)) = ceil(rows/7936.0) — the 1/32 headroom keeps round-robin
+      // jitter under the maxRecordsPerFile cap so no partition spills a tiny
+      // second file (zero-headroom packing produced 1 950 three-row files at
+      // 100× bench scale; see packPartitions' scaladoc)
       Some(
-        "SELECT count(*) AS n_rows, CAST(ceil(count(*)/8192.0) AS INTEGER) AS n_files, " +
+        "SELECT count(*) AS n_rows, CAST(ceil(count(*)/7936.0) AS INTEGER) AS n_files, " +
           "true AS files_bounded FROM lineitem")),
 
     // byte-targeted normalize with a range-sorted layout: after

@@ -264,12 +264,32 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     *  groups at scan time (data skipping, the complement to hive
     *  partitioning for high-cardinality keys).
     */
+  /** Partition count for a row-capped rewrite: target maxRows − maxRows/32
+    * rows per partition, NOT maxRows exactly. Zero-headroom packing makes
+    * the cap a cliff: `repartition(n)` is round-robin-even only to
+    * ±O(√inputSplits) rows, so when ceil(rows/maxRows) partitions average
+    * within a few rows of the cap, every partition the jitter pushes over
+    * spills a tiny second file through maxRecordsPerFile (measured at 100×
+    * bench scale: 60 M rows into 7 325 zero-headroom partitions landed
+    * 1 950 of them at 8 193–8 195 rows → 1 950 three-row files, 9 275
+    * total vs the intended 7 325). With 1/32 headroom the jitter never
+    * crosses the cap at any realistic input-split count, the file count
+    * stays the closed form ceil(rows / (maxRows − maxRows/32)) that the
+    * q_norm1 oracle reproduces in SQL, and maxRecordsPerFile remains the
+    * HARD bound either way — a pathological distribution degrades to a few
+    * split files, never to an over-cap file.
+    */
+  private def packPartitions(maxRowsPerFile: Long): Int = {
+    val effective = math.max(1L, maxRowsPerFile - maxRowsPerFile / 32)
+    math.max(1, math.ceil(footerRowCount.toDouble / effective).toInt)
+  }
+
   def normalize(maxRowsPerFile: Long, sortBy: Seq[String] = Nil): Unit = {
     val expect = Some(entryFingerprint())
     val df = read()
     // row count from the footers (metadata-only) — a count() job here would
     // be a full extra pass over the table being rewritten
-    val n = math.max(1, math.ceil(footerRowCount.toDouble / maxRowsPerFile).toInt)
+    val n = packPartitions(maxRowsPerFile)
     val laidOut =
       if (sortBy.nonEmpty)
         df.repartitionByRange(n, sortBy.map(c => col(s"`$c`")): _*)
@@ -288,7 +308,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
   def normalizeZOrder(maxRowsPerFile: Long, zCols: Seq[String], bits: Int = 8): Unit = {
     val expect = Some(entryFingerprint())
     val df = read()
-    val n = math.max(1, math.ceil(footerRowCount.toDouble / maxRowsPerFile).toInt)
+    val n = packPartitions(maxRowsPerFile)
     val z = "__zorder"
     val laidOut = df.withColumn(z, ZOrder.zValue(df, zCols, bits))
       .repartitionByRange(n, col(z))
