@@ -13,6 +13,25 @@ object Bench {
 
   private val B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
 
+  /** Host 1/5/15-min load averages, or (-1,-1,-1) off-Linux. Captured at
+    * bench start AND end into the emitted artifacts: the r14 consolidated
+    * record was silently inflated 1.4× by self-inflicted box load, and a
+    * record that can't prove it ran on a quiet host can't be told apart
+    * from a plan regression. */
+  def loadAvg(): (Double, Double, Double) =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
+
+  /** An official (re-baselinable) record requires a quiet host at START:
+    * 1-min load below this on the 32-core box (the bench itself drives the
+    * END load, so only the start value is diagnostic). Records over the
+    * threshold are emitted with "load_ok":false — BASELINE.md's rule is
+    * that such a record must not re-baseline and must be re-taken idle. */
+  val MaxStartLoad1m = 4.0
+
   /** Entries per restart point: every Nth entry carries its FULL name
     * (L forced to 0) so a head-truncated capture re-synchronizes at the
     * next restart instead of losing every remaining entry (front-coding
@@ -75,6 +94,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val laStart = loadAvg()
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     // Data-contract gate (round-7 lesson): a silent encoding drift in the
@@ -138,6 +158,16 @@ object Bench {
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
+    val laEnd = loadAvg()
+    val loadOk = laStart._1 < 0 || laStart._1 < MaxStartLoad1m
+    def laJson(la: (Double, Double, Double)) =
+      s"[${d3(la._1)},${d3(la._2)},${d3(la._3)}]"
+    val loadJson =
+      s""""loadavg_start":${laJson(laStart)},"loadavg_end":${laJson(laEnd)},""" +
+        s""""load_ok":$loadOk,"load_rule":"official record requires start 1-min load < $MaxStartLoad1m\""""
+    if (!loadOk)
+      Console.err.println(s"[bench] WARNING: start loadavg ${laStart._1} >= " +
+        s"$MaxStartLoad1m — NOT an official record (load_ok=false); re-run idle")
 
     // FULL artifact (full names, full precision, median + min + raw rounds)
     // → a file, because the round driver retains only the last ~2000 chars
@@ -155,7 +185,7 @@ object Bench {
         s""""queries":${qmap(medians)},"queries_min":${qmap(mins)},""" +
         s""""samples":[${samples.map(m => qmapRaw(ordered.map { case (n, _) => n -> m(n) })).mkString(",")}],""" +
         s""""failed_convention":"queries/queries_min: null = failed (see errors); samples: negative = that run failed",""" +
-        s""""errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median","sf":"$sfDir"}"""
+        s""""errors":$errJson,"n_failed":${errors.size},"rounds":$rounds,"stat":"median",$loadJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full_latest.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
@@ -172,6 +202,7 @@ object Bench {
       val entries = medians.map { case (k, v) => k -> math.round(v / div) }
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_min":${d3(totalMin)},""" +
         s""""n_failed":${errors.size},"rounds":$rounds,"stat":"median","q_unit":"$unit",""" +
+        s""""la":[${d3(laStart._1)},${d3(laEnd._1)}],"load_ok":$loadOk,""" +
         s""""enc":"entry=B36(L)+suffix:$unit, name=prev_name[:L]+suffix, v<0=failed",""" +
         s""""sf":"${new java.io.File(sfDir).getName}","qs":"${encodeEntries(entries)}"}"""
     }

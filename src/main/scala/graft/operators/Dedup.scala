@@ -926,9 +926,25 @@ object Dedup {
     * census broadcast holds only the > maxBucket rows — bounded by
     * C(numBlocks, numBlocks−maxDist) · n / maxBucket, output-sized by
     * construction, never a driver collect.
+    *
+    * Emission-plan size switch (round 15): the census-active (hot) path has
+    * two proven-output-identical plans. Emit-all + distinct() re-emits each
+    * surviving pair once per met band and pays a duplicate-eliminating
+    * shuffle — cheap while survivor volume is small, quadratic-prone on big
+    * clustered corpora (measured 4.0× per-decade at sf10). Single-emission
+    * min-band pays a fixed +2–6 s of per-candidate band selection at small
+    * scale but holds the per-decade ratio at 1.5×. Corpora under
+    * `emitAllBelowRows` take emit-all; at or above it, min-band. The default
+    * crossover sits between the measured brackets — 50 k docs (sf1), where
+    * emit-all wins by 2–6 s, and 500 k (sf10), where min-band wins 4.0×→1.5×
+    * — at their geometric mean. Pass 0 to force min-band (specs),
+    * Long.MaxValue to force emit-all.
     */
+  val EmitAllCrossoverRows: Long = 150000L
+
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-                   numBlocks: Int = 0, maxBucket: Long = 100000L): DataFrame = {
+                   numBlocks: Int = 0, maxBucket: Long = 100000L,
+                   emitAllBelowRows: Long = EmitAllCrossoverRows): DataFrame = {
     // materialize the signature pass once: the geometry count, the
     // hot-bucket census and BOTH sides of the banding self-join would
     // otherwise each re-tokenize and re-hash the whole corpus (measured: 3
@@ -936,9 +952,12 @@ object Dedup {
     // sf0.1). The checkpoint is 16 bytes × n — negligible next to the
     // corpus it summarizes.
     val sig = simHash(docs, idCol, textCol).localCheckpoint()
+    // one metadata-cheap count over the checkpoint serves both the geometry
+    // rule and the hot-path emission-plan switch
+    val sigRows = sig.count()
     val blocks =
       if (numBlocks > 0) numBlocks
-      else autoSimHashBlocks(sig.count(), maxDist)
+      else autoSimHashBlocks(sigRows, maxDist)
     require(blocks >= 2 && blocks <= 64,
       s"numBlocks must be in [2, 64] (got $blocks)")
     require(maxDist < blocks,
@@ -989,7 +1008,8 @@ object Dedup {
     //
     // Codegen shape: the per-band agreement test is a 2-op mask test of a
     // single 64-bit block-agreement bitmask column (computed once per join
-    // row from <= 32 shift/mask terms), NOT a (blocks−maxDist)-conjunct
+    // row from <= 64 shift/mask terms, one per block — numBlocks is capped
+    // at 64 above), NOT a (blocks−maxDist)-conjunct
     // shift chain per band — so the band-selection CaseWhen stays far under
     // codegen method-size limits even at the 256-table geometry ceiling.
     val xorSig = col("simhash").bitwiseXOR(col("simhash2"))
@@ -1039,6 +1059,30 @@ object Dedup {
             col("ci") === col("ci2") && col("cv") === col("cv2") &&
               col("x.id") < col("id2")),
         Map.empty, minBand)
+    } else if (sigRows < emitAllBelowRows) {
+      // SMALL-CORPUS HOT PATH — emit-all + distinct(). Below the crossover
+      // the survivor set is small enough that the duplicate-eliminating
+      // shuffle is cheaper than min-band's per-candidate band selection
+      // (measured: 4.4 s vs 6.9 s at sf0.1 on the q_ext_dedup4 config).
+      // Output-identical to the min-band plan: a pair is emitted from band
+      // si iff si's blocks agree AND the sub-split keeps both endpoints
+      // together there — the same met-at-si predicate — and distinct()
+      // collapses the per-band copies (DedupSpec proves set equality on a
+      // census-active fixture both sides of the switch).
+      val sub = blocked.join(broadcast(hot), Seq("ci", "cv"), "left")
+        .withColumn("sub", pmod(xxhash64(col("id")), coalesce(col("nsub"), lit(1L))))
+        .select(col("id"), col("simhash"), col("ci"), col("cv"), col("sub"))
+      sub.as("x")
+        .join(sub.select(col("id").as("id2"), col("simhash").as("simhash2"),
+          col("ci").as("ci2"), col("cv").as("cv2"), col("sub").as("sub2")).as("y"),
+          col("ci") === col("ci2") && col("cv") === col("cv2") &&
+            col("sub") === col("sub2") && col("x.id") < col("id2"))
+        .select(col("x.id").as("d1"), col("id2").as("d2"),
+          bit_count(col("simhash").bitwiseXOR(col("simhash2"))).as("dist"))
+        // filter BEFORE the dedup shuffle: only the hamming<=maxDist
+        // survivors (output-sized) need the distinct
+        .filter(col("dist") <= maxDist)
+        .distinct()
     } else {
       // HOT PATH — at least one bucket exceeded maxBucket, so its members
       // are deterministically sub-split and a pair can be split apart in

@@ -163,7 +163,14 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
           .exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
             c.isInstanceOf[java.nio.file.NoSuchFileException] ||
             String.valueOf(c.getMessage).contains("FILE_NOT_EXIST"))
-        if (vanishedUnderneath)
+        // a conflict is only plausible when the TABLE DIRECTORY still
+        // exists and member files vanished out of it (a peer's swap). A
+        // missing/mistyped table dir is a permanent error — remapping it
+        // would make retry-looping callers spin on something no retry can
+        // fix — so it rethrows raw. (The exists() probe itself failing,
+        // e.g. a flaky FS, counts as "can't prove permanence" → conflict.)
+        if (vanishedUnderneath &&
+            (try fs.exists(new Path(dir)) catch { case _: Throwable => true }))
           throw new java.util.ConcurrentModificationException(
             s"optimistic-concurrency conflict on $dir: table files vanished underneath " +
               s"this mutation's $phase (another writer swapped the table mid-scan). " +

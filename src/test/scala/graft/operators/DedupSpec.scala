@@ -334,8 +334,11 @@ class DedupSpec extends SparkSpec {
         s"and shuffles and partitions number$i item$i"))
     ).toDF("doc_id", "text")
     val maxBucket = 3L
+    // emitAllBelowRows = 0 forces the single-emission min-band hot path —
+    // the plan a >= crossover corpus takes (the default would route this
+    // 29-doc fixture to the emit-all branch)
     val out = Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 7,
-      numBlocks = 8, maxBucket = maxBucket).collect()
+      numBlocks = 8, maxBucket = maxBucket, emitAllBelowRows = 0L).collect()
     // no duplicate-eliminating shuffle -> the operator itself must emit
     // each surviving pair exactly once
     val outKeys = out.map(r => (r.getLong(0), r.getLong(1)))
@@ -382,6 +385,14 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Int]("dist") ===
         java.lang.Long.bitCount(sig(r.getLong(0)) ^ sig(r.getLong(1))))
     }
+    // size-switch equality (round 15): the emit-all + distinct branch —
+    // what this sub-crossover corpus takes by default — must produce the
+    // SAME pair set as the min-band plan proved against the model above
+    val outEmitAll = Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 7,
+        numBlocks = 8, maxBucket = maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(outEmitAll.length === outEmitAll.distinct.length)
+    assert(outEmitAll.toSet === outKeys.toSet)
   }
 
   test("autoSimHashBlocks holds the completeness floor and widens keys with the corpus") {

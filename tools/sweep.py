@@ -52,12 +52,14 @@ def main():
 
     con = None
     oracle = None
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_error = 0
+    checked = set()  # every requested query that reached a terminal outcome
     t0 = time.time()
     for raw in proc.stdout:
         line = raw.rstrip("\n")
         if line.startswith("[verify] done "):
             name = line.split()[2]
+            checked.add(name)
             if oracle is None:
                 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
                 con = check_oracle.connect(sf_dir)
@@ -72,13 +74,29 @@ def main():
                 n_pass += 1
             else:
                 n_fail += 1
+        elif line.startswith("[verify] unknown query:"):
+            # Verify swallows these (exit 0) — without counting them the
+            # sweep would end "N pass, 0 fail" with queries never checked
+            n_error += 1
+            checked.add(line.split(":", 1)[1].strip())
+            emit(f"ERROR {line}")
+        elif line.startswith("[verify]") and " failed: " in line:
+            n_error += 1
+            checked.add(line.split()[1])
+            emit(f"ERROR {line}")
         elif line.startswith("[verify]"):
             emit(line)
     proc.wait()
+    # reconcile: a requested query with NO terminal marker (run killed, or a
+    # marker line lost) is missing evidence, not a pass
+    missing = [q for q in queries if q not in checked]
+    if missing:
+        emit(f"# sweep MISSING (never checked): {' '.join(missing)}")
     emit(f"# sweep end {datetime.datetime.now().isoformat()} "
-         f"{n_pass} pass, {n_fail} fail, wall {time.time()-t0:.0f}s, "
+         f"{n_pass} pass, {n_fail} fail, {n_error} error, "
+         f"{len(missing)} missing, wall {time.time()-t0:.0f}s, "
          f"verify exit {proc.returncode}")
-    sys.exit(1 if n_fail or proc.returncode else 0)
+    sys.exit(1 if n_fail or n_error or missing or proc.returncode else 0)
 
 
 def check_one_safe(con, out_dir, name, sql):
