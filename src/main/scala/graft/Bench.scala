@@ -32,6 +32,32 @@ object Bench {
     * that such a record must not re-baseline and must be re-taken idle. */
   val MaxStartLoad1m = 4.0
 
+  /** Aggregate jiffies (user…steal) from /proc/stat line 1, or null
+    * off-Linux. Loadavg only sees THIS guest's runnable queue; on a
+    * co-tenant VM the hypervisor can still take 10–25% of the bench's
+    * cycles as STEAL (measured on this box: 10.9% steal under a full
+    * 32-core burn at an idle-by-loadavg moment), which inflates wall-clock
+    * uniformly and is invisible to load_ok. The start→end delta of the
+    * steal fraction is recorded per run so a slow record carries its own
+    * exoneration (or indictment). */
+  def cpuJiffies(): Array[Long] =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/stat"))).linesIterator.next()
+      .trim.split("\\s+").drop(1).map(_.toLong)
+    catch { case _: Throwable => null }
+
+  /** steal% and busy% (non-idle, non-iowait) of the interval between two
+    * jiffy snapshots; (-1,-1) when unavailable. */
+  def cpuDelta(a: Array[Long], b: Array[Long]): (Double, Double) =
+    if (a == null || b == null || a.length < 8 || b.length < 8) (-1.0, -1.0)
+    else {
+      val d = b.zip(a).map { case (y, x) => (y - x).toDouble }
+      val tot = math.max(1.0, d.sum)
+      val steal = 100.0 * d(7) / tot
+      val busy = 100.0 * (tot - d(3) - d(4)) / tot // minus idle, iowait
+      (math.rint(steal * 100) / 100, math.rint(busy * 100) / 100)
+    }
+
   /** Entries per restart point: every Nth entry carries its FULL name
     * (L forced to 0) so a head-truncated capture re-synchronizes at the
     * next restart instead of losing every remaining entry (front-coding
@@ -95,6 +121,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val laStart = loadAvg()
+    val jfStart = cpuJiffies()
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     // Data-contract gate (round-7 lesson): a silent encoding drift in the
@@ -119,6 +146,16 @@ object Bench {
             false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Drop the query's persisted blocks (localCheckpoints, caches) OUTSIDE
+      // its timing window. The operators checkpoint deliberately and a real
+      // session releases those blocks when its DataFrames die; in the bench
+      // loop 193 queries × 3 rounds stack ~579 dead checkpoint sets into an
+      // 8 GiB heap faster than the reference-tracking ContextCleaner GCs
+      // them, and the measured effect is a WITHIN-RUN slowdown (round totals
+      // 325 → 376 → 397 s on an idle host) that reads as regression but is
+      // storage-eviction + GC pressure from earlier queries' debris.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sharedState.cacheManager.clearCache()
       // failed queries report negative elapsed so they can't masquerade as
       // fast successes in the emitted JSON
       if (ok) sec else -sec
@@ -159,12 +196,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val laEnd = loadAvg()
+    val (steal, busy) = cpuDelta(jfStart, cpuJiffies())
     val loadOk = laStart._1 < 0 || laStart._1 < MaxStartLoad1m
     def laJson(la: (Double, Double, Double)) =
       s"[${d3(la._1)},${d3(la._2)},${d3(la._3)}]"
     val loadJson =
       s""""loadavg_start":${laJson(laStart)},"loadavg_end":${laJson(laEnd)},""" +
-        s""""load_ok":$loadOk,"load_rule":"official record requires start 1-min load < $MaxStartLoad1m\""""
+        s""""steal_pct":${d3(steal)},"busy_pct":${d3(busy)},""" +
+        s""""load_ok":$loadOk,"load_rule":"official record requires start 1-min load < $MaxStartLoad1m; steal_pct is the hypervisor tax over the whole run\""""
     if (!loadOk)
       Console.err.println(s"[bench] WARNING: start loadavg ${laStart._1} >= " +
         s"$MaxStartLoad1m — NOT an official record (load_ok=false); re-run idle")
@@ -202,7 +241,7 @@ object Bench {
       val entries = medians.map { case (k, v) => k -> math.round(v / div) }
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","total_min":${d3(totalMin)},""" +
         s""""n_failed":${errors.size},"rounds":$rounds,"stat":"median","q_unit":"$unit",""" +
-        s""""la":[${d3(laStart._1)},${d3(laEnd._1)}],"load_ok":$loadOk,""" +
+        s""""la":[${d3(laStart._1)},${d3(laEnd._1)}],"steal":${d3(steal)},"load_ok":$loadOk,""" +
         s""""enc":"entry=B36(L)+suffix:$unit, name=prev_name[:L]+suffix, v<0=failed",""" +
         s""""sf":"${new java.io.File(sfDir).getName}","qs":"${encodeEntries(entries)}"}"""
     }
