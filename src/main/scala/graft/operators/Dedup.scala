@@ -123,28 +123,54 @@ object Dedup {
     // keys and the join compares longs. A cross-doc collision (P ≈ n²/2⁶⁴)
     // could only perturb a count by 1 — negligible at the 4-decimal compare.
     // Hashed ONCE and materialized: every downstream consumer (the df
-    // census, both sides of the pair join, the per-doc rare counts, the
-    // size relation) would otherwise re-scan and re-shingle the raw corpus
-    // — measured at sf10 as SIX full-text scans per run, each serialized on
-    // the input file's split count rather than the cluster. The checkpoint
-    // is 16 bytes per (doc, shingle) — the operator's working set either way.
+    // census, both sides of the pair join, the per-doc rare counts) would
+    // otherwise re-scan and re-shingle the raw corpus — measured at sf10 as
+    // SIX full-text scans per run, each serialized on the input file's
+    // split count rather than the cluster. The per-doc distinct-shingle
+    // count rides each token row (`sz` = size of the distinct array BEFORE
+    // explode — free, no shuffle): the r14 plan joined a doc→size relation
+    // against the candidate-PAIR frame twice, and the pair frame is the
+    // operator's largest intermediate (Σ C(df,2) rows ≈ 5–15× the token
+    // rows on this corpus) — at ScaleGen sf30 those two joins alone
+    // spilled ~3 GiB to disk. The checkpoint is 24 bytes per (doc, shingle)
+    // — still the operator's working set either way.
     val toks = tokenArrays(docs, idCol, textCol, shingleN)
-      .select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("th"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+      .select(col("id"), col("sz"), xxhash64(col("tok")).as("th"))
       .localCheckpoint()
-    // distinct-shingle count per doc, derived from the hashed tokens rather
-    // than a second corpus scan. Zero-shingle docs drop out — safe: they
-    // can never appear in a candidate pair.
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    def pairCounts(tokSrc: DataFrame): DataFrame = tokSrc.as("a")
-      .join(tokSrc.withColumnRenamed("id", "id2").as("b"),
-        col("a.th") === col("b.th") && col("a.id") < col("id2"))
-      .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
-      .agg(count(lit(1)).as("c"))
+    // Zero-shingle docs drop out at the explode — safe: they can never
+    // appear in a candidate pair.
+    //
+    // Pair-stage width: the candidate join's OUTPUT is Σ_{df≤cap} C(df,2)
+    // rows — a multiple of the token input that a static session shuffle
+    // width (sized for input-scan parallelism) cannot anticipate. Measured
+    // at ScaleGen sf30: 3.8e8 candidate rows over the session's 32
+    // partitions spilled 16 GiB to disk (the agg stage alone 114 s);
+    // the same plan at sf10 (1.27e8 rows, exactly 3× less — ScaleGen holds
+    // pair density constant, so candidate volume is LINEAR in corpus size)
+    // ran spill-free. width<=0 means "session default + AQE" (the explicit
+    // exchanges below pin their width, which would disable AQE coalescing
+    // where it is the right tool — small corpora); a positive width targets
+    // ~4M pair rows (~100 MB sort footprint) per partition so the pair
+    // stages never outgrow executor memory, capped at 8192 (≈3e10 candidate
+    // rows — beyond that, raise the session width with the cluster).
+    def pairCounts(tokSrc: DataFrame, width: Int): DataFrame = {
+      val src = if (width > 0) tokSrc.repartition(width, col("th")) else tokSrc
+      val joined = src.as("a")
+        .join(src.withColumnRenamed("id", "id2").withColumnRenamed("sz", "szb").as("b"),
+          col("a.th") === col("b.th") && col("a.id") < col("id2"))
+        .select(col("a.id").as("d1"), col("id2").as("d2"),
+          col("a.sz").as("s1"), col("szb").as("s2"))
+      val distributed =
+        if (width > 0) joined.repartition(width, col("d1"), col("d2")) else joined
+      distributed.groupBy("d1", "d2")
+        .agg(count(lit(1)).as("c"), first(col("s1")).as("sz1"), first(col("s2")).as("sz2"))
+    }
+    // paired already carries sz1/sz2 from the token rows — no join against
+    // the pair-sized frame, just row-local arithmetic at scan speed
     def finish(paired: DataFrame, cExact: org.apache.spark.sql.Column): DataFrame =
       paired
-        .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
         .withColumn("cx", cExact)
         .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
         .filter(col("jac") >= threshold)
@@ -155,13 +181,23 @@ object Dedup {
     // rows, so the probe stays cheap at ANY corpus size (a plain count of a
     // filtered 100 TB input would be a full pass)
     if (docs.limit(maxShingleDf + 1).count() <= maxShingleDf) {
-      finish(pairCounts(toks), col("c"))
+      finish(pairCounts(toks, 0), col("c"))
     } else {
-      // hot shingle hashes, materialized eagerly: the table is tiny
-      // (bounded by shingle_instances/cap) and referenced twice below — an
-      // inline subplan would re-run the corpus tokenization per reference
-      val hotTokens = toks.groupBy("th").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf).select("th").localCheckpoint()
+      // full shingle df census, materialized eagerly and ONCE: the hot list
+      // (df > cap) is referenced twice below, and the rare mass gives the
+      // capped join's EXACT output volume for the width rule — both read
+      // the same checkpoint (distinct-shingle-count rows of 16 bytes)
+      val census = toks.groupBy("th").agg(count(lit(1)).as("df")).localCheckpoint()
+      val candPairs = census.filter(col("df") <= maxShingleDf)
+        // df*(df-1) is even, so the double division is exact (df ≤ cap =
+        // 1e4 keeps each term ≤ 5e7, far under the 2^53 mantissa); cast
+        // back to long per-term so the sum (and getLong) stays integral
+        .agg(coalesce(sum((col("df") * (col("df") - lit(1)) / lit(2)).cast("long")), lit(0L)).as("cp"))
+        .head().getLong(0)
+      val sessionWidth = docs.sparkSession.sessionState.conf.numShufflePartitions
+      val idealWidth = math.min(8192L, candPairs / 4000000L + 1).toInt
+      val width = if (idealWidth > sessionWidth) idealWidth else 0
+      val hotTokens = census.filter(col("df") > maxShingleDf).select("th")
       val capped = toks.join(hotTokens, Seq("th"), "left_anti")
       // per-doc hot-shingle sets — the exact correction term for pairs
       // whose shared shingles include hot ones
@@ -172,17 +208,28 @@ object Dedup {
       // operator doc). Small by construction in a normal corpus; ∝ true
       // duplicates in a mass-dup one. localCheckpoint'd: the id list seeds
       // the banding route and an inline subplan would re-run tokenization.
+      val sizes = toks.groupBy("id").agg(first(col("sz")).as("sz"))
       val rareCounts = capped.groupBy("id").agg(count(lit(1)).as("rc"))
       val hotHeavyIds = sizes.join(rareCounts, Seq("id"), "left")
         .filter(coalesce(col("rc"), lit(0L)) <= (lit(1.0) - threshold) * col("sz"))
         .select("id").localCheckpoint()
-      val extra = bandedCandidatePairs(toks.join(hotHeavyIds, Seq("id"), "left_semi"))
+      // banding-route pairs are ∝ hot-heavy docs (small), so joining THEIR
+      // sizes back is cheap — the main route carries sizes inline
+      val extra = bandedCandidatePairs(
+        toks.select("id", "th").join(hotHeavyIds, Seq("id"), "left_semi"))
+        .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
         .withColumn("c", lit(0L))
       // merge the two candidate routes; the rare-shared count c comes from
       // the capped join (0 for banding-only pairs — all their shared
-      // shingles are hot and re-enter via the correction term)
-      val paired = pairCounts(capped).unionByName(extra)
-        .groupBy("d1", "d2").agg(max(col("c")).as("c"))
+      // shingles are hot and re-enter via the correction term). The merge
+      // agg is pair-frame-sized, so it takes the width rule too.
+      val unioned = pairCounts(capped, width)
+        .unionByName(extra.select("d1", "d2", "c", "sz1", "sz2"))
+      val paired =
+        (if (width > 0) unioned.repartition(width, col("d1"), col("d2")) else unioned)
+          .groupBy("d1", "d2").agg(max(col("c")).as("c"),
+            first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
       // exact intersection = shared rare shingles (counted by the join) +
       // shared hot shingles (intersect of the two per-doc hot sets)
       val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
@@ -250,26 +297,45 @@ object Dedup {
                           maxShingleDf: Int = 10000,
                           broadcastLeft: Boolean = false): DataFrame = {
     // hash-early + materialize-once, same rationale as jaccardPairs: each
-    // side is consumed by the df census, the pair join and the size
-    // relation — checkpointing the 16-byte hashed tokens keeps every
-    // consumer off the raw corpora.
+    // side is consumed by the df census and the pair join — checkpointing
+    // the hashed tokens keeps every consumer off the raw corpora. The
+    // per-doc distinct-shingle count rides each token row (size of the
+    // distinct array BEFORE explode — free, no shuffle), so the similarity
+    // arithmetic never joins a size relation against the candidate-PAIR
+    // frame, the operator's largest intermediate (see jaccardPairs).
     def hashed(src: DataFrame) = tokenArrays(src, idCol, textCol, shingleN)
-      .select(col("id"), explode(col("toks")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("th"))
+      .withColumn("sz", size(col("toks")).cast("long"))
+      .select(col("id"), col("sz"), explode(col("toks")).as("tok"))
+      .select(col("id"), col("sz"), xxhash64(col("tok")).as("th"))
       .localCheckpoint()
     val (lt, rt) = (hashed(left), hashed(right))
-    def sizesOf(toks: DataFrame) = toks.groupBy("id").agg(count(lit(1)).as("sz"))
-    val lsz = sizesOf(lt)
-    val rsz = sizesOf(rt)
-    def pairCounts(a: DataFrame, b: DataFrame): DataFrame =
-      (if (broadcastLeft) broadcast(a.as("a")) else a.as("a"))
-      .join(b.withColumnRenamed("id", "id2").as("b"), col("a.th") === col("b.th"))
-      .groupBy(col("a.id").as("d1"), col("id2").as("d2"))
-      .agg(count(lit(1)).as("c"))
+    def sizesOf(toks: DataFrame) = toks.groupBy("id").agg(first(col("sz")).as("sz"))
+    lazy val lsz = sizesOf(lt)
+    lazy val rsz = sizesOf(rt)
+    // pair-stage width, same rule as jaccardPairs (the cross-corpus
+    // candidate volume is Σ_{df≤cap} df_left·df_right — exact, from the
+    // same census pass that finds the hot shingles). width 0 = session
+    // default + AQE; the broadcast path never shuffles on token hash, so
+    // only the intersection-sized agg takes the width.
+    def pairCounts(a: DataFrame, b: DataFrame, width: Int): DataFrame = {
+      val aSide =
+        if (broadcastLeft) broadcast(a)
+        else if (width > 0) a.repartition(width, col("th"))
+        else a
+      val bSide = if (width > 0 && !broadcastLeft) b.repartition(width, col("th")) else b
+      val joined = aSide.as("a")
+        .join(bSide.withColumnRenamed("id", "id2").withColumnRenamed("sz", "szb").as("b"),
+          col("a.th") === col("b.th"))
+        .select(col("a.id").as("d1"), col("id2").as("d2"),
+          col("a.sz").as("s1"), col("szb").as("s2"))
+      val distributed =
+        if (width > 0) joined.repartition(width, col("d1"), col("d2")) else joined
+      distributed.groupBy("d1", "d2")
+        .agg(count(lit(1)).as("c"), first(col("s1")).as("sz1"), first(col("s2")).as("sz2"))
+    }
+    // paired carries sz1/sz2 inline — row-local arithmetic, no pair-frame join
     def finish(paired: DataFrame, cExact: org.apache.spark.sql.Column): DataFrame =
       paired
-        .join(lsz.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
-        .join(rsz.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
         .withColumn("cx", cExact)
         .withColumn("jac", col("cx").cast("double") / (col("sz1") + col("sz2") - col("cx")))
         .filter(col("jac") >= threshold)
@@ -280,10 +346,22 @@ object Dedup {
       .unionAll(right.limit(maxShingleDf + 1).select(lit(1).as("one")))
       .count()
     if (probed <= maxShingleDf) {
-      finish(pairCounts(lt, rt), col("c"))
+      finish(pairCounts(lt, rt, 0), col("c"))
     } else {
-      val hotTokens = lt.unionByName(rt).groupBy("th").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDf).select("th").localCheckpoint()
+      // one census pass over the union carries BOTH the combined df (the
+      // hot cut) and the left-side df, so the exact cross candidate volume
+      // Σ_{df≤cap} df_l·(df−df_l) costs no extra shuffle over the r14 plan
+      val census = lt.select(col("th"), lit(1L).as("l"))
+        .unionByName(rt.select(col("th"), lit(0L).as("l")))
+        .groupBy("th").agg(count(lit(1)).as("df"), sum(col("l")).as("dfl"))
+        .localCheckpoint()
+      val candPairs = census.filter(col("df") <= maxShingleDf)
+        .agg(coalesce(sum(col("dfl") * (col("df") - col("dfl"))), lit(0L)).as("cp"))
+        .head().getLong(0)
+      val sessionWidth = left.sparkSession.sessionState.conf.numShufflePartitions
+      val idealWidth = math.min(8192L, candPairs / 4000000L + 1).toInt
+      val width = if (idealWidth > sessionWidth) idealWidth else 0
+      val hotTokens = census.filter(col("df") > maxShingleDf).select("th")
       def capped(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_anti")
       def hotSets(t: DataFrame) = t.join(hotTokens, Seq("th"), "left_semi")
         .groupBy("id").agg(collect_set(col("th")).as("hot_ths"))
@@ -298,18 +376,28 @@ object Dedup {
           .filter(coalesce(col("rc"), lit(0L)) <= (lit(1.0) - threshold) * col("sz"))
           .select("id").localCheckpoint()
       }
-      val lBand = bandRows(lt.join(hotHeavyIds(lt, lsz), Seq("id"), "left_semi"), 8, 2)
+      val lBand = bandRows(
+        lt.select("id", "th").join(hotHeavyIds(lt, lsz), Seq("id"), "left_semi"), 8, 2)
         .localCheckpoint()
-      val rBand = bandRows(rt.join(hotHeavyIds(rt, rsz), Seq("id"), "left_semi"), 8, 2)
+      val rBand = bandRows(
+        rt.select("id", "th").join(hotHeavyIds(rt, rsz), Seq("id"), "left_semi"), 8, 2)
         .localCheckpoint()
+      // banding-route pairs are ∝ hot-heavy docs (small): joining THEIR
+      // sizes back is cheap — the main route carries sizes inline
       val extra = lBand.as("x")
         .join(rBand.withColumnRenamed("id", "id2").as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
         .select(col("x.id").as("d1"), col("id2").as("d2"))
         .distinct()
+        .join(lsz.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(rsz.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
         .withColumn("c", lit(0L))
-      val paired = pairCounts(capped(lt), capped(rt)).unionByName(extra)
-        .groupBy("d1", "d2").agg(max(col("c")).as("c"))
+      val unioned = pairCounts(capped(lt), capped(rt), width)
+        .unionByName(extra.select("d1", "d2", "c", "sz1", "sz2"))
+      val paired =
+        (if (width > 0) unioned.repartition(width, col("d1"), col("d2")) else unioned)
+          .groupBy("d1", "d2").agg(max(col("c")).as("c"),
+            first(col("sz1")).as("sz1"), first(col("sz2")).as("sz2"))
       val cHot = when(col("h1").isNotNull && col("h2").isNotNull,
         size(array_intersect(col("h1"), col("h2"))).cast("long")).otherwise(0L)
       finish(
