@@ -166,7 +166,14 @@ object ProfileScale {
       val reps = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop the rep's dead localCheckpoint/cache blocks OUTSIDE the
+        // timing window — same lesson as Bench (e654d4f): accumulated
+        // checkpoint debris from earlier reps/ops shows up as a
+        // within-session slowdown that reads as regression
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sharedState.cacheManager.clearCache()
+        sec
       }
       out(name) = OpRow(math.rint(reps.min * 1000) / 1000, vmHwmGb,
         math.rint((gcSec - gc0) * 100) / 100)
