@@ -984,6 +984,30 @@ object Dedup {
     b
   }
 
+  /** Bucket-cap rule for [[simHashPairs]] — the cap analogue of
+    * [[autoSimHashBlocks]]. A FIXED cap is as scale-wrong as a fixed block
+    * count, in the opposite direction: the round-15 sf30 probe measured a
+    * cap of 800 at 1.5 M docs putting 19% of all banded rows into over-cap
+    * buckets, which drives the whole join down the map-carrying sub-split
+    * path (per-survivor hot-band map probes — > 40 min) AND costs recall
+    * (the sub-split's bounded-sample backstop drops split-apart pairs),
+    * while a cap the census never reaches leaves the join on the complete
+    * fast path — 11.8e9 raw candidates hamming-tested in ~35 s at the same
+    * scale and geometry. Under auto geometry the expected bucket is near
+    * `targetBucket` (256), so over-cap buckets are template artifacts whose
+    * size grows with the corpus's clique structure, not with n — the cap
+    * only needs to stay (a) above that artifact band so the backstop is
+    * RARE, and (b) below any constant CORPUS FRACTION so a degenerate
+    * mega-clique (the one genuine n² risk) is still sub-split. corpus/100
+    * with a floor of 800 does both: the floor holds to 80 k rows — above
+    * every driver-gate scale, and above the 65 536-row point where
+    * [[autoSimHashBlocks]] first widens past 8 blocks — so small-scale
+    * plans (and the measured hot-path coverage they exercise) are
+    * byte-identical to the historical pinned-800 form.
+    */
+  def autoSimHashBucketCap(corpusRows: Long, floor: Long = 800L): Long =
+    math.max(floor, corpusRows / 100L)
+
   /** SimHash near-dup pairs: hamming distance <= maxDist. The pair join is
     * banded COMBINATORIALLY on the `numBlocks` near-equal-width bit blocks
     * of the signature (the Manku–Jain–Sarma WWW'07 near-duplicate design):
@@ -1000,9 +1024,10 @@ object Dedup {
     *
     * `numBlocks = 0` (the default) sizes the geometry by
     * [[autoSimHashBlocks]] from the corpus count — the deployment rule;
-    * pass an explicit value to pin a fixture geometry. The count runs on
-    * the already-checkpointed signature frame, so it costs one metadata
-    * scan, not a corpus re-tokenize.
+    * pass an explicit value to pin a fixture geometry. `maxBucket = 0`
+    * likewise sizes the hot-bucket cap by [[autoSimHashBucketCap]] from the
+    * same count. The count runs on the already-checkpointed signature
+    * frame, so it costs one metadata scan, not a corpus re-tokenize.
     *
     * Hot-bucket guard: a template-heavy corpus concentrates signatures, so
     * one (band, key) bucket can hold a large corpus fraction and its
@@ -1046,6 +1071,9 @@ object Dedup {
     val blocks =
       if (numBlocks > 0) numBlocks
       else autoSimHashBlocks(sigRows, maxDist)
+    val bucketCap =
+      if (maxBucket > 0) maxBucket
+      else autoSimHashBucketCap(sigRows)
     require(blocks >= 2 && blocks <= 64,
       s"numBlocks must be in [2, 64] (got $blocks)")
     require(maxDist < blocks,
@@ -1074,8 +1102,8 @@ object Dedup {
     // and it decides the plan SHAPE below — the empty/non-empty probe is a
     // metadata-sized driver decision, not a data collect.
     val hot = blocked.groupBy("ci", "cv").agg(count(lit(1)).as("m"))
-      .filter(col("m") > maxBucket)
-      .withColumn("nsub", ceil(col("m").cast("double") / maxBucket).cast("long"))
+      .filter(col("m") > bucketCap)
+      .withColumn("nsub", ceil(col("m").cast("double") / bucketCap).cast("long"))
       .select("ci", "cv", "nsub")
       .localCheckpoint()
     // ---- single-emission banding ----

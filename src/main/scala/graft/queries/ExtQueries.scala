@@ -728,19 +728,32 @@ object ExtQueries {
 
     // SimHash-guarded exact near-dup pairs: the emitted rows are the exact
     // word-3-gram Jaccard pairs at τ=0.9 (DuckDB-checkable), and the plan
-    // also runs the SimHash banding candidate generator (8 blocks → complete
-    // for hamming <= 7) and fails loudly — raise_error, a FAIL row, not a
-    // silent quality drift — if it recalls less than half of the true pairs.
-    // xxhash64 signatures aren't DuckDB-reproducible, so the guard is how
-    // the SimHash path sits on the oracle gate (the q_agg3_approx promotion
-    // pattern). The documents are template-generated, so even jac≈0.9 pairs
-    // sit at hamming 4–14, which is why the 4-block/dist<=3 form this query
-    // originally used found only 16–20% of them. maxBucket=800 keeps the
-    // hot-bucket sub-split ACTIVE at bench scale (template corpora
-    // concentrate 8-bit block values, and the un-split banding join's
-    // candidate fan-out — not the signature pass — is ~80% of the
-    // operator's cost); measured recall at the cap: 0.84 (sf0.01) /
-    // 0.77 (sf0.1) / 0.78 (sf1) — well clear of the 0.5 guard.
+    // also runs the SimHash banding candidate generator (auto geometry —
+    // complete for hamming <= 7 when no bucket is over-cap) and fails
+    // loudly — raise_error, a FAIL row, not a silent quality drift — if it
+    // recalls less than half of the true pairs. xxhash64 signatures aren't
+    // DuckDB-reproducible, so the guard is how the SimHash path sits on the
+    // oracle gate (the q_agg3_approx promotion pattern). The documents are
+    // template-generated, so even jac≈0.9 pairs sit at hamming 4–14, which
+    // is why the 4-block/dist<=3 form this query originally used found only
+    // 16–20% of them. Both knobs size by the corpus count (numBlocks=0 →
+    // autoSimHashBlocks, maxBucket=0 → autoSimHashBucketCap), NOT pinned
+    // values: the round-15 sf30 value sweep proved the pinned 8-block form
+    // collapses at 1.5 M docs (recall 0.27 — every 8-bit bucket goes
+    // over-cap and the sub-split's bounded-sample backstop drops most true
+    // pairs), and the census probe then showed a pinned 800 cap is
+    // scale-wrong in the OPPOSITE direction even under auto geometry (19%
+    // of banded rows over-cap at 9 blocks → the map-carrying sub-split
+    // path, >40 min, vs hot=0 → the complete fast path in ~35 s at the
+    // same scale). Under both rules every driver scale (<= 65 536 docs for
+    // blocks, <= 80 000 for the cap) resolves to the historical
+    // 8-block/cap-800 plan byte-for-byte — the hot-bucket sub-split stays
+    // ACTIVE at bench scale (template corpora concentrate 8-bit block
+    // values) with measured recall 0.84 (sf0.01) / 0.77 (sf0.1) /
+    // 0.78 (sf1) — while at sf30 the geometry widens to 9 blocks/36
+    // tables/14-bit keys and the cap rises to 15 000 (census max bucket:
+    // 4 530), so the banding is complete and recall is bounded only by the
+    // hamming spread, not by sampling.
     // The exact oracle arm ranks a COUNT-SCALED deterministic anchor subset
     // (doc_id % max(1, ⌊n/500⌋) = 0 — every doc at sf0.01, ~500 at any
     // larger scale, the modulus derived in-plan from a 1-row count agg,
@@ -760,12 +773,13 @@ object ExtQueries {
         // Dedup.anchoredJaccardPairs for normalization + checkpoint notes)
         val exact = Dedup.anchoredJaccardPairs(docs, "doc_id", "text",
           targetAnchors = 500L, threshold = 0.9, shingleN = 3)
-        // maxBucket 800: measured candidate recall 0.84 (sf0.01) / 0.77
-        // (sf0.1) / 0.78 (sf1) vs 0.84/0.81/0.86 at the previous 1500 —
-        // well clear of the 0.5 guard at every driver scale, for ~40% less
-        // banding-join fan-out (the operator's dominant cost)
+        // cap floor 800 (auto rule): measured candidate recall 0.84
+        // (sf0.01) / 0.77 (sf0.1) / 0.78 (sf1) vs 0.84/0.81/0.86 at the
+        // previous pinned 1500 — well clear of the 0.5 guard at every
+        // driver scale, for ~40% less banding-join fan-out (the operator's
+        // dominant cost)
         val cand = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 7,
-            numBlocks = 8, maxBucket = 800L)
+            numBlocks = 0, maxBucket = 0L)
           .select(col("d1"), col("d2"))
         exact.crossJoin(broadcast(pairRecall(exact, cand, Seq("d1", "d2"))))
           .select(col("d1"), col("d2"),
