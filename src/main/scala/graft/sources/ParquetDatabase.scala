@@ -155,7 +155,7 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
     * caused by a raw java.nio.file.NoSuchFileException (both seen under
     * host load in the two-writer stress drill, round 14).
     */
-  private def conflictIfVanished[T](phase: String)(f: => T): T =
+  private[sources] def conflictIfVanished[T](phase: String)(f: => T): T =
     try f catch {
       case t: Throwable =>
         val vanishedUnderneath = Iterator.iterate(t)(_.getCause)
@@ -167,10 +167,26 @@ class ParquetDatabase(val spark: SparkSession, val dir: String) {
         // exists and member files vanished out of it (a peer's swap). A
         // missing/mistyped table dir is a permanent error — remapping it
         // would make retry-looping callers spin on something no retry can
-        // fix — so it rethrows raw. (The exists() probe itself failing,
-        // e.g. a flaky FS, counts as "can't prove permanence" → conflict.)
-        if (vanishedUnderneath &&
-            (try fs.exists(new Path(dir)) catch { case _: Throwable => true }))
+        // fix — so it rethrows raw. BUT a single absent probe cannot prove
+        // permanence: a peer's swap retires dir to __old for the instant
+        // between its two renames (rewriteWith), so the probe accepts a
+        // visible __old (the retired table) as mid-swap evidence and
+        // re-probes a few times before declaring the dir gone — the
+        // two-writer stress drill caught the single-probe form rethrowing
+        // raw exactly in that window. (The probe itself failing, e.g. a
+        // flaky FS, counts as "can't prove permanence" → conflict.)
+        def presentOrMidSwap(): Boolean =
+          try fs.exists(new Path(dir)) || fs.exists(new Path(dir + "__old"))
+          catch { case _: Throwable => true }
+        def plausiblyLive(): Boolean = {
+          var probes = 0
+          var present = presentOrMidSwap()
+          while (!present && probes < 5) {
+            Thread.sleep(40L); present = presentOrMidSwap(); probes += 1
+          }
+          present
+        }
+        if (vanishedUnderneath && plausiblyLive())
           throw new java.util.ConcurrentModificationException(
             s"optimistic-concurrency conflict on $dir: table files vanished underneath " +
               s"this mutation's $phase (another writer swapped the table mid-scan). " +

@@ -316,4 +316,40 @@ class ConcurrentWriterSpec extends SparkSpec {
     a.deleteWhere(col("g") === 2L)
     assert(a.read().filter(col("g") === 2L).count() === 0L)
   }
+
+  test("vanished-file remap: mid-swap dir-absent window is a conflict, a truly missing dir is raw") {
+    // the classification gate behind every staged mutation: a read failing
+    // because files vanished is a retryable conflict ONLY while the table
+    // plausibly still lives. Three cases, driven directly through the seam:
+    val a = freshDb("vanishcls")
+    a.create(spark.range(10).toDF("id"))
+    val vanish = new java.io.FileNotFoundException("part-00000 gone")
+    // 1. table dir present -> conflict (the common peer-swap signature)
+    intercept[java.util.ConcurrentModificationException] {
+      a.conflictIfVanished("test read")(throw vanish)
+    }
+    // 2. dir retired to __old mid-swap (dir absent, __old present) -> still
+    // a conflict: the stress drill caught the single-probe form rethrowing
+    // raw exactly in this window
+    val fs = new org.apache.hadoop.fs.Path(a.dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(a.dir),
+      new org.apache.hadoop.fs.Path(a.dir + "__old")))
+    intercept[java.util.ConcurrentModificationException] {
+      a.conflictIfVanished("test read")(throw vanish)
+    }
+    assert(fs.rename(new org.apache.hadoop.fs.Path(a.dir + "__old"),
+      new org.apache.hadoop.fs.Path(a.dir)))
+    // 3. table dir (and __old) genuinely absent -> the raw error survives,
+    // so retry-looping callers can't spin on a mistyped path
+    val gone = new ParquetDatabase(spark, a.dir + "_nonexistent")
+    val raw = intercept[java.io.FileNotFoundException] {
+      gone.conflictIfVanished("test read")(throw vanish)
+    }
+    assert(raw eq vanish)
+    // non-vanish failures always pass through untouched
+    intercept[IllegalStateException] {
+      a.conflictIfVanished("test read")(throw new IllegalStateException("boom"))
+    }
+  }
 }
