@@ -997,14 +997,28 @@ object Similarity {
     val subCounts = index.assigned.groupBy("cell")
       .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("long").as("nsub"))
       .localCheckpoint()
-    val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    // Probe selection is ROW-LOCAL (round 15): with queries = the whole
+    // corpus, the retired row_number-window formulation exchanged and
+    // sorted ALL n × numCentroids scored rows — 3.1e8 rows carrying the
+    // 64-float query vector each at sf10 under the autoCentroids rule —
+    // just to keep nprobe per vector. The centroid table is broadcast-sized
+    // by construction, so each vector scores the collected centroid array
+    // in-row and keeps its top-nprobe cells with sort_array + slice: zero
+    // exchange, zero sort of pair-shaped data. Ordering corners that must
+    // MATCH the retired window's sort for output identity: `+ 0.0`
+    // normalizes -0.0 to 0.0 (UnsafeRow sort normalization); sort_array's
+    // NaN-greatest matches nanSafeCompareDoubles; struct descending on
+    // (pcos, NEGATED cid) = (pcos DESC, cid ASC) — the window's tiebreak.
+    val cents = index.centroids
+      .agg(collect_list(struct(col("cid"), col("cv"), norm(col("cv")).as("cn"))).as("cs"))
     val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"),
         norm(col("nv")).as("qn"))
-      .crossJoin(broadcast(index.centroids.withColumn("cn", norm(col("cv")))))
-      .withColumn("pcos", cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("prn", row_number().over(probeW))
-      .filter(col("prn") <= nprobe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
+      .crossJoin(broadcast(cents)) // 1-row scalar broadcast, not a fan-out
+      .withColumn("topc", slice(sort_array(transform(col("cs"), c =>
+          struct((cosinePre(col("qv"), c("cv"), col("qn"), c("cn")) + lit(0.0)).as("pcos"),
+            (-c("cid")).as("ncid"))), asc = false), 1, nprobe))
+      .select(col("qid"), col("qv"), col("qn"), explode(col("topc")).as("t"))
+      .select(col("qid"), col("qv"), col("qn"), (-col("t.ncid")).as("cell"))
       .join(broadcast(subCounts), Seq("cell"))
       .withColumn("sub", pmod(xxhash64(col("qid")), col("nsub")))
     val corpus = index.assigned
@@ -1014,10 +1028,22 @@ object Similarity {
     val scored = corpus.join(probes.drop("nsub"), Seq("cell", "sub")) // shuffle join on (cell, sub)
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("nid"), col("rn"), col("cos"))
+    // Final ranking via the bounded-buffer TopKAggD, NOT a row_number
+    // window (the q_ext_sim4 exact-arm lesson, round 13): the window
+    // exchanged and sorted every probed-cell candidate — ~nprobe·cellSize
+    // rows PER VECTOR — where the aggregate's map-side partials ship at
+    // most one k-bounded buffer per vector per input partition
+    // (≤ nprobe buffers per vector: its candidates live in its probed
+    // (cell,sub) partitions). TopKAggD's comparator mirrors the window's
+    // (cos DESC, nid ASC) sort exactly, NaN/-0.0 corners included;
+    // SimilaritySpec pins equality against the retired window form on a
+    // tie-heavy fixture.
+    val topK = udaf(new graft.functions.Aggregators.TopKAggD(k))
+    scored.groupBy(col("qid"))
+      .agg(topK(col("cos"), col("nid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t._2").as("nid"),
+        (col("pos") + 1).cast("int").as("rn"), col("t._1").as("cos"))
   }
 
   /** SRP plane-count rule for [[cosineNearDupPairs]] — the LSH analogue of

@@ -565,6 +565,61 @@ class SimilaritySpec extends SparkSpec {
     assert(graph.map(_._1).size === 80)
   }
 
+  test("ivfSelfTopK equals the retired row_number-window formulation, ties included") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // tie-HEAVY fixture: 10 groups of 6 exact-duplicate vectors (identical
+    // doubles → identical cosines, so the top-k boundary lands ON ties and
+    // the nid tiebreak is load-bearing) + diverse filler
+    val rng = new java.util.SplittableRandom(11L)
+    val dups = (0 until 10).flatMap { g =>
+      val v = Seq.fill(8)((rng.nextDouble() * 2 - 1).toFloat)
+      (0 until 6).map(i => ((g * 6 + i).toLong, v))
+    }
+    val filler = (60 until 90).map(i =>
+      (i.toLong, Seq.fill(8)((rng.nextDouble() * 2 - 1).toFloat)))
+    val df = (dups ++ filler).toDF("vec_id", "embedding")
+    val index = Similarity.buildIvfIndex(df, "vec_id", "embedding", numCentroids = 6)
+    for ((k, nprobe, frac) <- Seq((3, 2, 0.25), (5, 3, 0.25), (4, 2, 0.08))) {
+      // the retired formulation, verbatim: probe cells by a row_number
+      // window over all (vector, centroid) scores, rank candidates by a
+      // row_number window over all probed-cell scores
+      val n = index.assigned.count()
+      val maxCell = math.max(1L, (frac * n).toLong)
+      val subCounts = index.assigned.groupBy("cell")
+        .agg(ceil(count(lit(1)).cast("double") / maxCell).cast("long").as("nsub"))
+      val probeW = Window.partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+      val probes = index.assigned.select(col("nid").as("qid"), col("nv").as("qv"),
+          Similarity.norm(col("nv")).as("qn"))
+        .crossJoin(broadcast(index.centroids.withColumn("cn", Similarity.norm(col("cv")))))
+        .withColumn("pcos", Similarity.cosinePre(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("prn", row_number().over(probeW))
+        .filter(col("prn") <= nprobe)
+        .select(col("qid"), col("qv"), col("qn"), col("cid").as("cell"))
+        .join(broadcast(subCounts), Seq("cell"))
+        .withColumn("sub", pmod(xxhash64(col("qid")), col("nsub")))
+      val corpus = index.assigned
+        .withColumn("nn", Similarity.norm(col("nv")))
+        .join(broadcast(subCounts), Seq("cell"))
+        .withColumn("sub", pmod(xxhash64(col("nid")), col("nsub")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+      val reference = corpus.join(probes.drop("nsub"), Seq("cell", "sub"))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", Similarity.cosinePre(col("qv"), col("nv"), col("qn"), col("nn")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("nid"), col("rn"), col("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+      val got = Similarity.ivfSelfTopK(index, k = k, nprobe = nprobe, maxCellFraction = frac)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rn"), r.getAs[Double]("cos")))
+        .sortBy(t => (t._1, t._3))
+      assert(got.toSeq === reference.toSeq,
+        s"(k=$k nprobe=$nprobe frac=$frac) diverged from the window formulation")
+    }
+  }
+
   test("ivfSelfTopK bounds candidates under a planted mega-cell") {
     import org.apache.spark.sql.functions._
     val rng = new java.util.SplittableRandom(3L)
